@@ -1,0 +1,243 @@
+"""DocumentCleaner: 15 sequential DOM rewrites before scoring.
+
+From-scratch re-expression of /root/reference/newspaper/cleaners.py
+(semantics, not code): strip naughty-id/class nodes, scripts/styles/
+comments, em/span unwrapping, and the div→paragraph conversion whose
+text-buffer splicing produces the exact whitespace the golden corpus
+encodes.
+"""
+from __future__ import annotations
+
+import re
+
+from ..dom import (
+    Element,
+    css_select,
+    drop_tag,
+    find_attr_regex,
+    find_by_tag,
+    find_by_tags,
+    fromstring,
+    iter_comments,
+    outer_html,
+    remove_keep_tail,
+)
+from .text import inner_trim
+
+REMOVE_NODES_RE = (
+    "^side$|combx|retweet|mediaarticlerelated|menucontainer|"
+    "navbar|storytopbar-bucket|utility-bar|inline-share-tools"
+    "|comment|PopularQuestions|contact|foot|footer|Footer|footnote"
+    "|cnn_strycaptiontxt|cnn_html_slideshow|cnn_strylftcntnt"
+    "|links|meta$|shoutbox|sponsor"
+    "|tags|socialnetworking|socialNetworking|cnnStryHghLght"
+    "|cnn_stryspcvbx|^inset$|pagetools|post-attributes"
+    "|welcome_form|contentTools2|the_answers"
+    "|communitypromo|runaroundLeft|subscribe|vcard|articleheadings"
+    "|date|^print$|popup|author-dropdown|tools|socialtools|byline"
+    "|konafilter|KonaFilter|breadcrumbs|^fn$|wp-caption-text"
+    "|legende|ajoutVideo|timestamp|js_replies"
+)
+
+CAPTION_RE = "^caption$"
+GOOGLE_RE = " google "
+ENTRIES_RE = "^[^entry-]more.*$"
+FACEBOOK_RE = "[^-]facebook"
+FACEBOOK_BROADCASTING_RE = "facebook-broadcasting"
+TWITTER_RE = "[^-]twitter"
+
+_DIV_TO_P_TAGS = ["a", "blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul"]
+
+
+def _tablines_replace(s: str) -> str:
+    """ReplaceSequence('\\n'→'\\n\\n', '\\t'→'', literal '^\\s+$'→'') —
+    literal string replaces, not regex (utils.py StringReplacement)."""
+    if not s:
+        return ""
+    s = s.replace("\n", "\n\n")
+    s = s.replace("\t", "")
+    s = s.replace("^\\s+$", "")
+    return s
+
+
+def _has_article_descendant(node: Element) -> bool:
+    """.//article | .//*[@id="article"] | .//*[@itemprop="articleBody"]"""
+    for d in node.iterdescendants():
+        if not isinstance(d.tag, str):
+            continue
+        if d.tag == "article":
+            return True
+        if d.attrib.get("id") == "article":
+            return True
+        if d.attrib.get("itemprop") == "articleBody":
+            return True
+    return False
+
+
+def clean_document(doc: Element) -> Element:
+    clean_body_classes(doc)
+    clean_article_tags(doc)
+    clean_em_tags(doc)
+    remove_drop_caps(doc)
+    remove_scripts_styles(doc)
+    clean_bad_tags(doc)
+    for pattern in (
+        CAPTION_RE,
+        GOOGLE_RE,
+        ENTRIES_RE,
+        FACEBOOK_RE,
+        FACEBOOK_BROADCASTING_RE,
+        TWITTER_RE,
+    ):
+        remove_nodes_regex(doc, pattern)
+    clean_para_spans(doc)
+    div_to_para(doc, "div")
+    div_to_para(doc, "span")
+    div_to_para(doc, "section")
+    return doc
+
+
+def clean_body_classes(doc):
+    elements = find_by_tag(doc, tag="body")
+    if elements:
+        elements[0].attrib.pop("class", None)
+    return doc
+
+
+def clean_article_tags(doc):
+    for article in find_by_tag(doc, tag="article"):
+        for attr in ("id", "name", "class"):
+            article.attrib.pop(attr, None)
+    return doc
+
+
+def clean_em_tags(doc):
+    for node in find_by_tag(doc, tag="em"):
+        if not find_by_tag(node, tag="img"):
+            drop_tag(node)
+    return doc
+
+
+def remove_drop_caps(doc):
+    for item in css_select(doc, "span[class~=dropcap], span[class~=drop_cap]"):
+        drop_tag(item)
+    return doc
+
+
+def remove_scripts_styles(doc):
+    for item in find_by_tag(doc, tag="script"):
+        remove_keep_tail(item)
+    for item in find_by_tag(doc, tag="style"):
+        remove_keep_tail(item)
+    for item in iter_comments(doc):
+        remove_keep_tail(item)
+    return doc
+
+
+def clean_bad_tags(doc):
+    for attr in ("id", "class", "name"):
+        for node in find_attr_regex(doc, attr, REMOVE_NODES_RE):
+            if not _has_article_descendant(node):
+                remove_keep_tail(node)
+    return doc
+
+
+def remove_nodes_regex(doc, pattern):
+    for selector in ("id", "class"):
+        for node in find_attr_regex(doc, selector, pattern):
+            remove_keep_tail(node)
+    return doc
+
+
+def clean_para_spans(doc):
+    for item in css_select(doc, "p span"):
+        drop_tag(item)
+    return doc
+
+
+def _get_text(node: Element) -> str:
+    txts = [t for t in node.itertext()]
+    return inner_trim(" ".join(txts).strip())
+
+
+def _child_nodes_with_text(node: Element) -> list:
+    """Materialize text/tails as synthetic tag='text' elements
+    (parsers.py:138-159)."""
+    root = node
+    if root.text:
+        t = Element("text", text=root.text)
+        root.text = None
+        root.insert(0, t)
+    for n in list(root):
+        idx = root.index(n)
+        if n.tag == "text":
+            continue
+        if n.tail:
+            # lxml keeps n.tail in place AND adds the text node — the
+            # duplication is reference behavior (parsers.py:150-158)
+            t = Element("text", text=n.tail)
+            root.insert(idx + 1, t)
+    return list(root)
+
+
+def _replace_walk_left_right(kid, kid_text, replacement_text, nodes_to_remove):
+    replace_text = _tablines_replace(kid_text)
+    if len(replace_text) > 1:
+        prev_node = kid.getprevious()
+        while (
+            prev_node is not None
+            and prev_node.tag == "a"
+            and prev_node.attrib.get("grv-usedalready") != "yes"
+        ):
+            replacement_text.append(" " + outer_html(prev_node) + " ")
+            nodes_to_remove.append(prev_node)
+            prev_node.set("grv-usedalready", "yes")
+            prev_node = prev_node.getprevious()
+        replacement_text.append(replace_text)
+        next_node = kid.getnext()
+        while (
+            next_node is not None
+            and next_node.tag == "a"
+            and next_node.attrib.get("grv-usedalready") != "yes"
+        ):
+            replacement_text.append(" " + outer_html(next_node) + " ")
+            nodes_to_remove.append(next_node)
+            next_node.set("grv-usedalready", "yes")
+            next_node = next_node.getnext()
+
+
+def _get_replacement_nodes(div):
+    replacement_text = []
+    nodes_to_return = []
+    nodes_to_remove = []
+    for kid in _child_nodes_with_text(div):
+        if kid.tag == "p" and replacement_text:
+            nodes_to_return.append(fromstring("".join(replacement_text)))
+            replacement_text = []
+            nodes_to_return.append(kid)
+        elif kid.tag == "text":
+            kid_text = _get_text(kid)
+            _replace_walk_left_right(kid, kid_text, replacement_text, nodes_to_remove)
+        else:
+            nodes_to_return.append(kid)
+    if replacement_text:
+        nodes_to_return.append(fromstring("".join(replacement_text)))
+    for n in nodes_to_remove:
+        remove_keep_tail(n)
+    return nodes_to_return
+
+
+def div_to_para(doc, dom_type):
+    for div in find_by_tag(doc, tag=dom_type):
+        items = find_by_tags(div, _DIV_TO_P_TAGS)
+        if len(items) == 0:
+            div.tag = "p"
+        else:
+            replace_nodes = [n for n in _get_replacement_nodes(div) if n is not None]
+            attrib = dict(div.attrib)
+            div.clear()
+            for i, node in enumerate(replace_nodes):
+                div.insert(i, node)
+            for name, value in attrib.items():
+                div.set(name, value)
+    return doc
