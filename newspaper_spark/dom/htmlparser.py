@@ -48,12 +48,31 @@ CLOSES["th"] = frozenset(["td", "th", "caption", "colgroup"])
 CLOSES["thead"] = frozenset(["tr", "td", "th", "tbody", "caption", "colgroup"])
 CLOSES["tbody"] = frozenset(["tr", "td", "th", "thead", "caption", "colgroup"])
 CLOSES["tfoot"] = frozenset(["tr", "td", "th", "thead", "tbody", "caption", "colgroup"])
+CLOSES["tbody"] = frozenset(
+    ["tr", "td", "th", "thead", "tbody", "caption", "colgroup"]
+)
 CLOSES["option"] = frozenset(["option"])
 CLOSES["optgroup"] = frozenset(["option", "optgroup"])
 CLOSES["a"] = frozenset(["a"])
 CLOSES["button"] = frozenset(["button"])
 CLOSES["colgroup"] = frozenset(["caption"])
 CLOSES["caption"] = frozenset(["tr", "td", "th", "colgroup"])
+
+# scope boundaries: the upward search for an element to auto-close stops
+# here (HTML5 default scope; libxml2 behaves equivalently for the cases
+# the corpus exercises — a <p> start closes an open <p> even through
+# inline formatting like <i>/<b>/<a>)
+_SCOPE_STOP = frozenset(
+    "html table td th caption applet object marquee template".split()
+)
+_SCOPE_EXTRA = {
+    "li": frozenset(["ul", "ol"]),
+    "p": frozenset(["button"]),
+}
+# tags whose autoclose repeats to unwind whole table rows/sections
+_REPEAT = frozenset(
+    "tr td th thead tbody tfoot caption colgroup".split()
+)
 
 # contexts whose whitespace-only character data is structural, not text
 _WS_SKIP = frozenset(
@@ -106,8 +125,19 @@ class _TreeBuilder(HTMLParser):
         closers = CLOSES.get(tag)
         if not closers:
             return
-        while self.stack and self.stack[-1].tag in closers:
-            self.stack.pop()
+        stop = _SCOPE_STOP | _SCOPE_EXTRA.get(tag, frozenset())
+        while True:
+            popped = False
+            for i in range(len(self.stack) - 1, -1, -1):
+                t = self.stack[i].tag
+                if t in closers:
+                    del self.stack[i:]
+                    popped = True
+                    break
+                if t in stop:
+                    break
+            if not (popped and tag in _REPEAT):
+                return
 
     def _enter_body(self) -> None:
         if not self.in_body:
