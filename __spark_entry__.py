@@ -1,38 +1,684 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface (SURVEY.md §2 plus
+the training-data operators); ``oracle_sql()`` gives the DuckDB-
+equivalent ANSI SQL for every SQL-expressible operator. Non-SQL ops
+(the lxml-equivalent DOM kernel, LSH planes, simhash bit votes, the
+mapInPandas media stub) are intentionally omitted from oracle_sql and
+get rows-only checks — EXCEPT extraction itself, which IS oracle-
+checked here because the synthetic page generator
+(newspaper_spark/sources/transcripts.py) makes the kernel's output
+reconstructable in SQL.
 """
-
 from __future__ import annotations
 
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+SF0001 = "/root/testdata/sf0.001"
+
+# constants mirrored from newspaper_spark.sources.transcripts
+PARA_LEAD = "It was also noted that there is more to be said about this: "
+TURNS_PER_CONV = 4
+
+_STOPS_SMALL = ["the", "and", "is", "a", "of", "to", "in"]
+
+
+def _transcripts(spark, sf_dir):
+    from newspaper_spark.sources.transcripts import synthetic_transcripts
+
+    return synthetic_transcripts(spark, sf_dir)
+
+
+def _docs(spark, sf_dir):
+    from newspaper_spark.sources.transcripts import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _synth_urls(spark, sf_dir):
+    """Deterministic article-URL universe derived from documents."""
+    d = _docs(spark, sf_dir)
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/news/story/item-"), F.col("doc_id"), F.lit(".html")))
+        .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/2014/12/30/breaking-topic-every-word-here-"), F.col("doc_id")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("/about.html")))
+        .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/gallery/video/clip-"), F.col("doc_id"), F.lit(".mp4")))
+        .otherwise(F.concat(F.lit("/tag-one-two-three-four-five-"), F.col("doc_id")))
+    )
+    return d.select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("http://site"), (F.col("doc_id") % 7).cast("string"), F.lit(".com"), path
+        ).alias("url"),
+    )
+
+
+_SYNTH_URL_SQL = """
+    SELECT doc_id,
+           'http://site' || (doc_id % 7)::VARCHAR || '.com' ||
+           CASE doc_id % 5
+             WHEN 0 THEN '/news/story/item-' || doc_id::VARCHAR || '.html'
+             WHEN 1 THEN '/2014/12/30/breaking-topic-every-word-here-' || doc_id::VARCHAR
+             WHEN 2 THEN '/about.html'
+             WHEN 3 THEN '/gallery/video/clip-' || doc_id::VARCHAR || '.mp4'
+             ELSE '/tag-one-two-three-four-five-' || doc_id::VARCHAR
+           END AS url
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcripts → per-turn extraction, stable ordering."""
+    from newspaper_spark.operators.extract import extract_articles
+
+    transcripts = _transcripts(spark, SF0001)
+    out = extract_articles(transcripts)
+    return out.select(
+        "conv_id", "turn_idx", "title", "text", "authors", "publish_date",
+        "meta_site_name", "status",
+    ).orderBy("conv_id", "turn_idx")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_transcripts(spark, sf_dir):
+    return _transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "tool", "ts"
+    )
+
+
+def q_extract_fulltext(spark, sf_dir):
+    from newspaper_spark.operators.extract import extract_articles
+
+    t = _transcripts(spark, sf_dir)
+    out = extract_articles(t)
+    return out.select("conv_id", "turn_idx", F.col("text").alias("extracted_text"))
+
+
+def q_extract_title(spark, sf_dir):
+    from newspaper_spark.operators.extract import extract_articles
+
+    out = extract_articles(_transcripts(spark, sf_dir))
+    return out.select("conv_id", "turn_idx", "title")
+
+
+def q_extract_meta(spark, sf_dir):
+    from newspaper_spark.operators.extract import extract_articles
+
+    out = extract_articles(_transcripts(spark, sf_dir))
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "meta_site_name",
+        F.element_at("authors", 1).alias("author1"),
+        "publish_date",
+        "meta_lang",
+    )
+
+
+def q_stopword_count(spark, sf_dir):
+    from newspaper_spark.functions.columns import stopword_count_col, word_count_col
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        stopword_count_col(F.col("text"), _STOPS_SMALL).alias("n_stop"),
+        word_count_col(F.col("text")).alias("n_words"),
+    )
+
+
+def q_inner_trim(spark, sf_dir):
+    from newspaper_spark.functions.columns import inner_trim_col
+
+    d = _docs(spark, sf_dir)
+    messy = F.concat(F.lit("  "), F.col("text"), F.lit(" \t junk\ttail  "))
+    return d.select("doc_id", inner_trim_col(messy).alias("trimmed"))
+
+
+def q_valid_url(spark, sf_dir):
+    from newspaper_spark.operators.urlops import valid_url_udf
+
+    u = _synth_urls(spark, sf_dir)
+    return u.select("doc_id", "url", valid_url_udf(F.col("url")).alias("is_valid"))
+
+
+def q_url_filetype(spark, sf_dir):
+    from newspaper_spark.functions.columns import url_filetype_col
+
+    u = _synth_urls(spark, sf_dir)
+    return u.select("doc_id", url_filetype_col(F.col("url")).alias("filetype"))
+
+
+def q_is_media_news(spark, sf_dir):
+    from newspaper_spark.functions.columns import is_media_news_col
+
+    u = _synth_urls(spark, sf_dir)
+    return u.select("doc_id", is_media_news_col(F.col("url")).alias("is_media"))
+
+
+def q_is_valid_body(spark, sf_dir):
+    from newspaper_spark.functions.columns import is_valid_body_col
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        is_valid_body_col(
+            F.col("text"),
+            F.lit("Some Valid Title Here"),
+            F.lit("article"),
+            F.col("text"),
+        ).alias("valid_body"),
+    )
+
+
+def q_truncations(spark, sf_dir):
+    from newspaper_spark.functions.columns import truncate_text, truncate_title
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        truncate_title(F.col("text")).alias("t200"),
+        F.length(truncate_text(F.col("text"))).alias("len_t"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from newspaper_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_anti_join_seen(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    seen = d.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    return d.join(F.broadcast(seen), "doc_id", "left_anti").select("doc_id", "source")
+
+
+def q_limit_per_source(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source", "rn")
+    )
+
+
+def q_keywords_topk(spark, sf_dir):
+    """nlp.py:119-150 cross-doc analog: top-10 terms per doc by
+    (freq, word) desc."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    freq = toks.groupBy("doc_id", "w").agg(F.count("*").alias("freq"))
+    w10 = Window.partitionBy("doc_id").orderBy(F.desc("freq"), F.desc("w"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w10))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "w", "freq", "rank")
+    )
+
+
+def q_domain_counters(spark, sf_dir):
+    u = _synth_urls(spark, sf_dir)
+    dom = F.regexp_extract("url", r"^http://([^/]+)/", 1)
+    w = Window.partitionBy(dom).orderBy("doc_id")
+    return u.select(
+        "doc_id", dom.alias("domain"), F.row_number().over(w).alias("n_in_domain")
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from newspaper_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=8, bands=4
+    ).orderBy("id_a", "id_b")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from newspaper_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(d, num_hashes=8, bands=4)
+    return ngram_jaccard_pairs(d, pairs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_simhash(spark, sf_dir):
+    from newspaper_spark.operators.dedup import simhash_col
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    from newspaper_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir), max_hamming=8)
+
+
+def q_ann_topk(spark, sf_dir):
+    from newspaper_spark.operators.similarity import brute_force_topk
+    from newspaper_spark.sources.transcripts import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries_df = emb_d.filter(F.col("vec_id") % 50 == 0)
+    return brute_force_topk(queries_df, emb_d, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    from newspaper_spark.operators.similarity import lsh_topk
+    from newspaper_spark.sources.transcripts import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries_df = emb_d.filter(F.col("vec_id") % 50 == 0)
+    return lsh_topk(queries_df, emb_d, k=5)
+
+
+def q_embedding_dedup(spark, sf_dir):
+    from newspaper_spark.operators.similarity import embedding_dedup_pairs
+    from newspaper_spark.sources.transcripts import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return embedding_dedup_pairs(emb_d, threshold=0.95)
+
+
+def q_lang_id(spark, sf_dir):
+    from newspaper_spark.operators.textstats import lang_id_col
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "lang", lang_id_col(F.col("text")).alias("lang_id"))
+
+
+def q_quality(spark, sf_dir):
+    from newspaper_spark.operators.textstats import quality_score_col, token_count_col
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        quality_score_col(F.col("text")).alias("quality"),
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    from newspaper_spark.operators.textstats import doc_fingerprint_col
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", doc_fingerprint_col(F.col("text")).alias("fingerprint"))
+
+
+def q_events_hourly(spark, sf_dir):
+    from newspaper_spark.sources.transcripts import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        ev.groupBy(hour.alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q_media_features(spark, sf_dir):
+    from newspaper_spark.operators.multimodal import attach_media, extract_media_features
+
+    d = _docs(spark, sf_dir)
+    media = attach_media(d)
+    return extract_media_features(media).select(
+        "media_id", "kind", "n_bytes", "width", "height", "n_frames", "error"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "transcripts": q_transcripts,
+        "extract_fulltext": q_extract_fulltext,
+        "extract_title": q_extract_title,
+        "extract_meta": q_extract_meta,
+        "stopword_count": q_stopword_count,
+        "inner_trim": q_inner_trim,
+        "valid_url": q_valid_url,
+        "url_filetype": q_url_filetype,
+        "is_media_news": q_is_media_news,
+        "is_valid_body": q_is_valid_body,
+        "truncations": q_truncations,
+        "dedup_exact": q_dedup_exact,
+        "anti_join_seen": q_anti_join_seen,
+        "limit_per_source": q_limit_per_source,
+        "keywords_topk": q_keywords_topk,
+        "domain_counters": q_domain_counters,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "embedding_dedup": q_embedding_dedup,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "events_hourly": q_events_hourly,
+        "media_features": q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, same parquet views)
+# ---------------------------------------------------------------------------
+
+_TRANSCRIPT_BASE = f"""
+    SELECT 'conv-0-' || (doc_id // {TURNS_PER_CONV})::VARCHAR AS conv_id,
+           (doc_id % {TURNS_PER_CONV})::INT AS turn_idx,
+           doc_id
+    FROM documents
+"""
+
+_ROLE_SQL = (
+    "CASE (doc_id % 4) % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    "ELSE 'tool' END"
+)
+
+# expected kernel output for the synthetic page (see
+# sources/transcripts.py: PARA_LEAD every PARA_WORDS=15 words)
+_EXPECTED_TEXT = (
+    "'" + PARA_LEAD + "' || regexp_replace(text, "
+    "'((?:\\S+ ){14}\\S+) ', '\\1' || chr(10) || chr(10) || '" + PARA_LEAD + "', 'g')"
+)
+
+_PUNCT_SQL = "'!\"#$%&''()*+,-./:;<=>?@[\\]^_`{|}~'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    stops = ",".join(f"'{s}'" for s in _STOPS_SMALL)
+    return {
+        "transcripts": f"""
+            SELECT 'conv-0-' || (doc_id // 4)::VARCHAR AS conv_id,
+                   (doc_id % 4)::INT AS turn_idx,
+                   {_ROLE_SQL} AS role,
+                   CASE WHEN {_ROLE_SQL} = 'tool' THEN 'browser' ELSE '' END AS tool,
+                   TIMESTAMP '2014-12-30 00:00:00' +
+                     (doc_id % 4) * INTERVAL 1 MINUTE AS ts
+            FROM documents
+        """,
+        "extract_fulltext": f"""
+            SELECT 'conv-0-' || (doc_id // 4)::VARCHAR AS conv_id,
+                   (doc_id % 4)::INT AS turn_idx,
+                   {_EXPECTED_TEXT} AS extracted_text
+            FROM documents
+        """,
+        "extract_title": """
+            SELECT 'conv-0-' || (doc_id // 4)::VARCHAR AS conv_id,
+                   (doc_id % 4)::INT AS turn_idx,
+                   'Document number ' || doc_id::VARCHAR || ' on data systems' AS title
+            FROM documents
+        """,
+        "extract_meta": """
+            SELECT 'conv-0-' || (doc_id // 4)::VARCHAR AS conv_id,
+                   (doc_id % 4)::INT AS turn_idx,
+                   'Example Media' AS meta_site_name,
+                   'Alex Writer' AS author1,
+                   TIMESTAMP '2014-12-30 00:00:00' AS publish_date,
+                   'en' AS meta_lang
+            FROM documents
+        """,
+        "stopword_count": f"""
+            SELECT doc_id,
+                   len(list_filter(string_split(lower(translate(text, {_PUNCT_SQL}, '')), ' '),
+                       x -> x IN ({stops}))) AS n_stop,
+                   len(string_split(translate(text, {_PUNCT_SQL}, ''), ' ')) AS n_words
+            FROM documents
+        """,
+        "inner_trim": """
+            SELECT doc_id,
+                   trim(regexp_replace('  ' || text || ' ' || chr(9) || ' junk' || chr(9) || 'tail  ',
+                        '[\\s\\t]+', ' ', 'g')) AS trimmed
+            FROM documents
+        """,
+        "valid_url": f"""
+            WITH u AS ({_SYNTH_URL_SQL})
+            SELECT doc_id, url,
+                   CASE doc_id % 5
+                     WHEN 0 THEN TRUE   -- /news/story/... good path
+                     WHEN 1 THEN TRUE   -- date pattern
+                     WHEN 2 THEN FALSE  -- about page: single path chunk
+                     WHEN 3 THEN FALSE  -- .mp4 media filetype
+                     ELSE TRUE          -- slug with 5 dashes, tld not in slug
+                   END AS is_valid
+            FROM u
+        """,
+        "url_filetype": f"""
+            WITH u AS ({_SYNTH_URL_SQL})
+            SELECT doc_id,
+                   lower(coalesce(regexp_extract(
+                       regexp_replace(regexp_replace(url, '^[a-z]+://[^/]+', ''), '/$', ''),
+                       '\\.([A-Za-z0-9]{{1,5}})$', 1), '')) AS filetype
+            FROM u
+        """,
+        "is_media_news": f"""
+            WITH u AS ({_SYNTH_URL_SQL})
+            SELECT doc_id,
+                   (url LIKE '%/video%' OR url LIKE '%/slide%' OR url LIKE '%/gallery%'
+                    OR url LIKE '%/powerpoint%' OR url LIKE '%/fashion%'
+                    OR url LIKE '%/glamour%' OR url LIKE '%/cloth%') AS is_media
+            FROM u
+        """,
+        "is_valid_body": """
+            SELECT doc_id,
+                   (len(string_split(text, ' ')) > 300)
+                   OR (2 >= 2 AND len(string_split(text, ' ')) >= 300
+                       AND len(string_split(text, '.')) >= 7
+                       AND text IS NOT NULL AND text <> '') AS valid_body
+            FROM documents
+        """,
+        "truncations": """
+            SELECT doc_id,
+                   substring(text, 1, 200) AS t200,
+                   least(length(text), 100000) AS len_t
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+            GROUP BY 2
+            ORDER BY 1
+        """,
+        "anti_join_seen": """
+            SELECT doc_id, source FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+        """,
+        "limit_per_source": """
+            SELECT doc_id, source, rn FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents)
+            WHERE rn <= 10
+        """,
+        "keywords_topk": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                FROM documents
+            ), freq AS (
+                SELECT doc_id, w, count(*) AS freq FROM toks WHERE w <> ''
+                GROUP BY doc_id, w
+            )
+            SELECT doc_id, w, freq, rank FROM (
+                SELECT doc_id, w, freq,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY freq DESC, w DESC) AS rank
+                FROM freq)
+            WHERE rank <= 10
+        """,
+        "domain_counters": f"""
+            WITH u AS ({_SYNTH_URL_SQL})
+            SELECT doc_id,
+                   regexp_extract(url, '^http://([^/]+)/', 1) AS domain,
+                   row_number() OVER (
+                       PARTITION BY regexp_extract(url, '^http://([^/]+)/', 1)
+                       ORDER BY doc_id) AS n_in_domain
+            FROM u
+        """,
+        "minhash_pairs": _minhash_oracle(),
+        "ngram_jaccard": _jaccard_oracle(),
+        "ann_topk": """
+            WITH emb AS (
+                SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings
+            ), q AS (SELECT * FROM emb WHERE vec_id % 50 = 0),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.v, c.v), 6) AS cos
+                FROM q, emb c WHERE q.vec_id <> c.vec_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, neighbor_id) AS rank
+                FROM scored)
+            WHERE rank <= 5
+        """,
+        "lang_id": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id, lang,
+                  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
+                  len(list_filter(toks, x -> x IN ('the','and','of','to','is','that','for','with'))) AS s_en,
+                  len(list_filter(toks, x -> x IN ('el','la','los','las','que','para','con','una'))) AS s_es,
+                  len(list_filter(toks, x -> x IN ('le','la','les','est','une','pour','dans','avec'))) AS s_fr,
+                  len(list_filter(toks, x -> x IN ('的','是','了','在','和','有','我','不'))) AS s_zh
+                FROM t
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                        WHEN s_zh >= greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
+                        WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
+                        WHEN s_es >= greatest(s_de, s_en) THEN 'es'
+                        WHEN s_en >= s_de THEN 'en'
+                        ELSE 'de' END AS lang_id
+            FROM s
+        """,
+        "quality": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   round((
+                     (length(regexp_replace(text, '[^A-Za-zÀ-ÿ一-龥]', '', 'g'))::DOUBLE
+                        / nullif(length(text), 0))
+                     + (CASE WHEN length(text) BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.25 END)
+                     + (CASE WHEN length(text)::DOUBLE / nullif(len(toks), 0)
+                              BETWEEN 3 AND 12 THEN 1.0 ELSE 0.25 END)
+                     + (CASE WHEN len(list_filter(toks,
+                           x -> x IN ('the','and','is','a','of'))) > 0
+                        THEN 1.0 ELSE 0.5 END)
+                   ) / 4.0, 6) AS quality
+            FROM t
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+    }
+
+
+def _minhash_oracle() -> str:
+    """DuckDB reconstruction of minhash_lsh_pairs(num_hashes=8, bands=4,
+    shingle_n=3): md5-hex minima over word 3-gram shingles."""
+    shingle = """
+        list_distinct(list_transform(
+            generate_series(0, greatest(len(toks) - 3, 0)),
+            i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
     """
-    return {}
+    mh = ", ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{k}:' || s)), 'min') AS h{k}"
+        for k in range(8)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, h{2*b} || '|' || h{2*b+1} AS sig FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+        WITH t AS (
+            SELECT doc_id AS id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ), sh_t AS (
+            SELECT id, {shingle} AS sh FROM t
+        ), sigs AS (
+            SELECT id, {mh} FROM sh_t
+        ), banded AS ({bands})
+        SELECT DISTINCT l.id AS id_a, r.id AS id_b
+        FROM banded l JOIN banded r
+          ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+        ORDER BY id_a, id_b
+    """
+
+
+def _jaccard_oracle() -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id AS id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ), sh_t AS (
+            SELECT id,
+                   list_distinct(list_transform(
+                       generate_series(0, greatest(len(toks) - 3, 0)),
+                       i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
+            FROM t
+        ), sigs AS (
+            SELECT id, {", ".join(f"list_aggregate(list_transform(sh, s -> md5('{k}:' || s)), 'min') AS h{k}" for k in range(8))}
+            FROM sh_t
+        ), banded AS ({" UNION ALL ".join(f"SELECT id, {b} AS band, h{2*b} || '|' || h{2*b+1} AS sig FROM sigs" for b in range(4))}),
+        pairs AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+        )
+        SELECT p.id_a, p.id_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0), 6) AS jaccard
+        FROM pairs p
+        JOIN sh_t a ON a.id = p.id_a
+        JOIN sh_t b ON b.id = p.id_b
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) >= 0.5
+        ORDER BY id_a, id_b
+    """
