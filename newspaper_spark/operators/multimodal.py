@@ -45,15 +45,13 @@ def attach_media(df: DataFrame, text_col: str = "text", kind: str = "image") -> 
     )
 
 
-def _decode_image(payload: bytes):
+def _decode_image(payload: bytes, real_decode: bool = False):
     """STUB: real implementation needs PIL/opencv (absent here).
 
-    Raises NotImplementedError when USE_REAL_DECODER is set; otherwise
+    Raises NotImplementedError when real_decode is requested; otherwise
     returns a deterministic fake (dims derived from payload bytes) so
     the Spark plumbing is exercisable end-to-end."""
-    import os
-
-    if os.environ.get("NEWSPAPER_SPARK_REAL_DECODE"):
+    if real_decode:
         raise NotImplementedError("image decode requires PIL/opencv")
     if not payload:
         return (0, 0, 1, [0.0] * 8)
@@ -63,7 +61,9 @@ def _decode_image(payload: bytes):
     return (w, h, 1, feat[:8])
 
 
-def extract_media_features(df: DataFrame, batch_limit: int = 256) -> DataFrame:
+def extract_media_features(
+    df: DataFrame, batch_limit: int = 256, real_decode: bool = False
+) -> DataFrame:
     """mapInPandas stage: binary payload → (dims, frames, feature vec).
 
     Errors never kill the task — they land in the ``error`` column
@@ -84,7 +84,7 @@ def extract_media_features(df: DataFrame, batch_limit: int = 256) -> DataFrame:
                     "error": None,
                 }
                 try:
-                    w, h, nf, feat = _decode_image(row["payload"])
+                    w, h, nf, feat = _decode_image(row["payload"], real_decode)
                     rec.update(width=w, height=h, n_frames=nf, feature=feat)
                 except Exception as e:  # noqa: BLE001
                     rec["error"] = f"{type(e).__name__}: {e}"

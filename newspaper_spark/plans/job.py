@@ -144,7 +144,8 @@ class ExtractionJob:
                 F.sum(
                     F.when(~F.col("status").eqNullSafe("ok"), 1).otherwise(0)
                 ).alias("errors"),
-                F.sum(
+                # XOR-fold: order-insensitive, overflow-free content hash
+                F.bit_xor(
                     F.xxhash64(
                         F.col("conv_id"),
                         F.col("turn_idx"),

@@ -1,0 +1,179 @@
+"""Operator tests with known-answer synthetic inputs: dedup families,
+similarity search, text stats, multimodal plumbing, relational ops."""
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+        (4, "completely different content about database engines and joins"),
+        (5, "THE QUICK  brown fox jumps over the lazy dog again and again"),  # case/ws dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_dedup_exact(spark, docs):
+    from newspaper_spark.operators.dedup import dedup_exact
+
+    reps = dedup_exact(docs).collect()
+    kept = {r.doc_id for r in reps}
+    assert kept == {1, 3, 4}  # 2 and 5 fold into 1
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    from newspaper_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, num_hashes=8, bands=4).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 5) in pairs
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup caught by some band
+    assert not any(4 in p for p in pairs)
+
+
+def test_ngram_jaccard_verification(spark, docs):
+    from newspaper_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    cand = minhash_lsh_pairs(docs, num_hashes=8, bands=4)
+    verified = ngram_jaccard_pairs(docs, cand, threshold=0.99).collect()
+    exact = {(r.id_a, r.id_b) for r in verified}
+    assert (1, 2) in exact and (1, 5) in exact
+    assert (1, 3) not in exact  # near-dup is below 0.99
+
+
+def test_simhash_hamming(spark, docs):
+    from newspaper_spark.operators.dedup import simhash_near_dups
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dups(docs, max_hamming=10).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert pairs.get((1, 5)) == 0
+    near = pairs.get((1, 3))
+    assert near is not None and near <= 10
+
+
+def test_brute_force_topk(spark):
+    from newspaper_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = emb.filter("vec_id = 1")
+    out = brute_force_topk(q, emb, k=2).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert ranked == [2, 3]
+
+
+def test_lsh_recall_against_brute(spark):
+    from newspaper_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    import math
+
+    rows = []
+    for i in range(60):
+        angle = (i % 12) / 12 * 2 * math.pi
+        rows.append((i, [math.cos(angle), math.sin(angle), (i % 5) * 0.01]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = emb.filter("vec_id < 5")
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(q, emb, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(q, emb, k=3, n_planes=4).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_embedding_dedup(spark):
+    from newspaper_spark.operators.similarity import embedding_dedup_pairs
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.001]),
+        (3, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    pairs = {(r.id_a, r.id_b) for r in embedding_dedup_pairs(emb, 0.99).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_lang_id(spark):
+    from newspaper_spark.operators.textstats import lang_id_col
+
+    rows = [
+        (1, "the cat and the dog is in the house of the king"),
+        (2, "el gato y la casa que los perros para una persona"),
+        (3, "der hund und die katze ist nicht ein problem mit"),
+        (4, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r.id: r.lang for r in df.select("id", lang_id_col(F.col("text")).alias("lang")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "de"
+    assert out[4] == "und"
+
+
+def test_quality_and_tokens(spark):
+    from newspaper_spark.operators.textstats import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog. " * 10)],
+        "id int, text string",
+    )
+    row = text_stats(df).first()
+    assert row.n_tokens == 90
+    assert 0.5 <= row.quality <= 1.0
+    assert len(row.fingerprint) == 32
+
+
+def test_multimodal_plumbing(spark):
+    from newspaper_spark.operators.multimodal import attach_media, extract_media_features
+
+    df = spark.createDataFrame([(1, "hello media")], "id int, text string")
+    media = attach_media(df)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 1
+    r = feats[0]
+    assert r.error is None
+    assert r.width is not None and r.n_frames == 1
+    assert len(r.feature) == 8
+
+
+def test_multimodal_real_decoder_stub(spark):
+    """With the real-decoder flag, the stub must surface
+    NotImplementedError in the error column, not crash the job."""
+    from newspaper_spark.operators.multimodal import attach_media, extract_media_features
+
+    df = spark.createDataFrame([(1, "hello media")], "id int, text string")
+    feats = extract_media_features(attach_media(df), real_decode=True).collect()
+    assert feats[0].error is not None and "NotImplementedError" in feats[0].error
+
+
+def test_valid_url_udf(spark):
+    from newspaper_spark.operators.urlops import valid_url_udf
+
+    rows = [
+        (1, "http://www.cnn.com/2013/11/27/travel/weather-thanksgiving/index.html"),
+        (2, "http://www.cnn.com/about"),
+    ]
+    df = spark.createDataFrame(rows, "id int, url string")
+    out = {r.id: r.v for r in df.select("id", valid_url_udf(F.col("url")).alias("v")).collect()}
+    assert out[1] is True
+    assert out[2] is False
