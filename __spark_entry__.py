@@ -403,10 +403,16 @@ _ROLE_SQL = (
 )
 
 # expected kernel output for the synthetic page (see
-# sources/transcripts.py: PARA_LEAD every PARA_WORDS=15 words)
-_EXPECTED_TEXT = (
+# sources/transcripts.py: PARA_LEAD every PARA_WORDS=15 words, block
+# repeated BODY_REPEAT times, paragraphs joined with blank lines)
+BODY_REPEAT = 16
+_EXPECTED_BLOCK = (
     "'" + PARA_LEAD + "' || regexp_replace(text, "
     "'((?:\\S+ ){14}\\S+) ', '\\1' || chr(10) || chr(10) || '" + PARA_LEAD + "', 'g')"
+)
+_EXPECTED_TEXT = (
+    f"substring(repeat({_EXPECTED_BLOCK} || chr(10) || chr(10), {BODY_REPEAT}), 1, "
+    f"length(repeat({_EXPECTED_BLOCK} || chr(10) || chr(10), {BODY_REPEAT})) - 2)"
 )
 
 _PUNCT_SQL = "'!\"#$%&''()*+,-./:;<=>?@[\\]^_`{|}~'"

@@ -32,9 +32,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # HTML rows are fat: bound Arrow batch row count so a batch of
-        # worst-case pages stays well under worker memory
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # Arrow handoff tuning (measured on the extraction stage): big
+        # row cap amortizes JVM⇄Python transfers; the byte cap is the
+        # real guard for fat HTML rows (worst-case pages can't blow up
+        # worker memory)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
     )

@@ -98,20 +98,27 @@ _BOILER_FOOT = (
 # DuckDB oracle SQL, which reconstructs the expected extraction output.
 PARA_LEAD = "It was also noted that there is more to be said about this: "
 PARA_WORDS = 15
+# documents.text is short (~100-450 chars); repeat the paragraph block
+# so synthetic pages have realistic article sizes (a few KB of body).
+# Mirrored by the DuckDB oracle via repeat().
+BODY_REPEAT = 16
 
 
-def synthetic_html_col(text_col, title_col, lang_col):
+def synthetic_html_col(text_col, title_col, lang_col, body_repeat: int = BODY_REPEAT):
     """Column expr: documents.text → full HTML page, JVM-side only.
     Paragraph breaks every PARA_WORDS words, each opened with
-    PARA_LEAD."""
-    paras = F.concat(
-        F.lit("<p>" + PARA_LEAD),
-        F.regexp_replace(
-            text_col,
-            r"((?:\S+ ){%d})" % PARA_WORDS,
-            "$1</p><p>" + PARA_LEAD,
+    PARA_LEAD; the paragraph block repeats ``body_repeat`` times."""
+    paras = F.repeat(
+        F.concat(
+            F.lit("<p>" + PARA_LEAD),
+            F.regexp_replace(
+                text_col,
+                r"((?:\S+ ){%d})" % PARA_WORDS,
+                "$1</p><p>" + PARA_LEAD,
+            ),
+            F.lit("</p>"),
         ),
-        F.lit("</p>"),
+        body_repeat,
     )
     return F.concat(
         F.lit("<html lang=\"en\"><head><title>"),
