@@ -27,17 +27,24 @@ def _stats(text: str, language: str):
 
 
 def is_highlink_density(e: Element) -> bool:
-    """(link_words / words) * num_links >= 1.0 (extractors.py:973-998)."""
+    """(link_words / words) * num_links >= 1.0 (extractors.py:973-998).
+
+    Word counting is the goose-era ``text.split(' ')`` (every whitespace
+    token counts), NOT the reference's current ``isalnum()``-filtered
+    variant: the golden corpus encodes the older behavior — with the
+    isalnum filter, 9 fixtures (avclub, mashable2, gulflive2,
+    oregonlive1, telegraph1, thedebrief×2, space1, lifebuzz1) fail on
+    borderline boilerplate that the goldens keep/remove; with goose
+    counting all 9 match byte-for-byte. Verified empirically against
+    the 145-URL corpus (32 → 23 failures)."""
     links = find_by_tag(e, tag="a")
     if not links:
         return False
     text = get_text(e)
-    words = [w for w in text.split() if w.isalnum()]
-    if not words:
-        return True
+    words = text.split(" ")
     words_number = float(len(words))
     link_text = "".join(get_text(link) for link in links)
-    num_link_words = float(len(link_text.split()))
+    num_link_words = float(len(link_text.split(" ")))
     num_links = float(len(links))
     score = (num_link_words / words_number) * num_links
     return score >= 1.0
@@ -66,9 +73,22 @@ def get_score(node: Element) -> float:
     return float(s)
 
 
-def nodes_to_check(doc: Element) -> list:
+# Candidate tags: the reference's current code scans ("p", "pre", "td")
+# (extractors.py:1012-1020), but its golden corpus encodes the era
+# before <td> was a candidate: with td included, the Purch-template
+# image-caption tables (livescience×2, space) land at the end of the
+# candidate list, collect the bottom-quartile penalty, and get their
+# <tr> removed by remove_negativescores_nodes — while the goldens keep
+# those captions (verified: corpus failures 23 → 21 when td is
+# excluded, no regressions). Default follows the goldens; set
+# CURRENT_REFERENCE_TAGS for the current-code behavior.
+CANDIDATE_TAGS = ("p", "pre")
+CURRENT_REFERENCE_TAGS = ("p", "pre", "td")
+
+
+def nodes_to_check(doc: Element, tags=None) -> list:
     out = []
-    for tag in ("p", "pre", "td"):
+    for tag in tags or CANDIDATE_TAGS:
         out += find_by_tag(doc, tag=tag)
     return out
 
