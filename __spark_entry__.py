@@ -343,6 +343,50 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_nlp_keywords(spark, sf_dir):
+    """nlp.py:119-150 as pure relational ops (explode → anti-join
+    stoplist → groupBy → window top-10 → rescore)."""
+    import json, os
+
+    res = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "newspaper_spark", "resources", "stopwords.json")
+    with open(res, encoding="utf-8") as f:
+        nlp_stops = json.load(f)["nlp-en"]
+    stops_df = spark.createDataFrame([(w,) for w in nlp_stops], "w string")
+
+    d = _docs(spark, sf_dir)
+    cleaned = F.lower(F.regexp_replace(F.col("text"), r"[^\w ]", ""))
+    toks = F.filter(F.split(cleaned, " "), lambda x: x != "")
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("num_words"))
+    words = base.select(
+        "doc_id", "num_words", F.explode("toks").alias("w")
+    ).join(F.broadcast(stops_df), "w", "left_anti")
+    freq = words.groupBy("doc_id", "w").agg(
+        F.count("*").alias("freq"), F.first("num_words").alias("num_words")
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("freq"), F.desc("w"))
+    return (
+        freq.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "doc_id", "w", "rank",
+            F.round(F.col("freq") / F.col("num_words") * 1.5 + 1, 6).alias("score"),
+        )
+    )
+
+
+def q_nlp_summary(spark, sf_dir):
+    """Extractive summary over the extracted articles (UDF; rows-only
+    check — procedural sentence scoring is not SQL-expressible)."""
+    from newspaper_spark.operators.extract import extract_articles
+    from newspaper_spark.operators.nlp_ops import add_nlp
+
+    out = extract_articles(_transcripts(spark, sf_dir))
+    out = add_nlp(out.limit(50))
+    return out.select("conv_id", "turn_idx", "keywords", "summary")
+
+
 def q_media_features(spark, sf_dir):
     from newspaper_spark.operators.multimodal import attach_media, extract_media_features
 
@@ -383,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "events_hourly": q_events_hourly,
         "media_features": q_media_features,
+        "nlp_keywords": q_nlp_keywords,
+        "nlp_summary": q_nlp_summary,
     }
 
 
@@ -549,6 +595,7 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "minhash_pairs": _minhash_oracle(),
+        "nlp_keywords": _nlp_keywords_oracle(),
         "ngram_jaccard": _jaccard_oracle(),
         "ann_topk": """
             WITH emb AS (
@@ -622,6 +669,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
     }
+
+
+
+def _nlp_keywords_oracle() -> str:
+    import json, os
+
+    res = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "newspaper_spark", "resources", "stopwords.json")
+    with open(res, encoding="utf-8") as f:
+        nlp_stops = json.load(f)["nlp-en"]
+    stop_list = ",".join("'" + w.replace("'", "''") + "'" for w in nlp_stops if w)
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9_ ]', '', 'g')), ' '),
+                               x -> x <> '') AS toks
+            FROM documents
+        ), base AS (
+            SELECT doc_id, len(toks) AS num_words, unnest(toks) AS w FROM t
+        ), freq AS (
+            SELECT doc_id, w, count(*) AS freq, any_value(num_words) AS num_words
+            FROM base WHERE w NOT IN ({stop_list})
+            GROUP BY doc_id, w
+        )
+        SELECT doc_id, w, rank, round(freq * 1.0 / num_words * 1.5 + 1, 6) AS score
+        FROM (
+            SELECT doc_id, w, freq, num_words,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY freq DESC, w DESC) AS rank
+            FROM freq)
+        WHERE rank <= 10
+    """
 
 
 def _minhash_oracle() -> str:

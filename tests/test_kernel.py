@@ -255,3 +255,38 @@ def test_inner_trim():
     from newspaper_spark.kernel.text import inner_trim
 
     assert inner_trim("  a\t\tb\n c ") == "a b c"
+
+
+# ---------------------------------------------------------------------------
+# nlp (keywords/summary, unit_tests.py:318-327)
+# ---------------------------------------------------------------------------
+
+
+@requires_reference
+def test_cnn_keywords_and_summary():
+    from newspaper_spark.kernel.article import extract_article
+    from newspaper_spark.kernel.nlp import keyword_union, summarize
+
+    html = (DATA / "html" / "cnn_article.html").read_text(encoding="utf-8")
+    rec = extract_article(html)
+    kws = set(keyword_union(rec["title"], rec["text"]))
+    assert kws == {
+        "balloons", "delays", "flight", "forecasters", "good", "sailing",
+        "smooth", "storm", "thanksgiving", "travel", "weather", "winds",
+        "york",
+    }
+    summary = summarize(title=rec["title"], text=rec["text"], max_sents=5)
+    golden = (DATA / "text" / "cnn_summary.txt").read_text(encoding="utf-8")
+    assert summary == golden
+
+
+def test_split_sentences_initials():
+    from newspaper_spark.kernel.nlp import split_sentences
+
+    s = split_sentences(
+        "Winds at John F. Kennedy airport were strong. Flights were delayed for hours."
+    )
+    assert s == [
+        "Winds at John F. Kennedy airport were strong.",
+        "Flights were delayed for hours.",
+    ]
