@@ -45,8 +45,20 @@ def inner_trim(value) -> str:
 def _load_all() -> dict:
     global _STOPWORDS_ALL
     if _STOPWORDS_ALL is None:
-        with open(_RESOURCE_PATH, encoding="utf-8") as f:
-            raw = json.load(f)
+        raw = None
+        try:
+            with open(_RESOURCE_PATH, encoding="utf-8") as f:
+                raw = json.load(f)
+        except OSError:
+            # zip-deployed (spark-submit --py-files): read via the
+            # import machinery instead of the filesystem
+            from importlib import resources
+
+            raw = json.loads(
+                resources.files("newspaper_spark.resources")
+                .joinpath("stopwords.json")
+                .read_text(encoding="utf-8")
+            )
         _STOPWORDS_ALL = {lang: frozenset(words) for lang, words in raw.items()}
     return _STOPWORDS_ALL
 
