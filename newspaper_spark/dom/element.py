@@ -143,7 +143,18 @@ class Element:
                 yield child.tail
 
     def text_content(self) -> str:
-        return "".join(self.itertext())
+        parts: list[str] = []
+        self._gather_text(parts)
+        return "".join(parts)
+
+    def _gather_text(self, parts: list) -> None:
+        """Fast non-generator itertext (hot path for scoring)."""
+        if isinstance(self.tag, str) and self.text:
+            parts.append(self.text)
+        for child in self._children:
+            child._gather_text(parts)
+            if child.tail:
+                parts.append(child.tail)
 
     # --- copying ---------------------------------------------------
     def __deepcopy__(self, memo):

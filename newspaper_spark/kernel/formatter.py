@@ -25,7 +25,9 @@ _LITERAL_NL = r"\n"  # two characters: backslash + n
 
 
 def get_text(node: Element) -> str:
-    return inner_trim(" ".join(node.itertext()).strip())
+    parts: list = []
+    node._gather_text(parts)
+    return inner_trim(" ".join(parts).strip())
 
 
 def get_formatted_text(top_node: Element) -> str:
@@ -95,8 +97,7 @@ def remove_empty_tags(top_node: Element) -> None:
         if (
             (tag != "br" or text != "\\r")
             and not text
-            and len(find_by_tag(el, tag="object")) == 0
-            and len(find_by_tag(el, tag="embed")) == 0
+            and len(find_by_tags(el, ("object", "embed"))) == 0
         ):
             remove_keep_tail(el)
 

@@ -73,11 +73,13 @@ def _parse_byline(search_str: str) -> list:
 def get_authors(doc: Element) -> list:
     ATTRS = ["name", "rel", "itemprop", "class", "id"]
     VALS = ["author", "byline", "dc.creator", "byl"]
+    from ..dom.select import find_attr_contains_multi
+
+    specs = [(attr, val) for attr in ATTRS for val in VALS]
     matches = []
     authors = []
-    for attr in ATTRS:
-        for val in VALS:
-            matches.extend(find_by_tag(doc, attr=attr, value=val))
+    for bucket in find_attr_contains_multi(doc, specs):
+        matches.extend(bucket)
     for match in matches:
         content = ""
         if match.tag == "meta":
@@ -131,10 +133,13 @@ def get_publishing_date(url: str, doc: Element):
         datetime_obj = _parse_date_str(date_match.group(0))
         if datetime_obj:
             return datetime_obj
-    for known in PUBLISH_DATE_TAGS:
-        meta_tags = find_by_tag(doc, attr=known["attribute"], value=known["value"])
-        if meta_tags:
-            date_str = meta_tags[0].attrib.get(known["content"])
+    from ..dom.select import find_attr_contains_multi
+
+    specs = [(k["attribute"], k["value"]) for k in PUBLISH_DATE_TAGS]
+    buckets = find_attr_contains_multi(doc, specs)
+    for known, bucket in zip(PUBLISH_DATE_TAGS, buckets):
+        if bucket:
+            date_str = bucket[0].attrib.get(known["content"])
             datetime_obj = _parse_date_str(date_str)
             if datetime_obj:
                 return datetime_obj

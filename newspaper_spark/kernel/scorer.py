@@ -19,7 +19,9 @@ from .text import inner_trim, stopword_stats
 
 
 def get_text(node: Element) -> str:
-    return inner_trim(" ".join(node.itertext()).strip())
+    parts: list = []
+    node._gather_text(parts)
+    return inner_trim(" ".join(parts).strip())
 
 
 def _stats(text: str, language: str):
@@ -96,13 +98,18 @@ def nodes_to_check(doc: Element, tags=None) -> list:
 def is_boostable(node: Element, language: str) -> bool:
     """≤3 preceding <p> siblings, any with >5 stopwords
     (extractors.py:845-870)."""
+    return _is_boostable_cached(
+        node, lambda n: _stats(get_text(n), language)
+    )
+
+
+def _is_boostable_cached(node: Element, node_stats) -> bool:
     steps_away = 0
     for current_node in node.itersiblings(preceding=True):
         if current_node.tag == "p":
             if steps_away >= 3:
                 return False
-            paragraph_text = get_text(current_node)
-            if _stats(paragraph_text, language).stop_word_count > 5:
+            if node_stats(current_node).stop_word_count > 5:
                 return True
             steps_away += 1
     return False
@@ -117,9 +124,21 @@ def calculate_best_node(doc: Element, language: str = "en"):
     parent_nodes = []
     nodes_with_text = []
 
+    # stopword stats are recomputed for the same unmutated nodes in the
+    # filter pass, the boost look-behind, and the scoring pass — memoize
+    # per invocation (only gravity ATTRIBUTES mutate between passes)
+    stats_cache: dict = {}
+
+    def _node_stats(node):
+        key = id(node)
+        hit = stats_cache.get(key)
+        if hit is None:
+            hit = _stats(get_text(node), language)
+            stats_cache[key] = hit
+        return hit
+
     for node in candidates:
-        text_node = get_text(node)
-        word_stats = _stats(text_node, language)
+        word_stats = _node_stats(node)
         if word_stats.stop_word_count > 2 and not is_highlink_density(node):
             nodes_with_text.append(node)
 
@@ -129,7 +148,7 @@ def calculate_best_node(doc: Element, language: str = "en"):
 
     for node in nodes_with_text:
         boost_score = 0.0
-        if is_boostable(node, language):
+        if _is_boostable_cached(node, _node_stats):
             if cnt >= 0:
                 boost_score = (1.0 / starting_boost) * 50
                 starting_boost += 1
@@ -141,8 +160,7 @@ def calculate_best_node(doc: Element, language: str = "en"):
                 if negscore > 40:
                     boost_score = 5.0
 
-        text_node = get_text(node)
-        word_stats = _stats(text_node, language)
+        word_stats = _node_stats(node)
         upscore = int(word_stats.stop_word_count + boost_score)
 
         parent_node = node.getparent()
