@@ -141,15 +141,28 @@ def main():
         return
 
     do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
-    dt_full, n_turns = _run_pinned(CPUS)
-    thr_full = n_turns / dt_full
+    # sustained all-core load triggers frequency throttling on this
+    # host, so single measurements are noisy: interleave high/low runs
+    # and take medians
+    import statistics
+
+    highs, lows = [], []
+    n_turns = None
+    low_cores = max(CPUS // 4, 1)
+    for _ in range(reps if do_scaling else 1):
+        dt, n_turns = _run_pinned(CPUS)
+        highs.append(n_turns / dt)
+        if do_scaling:
+            dt_low, _ = _run_pinned(low_cores)
+            lows.append(n_turns / dt_low)
+    thr_full = statistics.median(highs)
+    dt_full = n_turns / thr_full
 
     scaling = {}
     if do_scaling:
-        low_cores = max(CPUS // 4, 1)
-        dt_low, _ = _run_pinned(low_cores)
-        thr_low = n_turns / dt_low
+        thr_low = statistics.median(lows)
         efficiency = thr_full / (4.0 * thr_low)
         scaling = {
             "cores_low": low_cores,
@@ -157,6 +170,8 @@ def main():
             "turns_per_sec_low": round(thr_low, 2),
             "turns_per_sec_high": round(thr_full, 2),
             "efficiency_nx4": round(efficiency, 3),
+            "samples_high": [round(x, 1) for x in highs],
+            "samples_low": [round(x, 1) for x in lows],
         }
 
     queries = query_timings(CPUS)
