@@ -343,6 +343,57 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_prepare_url(spark, sf_dir):
+    """urls.py:81-99: urljoin + Pinterest-style ?url= redirect unwrap."""
+    from newspaper_spark.operators.urlops import prepare_url_udf
+
+    d = _docs(spark, sf_dir)
+    raw = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("/rel/path-"), F.col("doc_id")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("http://pinterest.com/pin?url=http%3A%2F%2Fnews.site.com%2Fstory-"),
+                       F.col("doc_id")))
+        .otherwise(F.concat(F.lit("http://news.site.com/abs-"), F.col("doc_id")))
+    )
+    return d.select(
+        "doc_id",
+        prepare_url_udf(raw, F.lit("http://news.site.com/section/page.html")).alias("prepared"),
+    )
+
+
+def q_link_hash(spark, sf_dir):
+    """Deterministic md5 link hash (utils.py:57-73 minus time.time())."""
+    from newspaper_spark.functions.columns import link_hash_col
+
+    u = _synth_urls(spark, sf_dir)
+    return u.select("doc_id", link_hash_col(F.col("url")).alias("link_hash"))
+
+
+def q_dedup_url(spark, sf_dir):
+    """Article uniq-by-url (source.py:319-327) — urls collide mod 100."""
+    d = _docs(spark, sf_dir)
+    url = F.concat(F.lit("http://site.com/news/story-"), (F.col("doc_id") % 100).cast("string"))
+    cand = d.select(F.col("doc_id"), url.alias("url"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("url").orderBy("doc_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "url")
+    )
+
+
+def q_pdf_skip(spark, sf_dir):
+    """Media-payload sniff (network.py:75-76 analog) as a Column filter."""
+    from newspaper_spark.functions.columns import is_pdf_payload
+
+    d = _docs(spark, sf_dir)
+    payload = F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit("%PDF-1.4 "), F.col("text"))).otherwise(F.col("text"))
+    return d.select("doc_id", is_pdf_payload(payload).alias("is_pdf"))
+
+
 def q_nlp_keywords(spark, sf_dir):
     """nlp.py:119-150 as pure relational ops (explode → anti-join
     stoplist → groupBy → window top-10 → rescore)."""
@@ -429,6 +480,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "nlp_keywords": q_nlp_keywords,
         "nlp_summary": q_nlp_summary,
+        "prepare_url": q_prepare_url,
+        "link_hash": q_link_hash,
+        "dedup_url": q_dedup_url,
+        "pdf_skip": q_pdf_skip,
     }
 
 
@@ -596,6 +651,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_oracle(),
         "nlp_keywords": _nlp_keywords_oracle(),
+        "prepare_url": """
+            SELECT doc_id,
+                   CASE doc_id % 3
+                     WHEN 0 THEN 'http://news.site.com/rel/path-' || doc_id::VARCHAR
+                     WHEN 1 THEN 'http://news.site.com/story-' || doc_id::VARCHAR
+                     ELSE 'http://news.site.com/abs-' || doc_id::VARCHAR
+                   END AS prepared
+            FROM documents
+        """,
+        "link_hash": f"""
+            WITH u AS ({_SYNTH_URL_SQL})
+            SELECT doc_id, md5(url) AS link_hash FROM u
+        """,
+        "dedup_url": """
+            SELECT doc_id, url FROM (
+                SELECT doc_id,
+                       'http://site.com/news/story-' || (doc_id % 100)::VARCHAR AS url,
+                       row_number() OVER (
+                           PARTITION BY 'http://site.com/news/story-' || (doc_id % 100)::VARCHAR
+                           ORDER BY doc_id) AS rn
+                FROM documents)
+            WHERE rn = 1
+        """,
+        "pdf_skip": """
+            SELECT doc_id, (doc_id % 7 = 0) AS is_pdf FROM documents
+        """,
         "ngram_jaccard": _jaccard_oracle(),
         "ann_topk": """
             WITH emb AS (
