@@ -394,6 +394,23 @@ def q_pdf_skip(spark, sf_dir):
     return d.select("doc_id", is_pdf_payload(payload).alias("is_pdf"))
 
 
+def q_array_ops(spark, sf_dir):
+    """Set-op surface (SURVEY §2.7): union/distinct/intersect over token
+    arrays — the img-set/keyword-union/tags analogs (article.py:297-300,
+    379-381; extractors.py:748-771)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    first8 = F.slice(toks, 1, 8)
+    last8 = F.slice(toks, F.greatest(F.size(toks) - 7, F.lit(1)), 8)
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(first8)).alias("dedup_head"),
+        F.array_sort(F.array_union(first8, last8)).alias("union_head_tail"),
+        F.array_sort(F.array_intersect(first8, last8)).alias("common"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    )
+
+
 def q_nlp_keywords(spark, sf_dir):
     """nlp.py:119-150 as pure relational ops (explode → anti-join
     stoplist → groupBy → window top-10 → rescore)."""
@@ -481,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nlp_keywords": q_nlp_keywords,
         "nlp_summary": q_nlp_summary,
         "prepare_url": q_prepare_url,
+        "array_ops": q_array_ops,
         "link_hash": q_link_hash,
         "dedup_url": q_dedup_url,
         "pdf_skip": q_pdf_skip,
@@ -676,6 +694,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pdf_skip": """
             SELECT doc_id, (doc_id % 7 = 0) AS is_pdf FROM documents
+        """,
+        "array_ops": """
+            WITH t AS (
+                SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       toks[1:8] AS first8,
+                       toks[greatest(len(toks) - 7, 1):greatest(len(toks) - 7, 1) + 7] AS last8,
+                       toks
+                FROM t
+            )
+            SELECT doc_id,
+                   list_sort(list_distinct(first8)) AS dedup_head,
+                   list_sort(list_distinct(list_concat(first8, last8))) AS union_head_tail,
+                   list_sort(list_filter(list_distinct(first8), x -> list_contains(last8, x))) AS common,
+                   len(list_distinct(toks)) AS n_unique
+            FROM s
         """,
         "ngram_jaccard": _jaccard_oracle(),
         "ann_topk": """

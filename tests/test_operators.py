@@ -177,3 +177,20 @@ def test_valid_url_udf(spark):
     out = {r.id: r.v for r in df.select("id", valid_url_udf(F.col("url")).alias("v")).collect()}
     assert out[1] is True
     assert out[2] is False
+
+
+def test_decode_html_bytes(spark):
+    from newspaper_spark.operators.decode import decode_html
+
+    rows = [
+        (1, "héllo utf8".encode("utf-8")),
+        (2, '<meta charset="iso-8859-1"><p>caf\xe9</p>'.encode("latin-1")),
+        (3, "bom text".encode("utf-8-sig")),
+        (4, b"\x93smart quotes\x94 cp1252 \xe9"),
+    ]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    out = {r.id: r.text for r in decode_html(df, "payload").collect()}
+    assert out[1] == "héllo utf8"
+    assert "café" in out[2]
+    assert out[3] == "bom text"
+    assert "smart quotes" in out[4] and "é" in out[4]
