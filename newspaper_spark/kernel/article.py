@@ -16,6 +16,7 @@ from ..dom import fromstring
 from .cleaner import clean_document
 from .formatter import get_formatted_text
 from .metadata import (
+    MetaIndex,
     extract_tags,
     get_authors,
     get_canonical_link,
@@ -83,26 +84,28 @@ def extract_article(html: str, url: str = "", language: str = "en",
 
     rec = _empty("ok")
 
-    title = get_title(clean_doc)
+    midx = MetaIndex(clean_doc)  # one walk for all meta/link queries
+
+    title = get_title(clean_doc, midx)
     rec["title"] = (title or "")[:MAX_TITLE]
 
     authors = get_authors(clean_doc)
     rec["authors"] = authors[:MAX_AUTHORS]
 
-    meta_lang = get_meta_lang(clean_doc)
+    meta_lang = get_meta_lang(clean_doc, midx)
     rec["meta_lang"] = meta_lang
     if use_meta_language and meta_lang:
         language = meta_lang
 
-    rec["meta_favicon"] = get_favicon(clean_doc)
-    rec["meta_site_name"] = get_meta_site_name(clean_doc)
-    rec["meta_description"] = get_meta_description(clean_doc)
-    rec["canonical_link"] = get_canonical_link(url, clean_doc)
+    rec["meta_favicon"] = get_favicon(clean_doc, midx)
+    rec["meta_site_name"] = get_meta_site_name(clean_doc, midx)
+    rec["meta_description"] = get_meta_description(clean_doc, midx)
+    rec["canonical_link"] = get_canonical_link(url, clean_doc, midx)
     rec["tags"] = sorted(extract_tags(clean_doc))
-    mk = get_meta_keywords(clean_doc)
+    mk = get_meta_keywords(clean_doc, midx)
     rec["meta_keywords"] = [k.strip() for k in mk.split(",")] if mk else []
-    rec["meta_type"] = get_meta_type(clean_doc)
-    meta_data = get_meta_data(clean_doc)
+    rec["meta_type"] = get_meta_type(clean_doc, midx)
+    meta_data = get_meta_data(clean_doc, midx)
     rec["meta_data_json"] = json.dumps(meta_data, ensure_ascii=False, sort_keys=True,
                                        default=str)
     pd = get_publishing_date(url, clean_doc)
@@ -119,7 +122,7 @@ def extract_article(html: str, url: str = "", language: str = "en",
         text = get_formatted_text(top_node)
         rec["text"] = (text or "")[:MAX_TEXT]
 
-    meta_img = get_meta_img_url(url, clean_doc)
+    meta_img = get_meta_img_url(url, clean_doc, midx)
     rec["meta_img"] = meta_img
     imgs = get_img_urls(url, clean_doc)
     if meta_img:

@@ -80,21 +80,74 @@ def clean_document(doc: Element) -> Element:
     clean_em_tags(doc)
     remove_drop_caps(doc)
     remove_scripts_styles(doc)
-    clean_bad_tags(doc)
-    for pattern in (
-        CAPTION_RE,
-        GOOGLE_RE,
-        ENTRIES_RE,
-        FACEBOOK_RE,
-        FACEBOOK_BROADCASTING_RE,
-        TWITTER_RE,
-    ):
-        remove_nodes_regex(doc, pattern)
+    _clean_bad_and_pattern_tags(doc)
     clean_para_spans(doc)
     div_to_para(doc, "div")
     div_to_para(doc, "span")
     div_to_para(doc, "section")
     return doc
+
+
+_NAUGHTY_RX = re.compile(REMOVE_NODES_RE, re.IGNORECASE)
+_PATTERN_RXS = [
+    re.compile(p, re.IGNORECASE)
+    for p in (
+        "^caption$",
+        " google ",
+        "^[^entry-]more.*$",
+        "[^-]facebook",
+        "facebook-broadcasting",
+        "[^-]twitter",
+    )
+]
+
+
+def _clean_bad_and_pattern_tags(doc: Element) -> None:
+    """clean_bad_tags + the six remove_nodes_regex passes
+    (cleaners.py:60-67, 121-145) with ONE tree walk instead of 15.
+
+    Matches are pre-collected per (pattern, attr) bucket in document
+    order, then removals run in the reference's pass order. A node
+    already detached by an earlier pass is re-removed inside its
+    detached subtree — a no-op for the final tree, identical output
+    (verified byte-exact on the golden corpus)."""
+    # buckets: naughty×(id,class,name), then per extra pattern ×(id,class)
+    n_extra = len(_PATTERN_RXS)
+    naughty = ([], [], [])
+    extra = [([], []) for _ in range(n_extra)]
+    stack = [doc]
+    while stack:
+        node = stack.pop()
+        children = node._children
+        if children:
+            stack.extend(children[::-1])
+        if node.tag.__class__ is not str:
+            continue
+        attrib = node.attrib
+        if not attrib:
+            continue
+        id_v = attrib.get("id")
+        class_v = attrib.get("class")
+        name_v = attrib.get("name")
+        if id_v is not None and _NAUGHTY_RX.search(id_v):
+            naughty[0].append(node)
+        if class_v is not None and _NAUGHTY_RX.search(class_v):
+            naughty[1].append(node)
+        if name_v is not None and _NAUGHTY_RX.search(name_v):
+            naughty[2].append(node)
+        for k, rx in enumerate(_PATTERN_RXS):
+            if id_v is not None and rx.search(id_v):
+                extra[k][0].append(node)
+            if class_v is not None and rx.search(class_v):
+                extra[k][1].append(node)
+    for bucket in naughty:
+        for node in bucket:
+            if not _has_article_descendant(node):
+                remove_keep_tail(node)
+    for k in range(n_extra):
+        for bucket in extra[k]:
+            for node in bucket:
+                remove_keep_tail(node)
 
 
 def clean_body_classes(doc):

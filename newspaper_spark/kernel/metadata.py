@@ -169,8 +169,41 @@ def _split_title(title: str, splitter, hint=None) -> str:
     return title.replace("&raquo;", "»").strip()
 
 
-def get_meta_content(doc: Element, metaname: str) -> str:
-    meta = css_select(doc, metaname)
+class MetaIndex:
+    """One-walk collection of <meta> and <link> elements — the metadata
+    pass queries these lists instead of re-scanning the tree (the
+    reference's repeated css_select/xpath calls are the analog)."""
+
+    __slots__ = ("metas", "links")
+
+    def __init__(self, doc: Element):
+        from ..dom import find_by_tags
+
+        self.metas = []
+        self.links = []
+        for node in find_by_tags(doc, ("meta", "link")):
+            (self.metas if node.tag == "meta" else self.links).append(node)
+
+
+def _match_meta(metas, selector: str):
+    """Evaluate a 'meta[attr=val]'-style selector against the list."""
+    from ..dom.select import _parse_selector
+
+    groups = _parse_selector(selector)
+    out = []
+    for node in metas:
+        for chain in groups:
+            if chain[-1].matches(node):
+                out.append(node)
+                break
+    return out
+
+
+def get_meta_content(doc: Element, metaname: str, index: "MetaIndex | None" = None) -> str:
+    if index is not None:
+        meta = _match_meta(index.metas, metaname)
+    else:
+        meta = css_select(doc, metaname)
     content = None
     if meta:
         content = meta[0].attrib.get("content")
@@ -179,7 +212,7 @@ def get_meta_content(doc: Element, metaname: str) -> str:
     return ""
 
 
-def get_title(doc: Element) -> str:
+def get_title(doc: Element, index=None) -> str:
     title = ""
     title_element = find_by_tag(doc, tag="title")
     if not title_element:
@@ -198,8 +231,8 @@ def get_title(doc: Element) -> str:
         title_text_h1 = " ".join([x for x in title_text_h1.split() if x])
 
     title_text_fb = (
-        get_meta_content(doc, 'meta[property="og:title"]')
-        or get_meta_content(doc, 'meta[name="og:title"]')
+        get_meta_content(doc, 'meta[property="og:title"]', index)
+        or get_meta_content(doc, 'meta[name="og:title"]', index)
         or ""
     )
 
@@ -253,21 +286,40 @@ def get_title(doc: Element) -> str:
 # ---------------------------------------------------------------------------
 
 
-def get_favicon(doc: Element) -> str:
-    meta = find_by_tag(doc, tag="link", attr="rel", value="icon")
+def _links_rel_contains(links, value: str):
+    low = value.lower()
+    return [
+        l for l in links
+        if l.attrib.get("rel") is not None and low in l.attrib["rel"].lower()
+    ]
+
+
+def get_favicon(doc: Element, index: "MetaIndex | None" = None) -> str:
+    if index is not None:
+        meta = _links_rel_contains(index.links, "icon")
+    else:
+        meta = find_by_tag(doc, tag="link", attr="rel", value="icon")
     if meta:
         return meta[0].attrib.get("href") or ""
     return ""
 
 
-def get_meta_lang(doc: Element):
+def _metas_attr_contains(metas, attr, value):
+    low = value.lower()
+    return [
+        m for m in metas
+        if m.attrib.get(attr) is not None and low in m.attrib[attr].lower()
+    ]
+
+
+def get_meta_lang(doc: Element, index: "MetaIndex | None" = None):
     attr = doc.attrib.get("lang")
     if attr is None:
-        for item in (
-            {"tag": "meta", "attr": "http-equiv", "value": "content-language"},
-            {"tag": "meta", "attr": "name", "value": "lang"},
-        ):
-            meta = find_by_tag(doc, **item)
+        for a, v in (("http-equiv", "content-language"), ("name", "lang")):
+            if index is not None:
+                meta = _metas_attr_contains(index.metas, a, v)
+            else:
+                meta = find_by_tag(doc, tag="meta", attr=a, value=v)
             if meta:
                 attr = meta[0].attrib.get("content")
                 break
@@ -278,27 +330,28 @@ def get_meta_lang(doc: Element):
     return None
 
 
-def get_meta_type(doc: Element) -> str:
-    return get_meta_content(doc, 'meta[property="og:type"]')
+def get_meta_type(doc: Element, index=None) -> str:
+    return get_meta_content(doc, 'meta[property="og:type"]', index)
 
 
-def get_meta_site_name(doc: Element) -> str:
-    return get_meta_content(doc, 'meta[property="og:site_name"]')
+def get_meta_site_name(doc: Element, index=None) -> str:
+    return get_meta_content(doc, 'meta[property="og:site_name"]', index)
 
 
-def get_meta_description(doc: Element) -> str:
-    return get_meta_content(doc, "meta[name=description]")
+def get_meta_description(doc: Element, index=None) -> str:
+    return get_meta_content(doc, "meta[name=description]", index)
 
 
-def get_meta_keywords(doc: Element) -> str:
-    return get_meta_content(doc, "meta[name=keywords]")
+def get_meta_keywords(doc: Element, index=None) -> str:
+    return get_meta_content(doc, "meta[name=keywords]", index)
 
 
-def get_meta_data(doc: Element) -> dict:
+def get_meta_data(doc: Element, index=None) -> dict:
     """Nested meta dict with ':'-split keys and int coercion
     (extractors.py:492-529)."""
     data = defaultdict(dict)
-    for prop in css_select(doc, "meta"):
+    metas = index.metas if index is not None else css_select(doc, "meta")
+    for prop in metas:
         key = prop.attrib.get("property") or prop.attrib.get("name")
         value = prop.attrib.get("content") or prop.attrib.get("value")
         if not key or not value:
@@ -327,10 +380,13 @@ def get_meta_data(doc: Element) -> dict:
     return data
 
 
-def get_canonical_link(article_url: str, doc: Element) -> str:
-    links = find_by_tag(doc, tag="link", attr="rel", value="canonical")
+def get_canonical_link(article_url: str, doc: Element, index=None) -> str:
+    if index is not None:
+        links = _links_rel_contains(index.links, "canonical")
+    else:
+        links = find_by_tag(doc, tag="link", attr="rel", value="canonical")
     canonical = links[0].attrib.get("href", "") if links else ""
-    og_url = get_meta_content(doc, 'meta[property="og:url"]')
+    og_url = get_meta_content(doc, 'meta[property="og:url"]', index)
     meta_url = canonical or og_url or ""
     if meta_url:
         meta_url = meta_url.strip()
@@ -387,18 +443,30 @@ def get_first_img_url(article_url: str, top_node: Element) -> str:
     return ""
 
 
-def get_meta_img_url(article_url: str, doc: Element) -> str:
+_IMG_SRC_RX = re.compile("img_src|image_src", re.IGNORECASE)
+
+
+def get_meta_img_url(article_url: str, doc: Element, index=None) -> str:
     top_meta_image, try_one, try_two, try_three, try_four = [None] * 5
-    try_one = get_meta_content(doc, 'meta[property="og:image"]') or None
+    try_one = get_meta_content(doc, 'meta[property="og:image"]', index) or None
     if try_one is None:
-        elems = find_by_tag(
-            doc, tag="link", attr="rel", value="img_src|image_src", use_regex=True
-        )
+        if index is not None:
+            elems = [
+                l for l in index.links
+                if l.attrib.get("rel") is not None and _IMG_SRC_RX.search(l.attrib["rel"])
+            ]
+        else:
+            elems = find_by_tag(
+                doc, tag="link", attr="rel", value="img_src|image_src", use_regex=True
+            )
         try_two = elems[0].attrib.get("href") if elems else None
         if not try_two:
-            try_three = get_meta_content(doc, 'meta[name="og:image"]') or None
+            try_three = get_meta_content(doc, 'meta[name="og:image"]', index) or None
             if try_three is None:
-                elems = find_by_tag(doc, tag="link", attr="rel", value="icon")
+                if index is not None:
+                    elems = _links_rel_contains(index.links, "icon")
+                else:
+                    elems = find_by_tag(doc, tag="link", attr="rel", value="icon")
                 try_four = elems[0].attrib.get("href") if elems else None
     top_meta_image = try_one or try_two or try_three or try_four
     if top_meta_image:
