@@ -411,6 +411,27 @@ def q_array_ops(spark, sf_dir):
     )
 
 
+def q_conversation_text(spark, sf_dir):
+    """Conversation reassembly: per-conv extracted turns concatenated in
+    stable turn order (north-rule ordering made visible as an operator).
+    groupBy(conv_id) + sort_array(collect_list(struct(turn_idx, text)))
+    — one shuffle on conv_id, order restored inside the aggregate."""
+    from newspaper_spark.operators.extract import extract_articles
+
+    out = extract_articles(_transcripts(spark, sf_dir))
+    per_turn = out.select("conv_id", F.struct("turn_idx", "text").alias("t"))
+    agg = per_turn.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list("t")).alias("ts")
+    )
+    return agg.select(
+        "conv_id",
+        F.size("ts").alias("n_turns"),
+        F.array_join(F.transform("ts", lambda x: x["text"]), "\n===\n").alias(
+            "conversation_text"
+        ),
+    )
+
+
 def q_nlp_keywords(spark, sf_dir):
     """nlp.py:119-150 as pure relational ops (explode → anti-join
     stoplist → groupBy → window top-10 → rescore)."""
@@ -499,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nlp_summary": q_nlp_summary,
         "prepare_url": q_prepare_url,
         "array_ops": q_array_ops,
+        "conversation_text": q_conversation_text,
         "link_hash": q_link_hash,
         "dedup_url": q_dedup_url,
         "pdf_skip": q_pdf_skip,
@@ -694,6 +716,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pdf_skip": """
             SELECT doc_id, (doc_id % 7 = 0) AS is_pdf FROM documents
+        """,
+        "conversation_text": f"""
+            WITH turns AS (
+                SELECT 'conv-0-' || (doc_id // 4)::VARCHAR AS conv_id,
+                       (doc_id % 4)::INT AS turn_idx,
+                       {_EXPECTED_TEXT} AS text
+                FROM documents
+            )
+            SELECT conv_id,
+                   count(*)::INT AS n_turns,
+                   string_agg(text, chr(10) || '===' || chr(10) ORDER BY turn_idx)
+                     AS conversation_text
+            FROM turns GROUP BY conv_id
         """,
         "array_ops": """
             WITH t AS (

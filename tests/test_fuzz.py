@@ -1,0 +1,68 @@
+"""Property-based robustness: at 10^12 turns the input contains every
+kind of garbage; the kernel must never raise and must keep its output
+contract on arbitrary byte salad."""
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+TAGS = ["p", "div", "span", "a", "b", "i", "br", "li", "ul", "table", "tr",
+        "td", "h1", "em", "script", "style", "title", "meta", "article"]
+
+tag_soup = st.recursive(
+    st.text(alphabet=string.printable + "éü中¿", max_size=60),
+    lambda children: st.builds(
+        lambda tag, inner, close: f"<{tag} class='x'>" + inner + (f"</{tag}>" if close else ""),
+        st.sampled_from(TAGS),
+        children,
+        st.booleans(),
+    ),
+    max_leaves=12,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(tag_soup)
+def test_extract_article_never_raises(html):
+    from newspaper_spark.kernel.article import extract_article
+
+    rec = extract_article(html)
+    assert isinstance(rec, dict)
+    assert isinstance(rec["status"], str)
+    assert rec["text"] is None or isinstance(rec["text"], str)
+    assert rec["authors"] is None or isinstance(rec["authors"], list)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=200))
+def test_fulltext_never_raises_on_text(garbage):
+    from newspaper_spark.kernel.fulltext import fulltext
+
+    out = fulltext(garbage)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=300))
+def test_decode_never_raises(raw):
+    from newspaper_spark.operators.decode import decode_html_bytes
+
+    out = decode_html_bytes(raw)
+    assert isinstance(out, str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=120))
+def test_valid_url_never_raises(s):
+    from newspaper_spark.kernel.urlutils import valid_url
+
+    assert valid_url(s) in (True, False)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=400), st.text(max_size=40))
+def test_nlp_never_raises(text, title):
+    from newspaper_spark.kernel.nlp import keywords, summarize
+
+    assert isinstance(keywords(text), dict)
+    assert isinstance(summarize(title=title, text=text), str)
