@@ -476,6 +476,16 @@ def q_nlp_summary(spark, sf_dir):
     return out.select("conv_id", "turn_idx", "keywords", "summary")
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over events (window lag + running sum,
+    single shuffle on user_id)."""
+    from newspaper_spark.operators.sessionize import session_stats
+    from newspaper_spark.sources.transcripts import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30, tiebreak_col="event_id")
+
+
 def q_media_features(spark, sf_dir):
     from newspaper_spark.operators.multimodal import attach_media, extract_media_features
 
@@ -515,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
         "media_features": q_media_features,
         "nlp_keywords": q_nlp_keywords,
         "nlp_summary": q_nlp_summary,
@@ -812,6 +823,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                            THEN 1 ELSE 0 END AS newf
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING)::INT AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT) AS duration_s
+            FROM sess GROUP BY user_id, session_id
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
