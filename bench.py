@@ -98,12 +98,12 @@ def query_timings(cores: int) -> dict:
         "extract_fulltext",
         "dedup_exact",
         "minhash_pairs",
-        "ngram_jaccard",
         "simhash_near_dups",
         "ann_topk",
         "lang_id",
         "quality",
         "keywords_topk",
+        "sessionize",
         "events_hourly",
     ]
     qs = E.queries()
@@ -141,7 +141,7 @@ def main():
         return
 
     do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
 
     # sustained all-core load triggers frequency throttling on this
     # host, so single measurements are noisy: interleave high/low runs
