@@ -272,6 +272,11 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
+# the single-pass tokenizer is ~2× faster than HTMLParser.feed with
+# token-level parity (dom/tokenizer.py); flip off to fall back
+USE_FAST_TOKENIZER = True
+
+
 def parse_document(html: str) -> Element | None:
     """Parse an HTML string into an <html> root, or None on hard failure
     (mirrors Parser.fromstring returning None, parsers.py:59-72)."""
@@ -283,8 +288,13 @@ def parse_document(html: str) -> Element | None:
         return None
     builder = _TreeBuilder()
     try:
-        builder.feed(html)
-        builder.close()
+        if USE_FAST_TOKENIZER:
+            from .tokenizer import tokenize
+
+            tokenize(html, builder)
+        else:
+            builder.feed(html)
+            builder.close()
     except Exception:
         return None
     return builder.root
