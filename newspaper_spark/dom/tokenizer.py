@@ -22,6 +22,8 @@ from html.parser import (
 
 _INTERESTING = re.compile("[&<]")
 _COMMENT_CLOSE = re.compile(r"--\s*>")
+_ENDTAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_MARKED_CLOSE = re.compile(r"]\s*]\s*>|]\s*>")
 _CDATA_ELEMS = ("script", "style")
 
 
@@ -120,7 +122,9 @@ def tokenize(rawdata: str, builder) -> None:
                     i = _recover(rawdata, i, handle_data)
                     continue
                 gtpos = gt + 1
-                em = re.match(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>", rawdata[i:gtpos])
+                em = _ENDTAG.match(rawdata, i)
+                if em is not None and em.end() != gtpos:
+                    em = None  # matched a later '>', not this construct
                 if not em:
                     if cdata_elem is not None:
                         handle_data(rawdata[i:gtpos])
@@ -167,7 +171,7 @@ def tokenize(rawdata: str, builder) -> None:
             elif nxt == "!":
                 if rawdata.startswith("<![", i):
                     # marked section: consume to ]> (or > as recovery)
-                    m = re.compile(r"]\s*]\s*>|]\s*>").search(rawdata, i + 3)
+                    m = _MARKED_CLOSE.search(rawdata, i + 3)
                     if m:
                         i = m.end()
                     else:
