@@ -168,3 +168,43 @@ class ExtractionJob:
 
 def read_output(spark: SparkSession, output_dir: str) -> DataFrame:
     return spark.read.parquet(output_dir)
+
+
+def audit_output(spark: SparkSession, output_dir: str) -> dict:
+    """Lineage audit: recompute per-bucket (rows, errors, checksum) from
+    the written output and compare against the checkpoint manifest.
+    Returns {'ok': bool, 'mismatches': [...]} — the integrity check a
+    10^12-turn run would execute before promoting a snapshot."""
+    with open(os.path.join(output_dir, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    out = spark.read.parquet(output_dir)
+    actual = (
+        out.groupBy("bucket")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(
+                F.when(~F.col("status").eqNullSafe("ok"), 1).otherwise(0)
+            ).alias("errors"),
+            F.bit_xor(
+                F.xxhash64(
+                    F.col("conv_id"),
+                    F.col("turn_idx"),
+                    F.coalesce(F.col("text"), F.lit("")),
+                )
+            ).alias("checksum"),
+        )
+        .collect()
+    )
+    actual_by_bucket = {
+        r["bucket"]: (r["rows"], int(r["errors"] or 0), int(r["checksum"] or 0))
+        for r in actual
+    }
+    mismatches = []
+    for b, info in manifest["buckets"].items():
+        if info.get("status") != "done":
+            continue
+        got = actual_by_bucket.get(int(b), (0, 0, 0))
+        want = (info["rows"], info["errors"], info["checksum"])
+        if got != want and not (info["rows"] == 0 and got == (0, 0, 0)):
+            mismatches.append({"bucket": int(b), "manifest": want, "actual": got})
+    return {"ok": not mismatches, "mismatches": mismatches}

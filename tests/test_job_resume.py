@@ -104,3 +104,14 @@ def test_salting_spreads_hot_conversation(spark):
     # conv-hot only carries 4 distinct turn_idx values at this scale,
     # so expect >=3 salt buckets (at real scale turn_idx has full range)
     assert salts.count() >= 3
+
+
+def test_audit_matches_manifest(spark, tmp_path):
+    from newspaper_spark.plans.job import ExtractionJob, audit_output
+
+    out_dir = str(tmp_path / "out")
+    t = _small_transcripts(spark, 24)
+    job = ExtractionJob(spark, out_dir, n_buckets=4, buckets_per_commit=4)
+    job.run(t)
+    report = audit_output(spark, out_dir)
+    assert report["ok"], report["mismatches"]
