@@ -74,11 +74,18 @@ class ExtractionJob:
         os.replace(tmp, self.manifest_path)  # atomic commit
 
     # -- run --------------------------------------------------------
-    def run(self, transcripts: DataFrame, fail_injector=None) -> dict:
+    def run(self, transcripts: DataFrame, fail_injector=None,
+            cache_input: bool = False) -> dict:
         """Process all not-yet-done buckets; returns the manifest.
 
         fail_injector(bucket_group) -> None | raise — test hook used by
         the resume test to simulate a mid-job crash.
+
+        cache_input: persist the bucketed input across commit groups —
+        right for bench-scale reruns. At real scale the input table is
+        stored WITH a bucket column (Iceberg bucket(conv_id) partition
+        transform), so each commit group's filter is partition pruning
+        on the scan instead of recompute-and-filter.
         """
         manifest = self.load_manifest()
         done = {
@@ -93,6 +100,8 @@ class ExtractionJob:
         with_bucket = transcripts.withColumn(
             "bucket", bucket_col(F.col("conv_id"), self.n_buckets)
         )
+        if cache_input:
+            with_bucket = with_bucket.persist()
 
         for start in range(0, len(todo), self.buckets_per_commit):
             group = todo[start : start + self.buckets_per_commit]
@@ -126,6 +135,8 @@ class ExtractionJob:
                     b, {"status": "done", "rows": 0, "errors": 0, "checksum": 0}
                 )
             self._save_manifest(manifest)
+        if cache_input:
+            with_bucket.unpersist()
         return manifest
 
     def _clean_bucket_dir(self, bucket: int) -> None:
