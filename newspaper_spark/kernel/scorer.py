@@ -159,6 +159,15 @@ def calculate_best_node(doc: Element, language: str = "en"):
                 negscore = abs(boost_score) + negative_scoring
                 if negscore > 40:
                     boost_score = 5.0
+                # goldens-era semantics: cumulative negativity — the
+                # current reference declares negative_scoring but never
+                # updates it (extractors.py:791,807); its golden corpus
+                # requires accumulation (bhg.com1's trailing slideshow
+                # item flips to the +5 reset only once the running
+                # negativity crosses 40). Verified: corpus failures
+                # 21 → 20 (all remaining are sentinel goldens) with no
+                # regressions.
+                negative_scoring += abs(boost_score)
 
         word_stats = _node_stats(node)
         upscore = int(word_stats.stop_word_count + boost_score)

@@ -73,10 +73,10 @@ def test_golden_corpus_thresholds():
         if rec["publish_date"] is None:
             pd_fail += 1
     # reference's own bars: ≤20 fulltext, ≤47 pubdate
-    # (tests/unit_tests.py:142-143); 20 goldens are sentinel failure
-    # notes the reference itself can't match. Standing: 21 fulltext
-    # (124/145 exact; only bhg.com1 beyond sentinels), 47 pubdate.
-    assert ft_fail <= 21, f"fulltext failures regressed: {ft_fail}"
+    # (tests/unit_tests.py:142-143). Standing: 20 fulltext failures —
+    # ALL of them sentinel goldens (failure notes no extractor can
+    # match) — i.e. 125/145 exact, meeting the reference's pass bar.
+    assert ft_fail <= 20, f"fulltext failures regressed: {ft_fail}"
     assert pd_fail <= 47, f"pubdate failures regressed: {pd_fail}"
 
 

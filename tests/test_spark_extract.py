@@ -24,7 +24,7 @@ def test_per_turn_text_equality(spark):
     ).count()
     # 157 fixtures: 145-corpus standing (see run_corpus.py) + language
     # fixtures whose zh/ar/th tokenizers are approximated: ≥110 exact
-    assert matches >= 120, f"only {matches}/{total} per-turn matches"
+    assert matches >= 124, f"only {matches}/{total} per-turn matches"
     # ordering stability: turn_idx strictly increasing per conversation
     w_ok = (
         joined.groupBy("conv_id")
