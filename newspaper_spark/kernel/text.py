@@ -117,6 +117,14 @@ def stopword_stats(content: str, language: str = "en") -> WordStats:
         return WordStats()
     lang_key = "ar" if language == "fa" else language
     stops = stopword_set(lang_key)
+    if language == "th":
+        # pythainlp segmentation is unavailable; Thai is unspaced, so a
+        # per-character fallback finds no multi-char stopwords. Proxy:
+        # count stopword SUBSTRING occurrences (the scorer only consumes
+        # counts vs thresholds).
+        stripped = remove_punctuation(content)
+        overlapping = [s for s in stops if s and s in stripped]
+        return WordStats(len(overlapping), max(len(stripped), 1), overlapping)
     if language in ("ar", "fa"):
         # StopWordsArabic keeps punctuation (text.py:124-125)
         cands = candidate_words(content.lower(), language)

@@ -87,18 +87,20 @@ def test_golden_corpus_thresholds():
         ("chinese_article", "chinese", "zh"),
         ("arabic_article", "arabic", "ar"),
         ("spanish_article", "spanish", "es"),
+        ("japanese_article", "japanese", "ja"),
+        ("japanese_article2", "japanese2", "ja"),
+        ("thai_article", "thai", "th"),
     ],
 )
-def test_language_fixtures_extract_nonempty(html_name, txt_name, lang):
-    """Language fixtures: our zh/ar tokenizer fallbacks differ from
-    jieba/nltk, so assert substantial extraction rather than equality
-    (equality is tracked by run_corpus for en)."""
+def test_language_fixtures_exact(html_name, txt_name, lang):
+    """All six multi-language goldens match byte-exact (the zh/ja/th/ar
+    segmentation fallbacks pick the same top node as the reference's
+    tokenizers on these fixtures; unit_tests.py:674-742)."""
     from newspaper_spark.kernel.fulltext import fulltext
 
     html = (DATA / "html" / f"{html_name}.html").read_text(encoding="utf-8")
     golden = (DATA / "text" / f"{txt_name}.txt").read_text(encoding="utf-8")
-    out = fulltext(html, lang)
-    assert len(out) > 0.5 * len(golden)
+    assert fulltext(html, lang) == golden
 
 
 # ---------------------------------------------------------------------------
