@@ -22,9 +22,9 @@ def test_per_turn_text_equality(spark):
     matches = joined.filter(
         F.col("text").eqNullSafe(F.col("expected_text"))
     ).count()
-    # 157 fixtures: 145-corpus standing (see run_corpus.py) + language
-    # fixtures whose zh/ar/th tokenizers are approximated: ≥110 exact
-    assert matches >= 124, f"only {matches}/{total} per-turn matches"
+    # 157 fixtures = 132 with matchable goldens (all match) + 20
+    # sentinel goldens (failure notes) + 5 pages with no golden at all
+    assert matches >= 132, f"only {matches}/{total} per-turn matches"
     # ordering stability: turn_idx strictly increasing per conversation
     w_ok = (
         joined.groupBy("conv_id")
