@@ -292,3 +292,49 @@ def test_split_sentences_initials():
         "Winds at John F. Kennedy airport were strong.",
         "Flights were delayed for hours.",
     ]
+
+
+@requires_reference
+def test_cnn_meta_data_deep_equality():
+    """Deep meta_data dict parity (reference unit_tests.py:255-301)."""
+    from newspaper_spark.dom import fromstring
+    from newspaper_spark.kernel.metadata import get_meta_data, get_meta_type
+
+    html = (DATA / "html" / "cnn_article.html").read_text(encoding="utf-8")
+    doc = fromstring(html)
+    assert get_meta_type(doc) == "article"
+    meta = get_meta_data(doc)
+    expected = {
+        "medium": "news",
+        "googlebot": "noarchive",
+        "pubdate": "2013-11-27T08:36:32Z",
+        "title": "After storm, forecasters see smooth sailing for Thanksgiving - CNN.com",
+        "og": {
+            "site_name": "CNN",
+            "description": "A strong storm struck much of the eastern United States on Wednesday, complicating holiday plans for many of the 43 million Americans expected to travel.",
+            "title": "After storm, forecasters see smooth sailing for Thanksgiving",
+            "url": "http://www.cnn.com/2013/11/27/travel/weather-thanksgiving/index.html",
+            "image": "http://i2.cdn.turner.com/cnn/dam/assets/131129200805-01-weather-1128-story-top.jpg",
+            "type": "article",
+        },
+        "section": "travel",
+        "author": "Dana A. Ford, James S.A. Corey, Chien-Ming Wang, and Tom Watkins, CNN",
+        "robots": "index,follow",
+        "vr": {"canonical": "http://edition.cnn.com/2013/11/27/travel/weather-thanksgiving/index.html"},
+        "source": "CNN",
+        "fb": {"page_id": 18793419640, "app_id": 80401312489},
+        "keywords": "winter storm,holiday travel,Thanksgiving storm,Thanksgiving winter storm",
+        "article": {"publisher": "https://www.facebook.com/cnninternational"},
+        "lastmod": "2013-11-28T02:03:23Z",
+        "twitter": {
+            "site": {"identifier": "@CNNI", "id": 2097571},
+            "card": "summary",
+            "creator": {"identifier": "@cnntravel", "id": 174377718},
+        },
+        "viewport": "width=1024",
+        "news_keywords": "winter storm,holiday travel,Thanksgiving storm,Thanksgiving winter storm",
+    }
+    assert dict(meta) == expected
+    # 5 nested dicts + 12 string leaves at top level (unit_tests.py:297-301)
+    assert sum(isinstance(v, dict) for v in meta.values()) == 5
+    assert sum(isinstance(v, str) for v in meta.values()) == 12
