@@ -338,3 +338,17 @@ def test_cnn_meta_data_deep_equality():
     # 5 nested dicts + 12 string leaves at top level (unit_tests.py:297-301)
     assert sum(isinstance(v, dict) for v in meta.values()) == 5
     assert sum(isinstance(v, str) for v in meta.values()) == 12
+
+
+@requires_reference
+def test_prepare_url_corpus():
+    """tests/data/test_prepare_urls.txt: '<expected> <url> <source>'
+    triples (reference unit_tests.py:574-587)."""
+    from newspaper_spark.kernel.urlutils import prepare_url
+
+    lines = (DATA / "test_prepare_urls.txt").read_text().splitlines()
+    for line in lines:
+        if not line.strip():
+            continue
+        expected, url, source = line.split(" ")
+        assert prepare_url(url, source) == expected, line
