@@ -352,3 +352,18 @@ def test_prepare_url_corpus():
             continue
         expected, url, source = line.split(" ")
         assert prepare_url(url, source) == expected, line
+
+
+@requires_reference
+def test_pubdate_url_corpus():
+    """test_urls_pubdate.txt: STRICT_DATE_REGEX presence labels
+    (reference unit_tests.py:548-569)."""
+    import re
+
+    from newspaper_spark.kernel.urlutils import STRICT_DATE_REGEX
+
+    for line in (DATA / "test_urls_pubdate.txt").read_text().splitlines():
+        if not line.strip():
+            continue
+        label, url = line.strip().split(" ")
+        assert bool(re.search(STRICT_DATE_REGEX, url)) == bool(int(label)), url
