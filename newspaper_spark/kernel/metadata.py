@@ -143,6 +143,28 @@ def get_publishing_date(url: str, doc: Element):
             datetime_obj = _parse_date_str(date_str)
             if datetime_obj:
                 return datetime_obj
+    # --- superset fallbacks (beyond the reference, which TODOs its
+    # "strategy 3"): only reached when every reference strategy failed,
+    # so reference-matching dates are never changed ---
+    # (a) the same known tags but the *other* attribute (e.g. telegraph
+    #     pages carry itemprop=datePublished with @content, not @datetime)
+    for known, bucket in zip(PUBLISH_DATE_TAGS, buckets):
+        if bucket:
+            other = "content" if known["content"] == "datetime" else "datetime"
+            datetime_obj = _parse_date_str(bucket[0].attrib.get(other))
+            if datetime_obj:
+                return datetime_obj
+    # (b) <time datetime=...> attribute, then <time pubdate> text
+    times = find_by_tag(doc, tag="time")
+    for t in times:
+        datetime_obj = _parse_date_str(t.attrib.get("datetime"))
+        if datetime_obj:
+            return datetime_obj
+    for t in times:
+        if "pubdate" in t.attrib:
+            datetime_obj = _parse_date_str(get_text(t))
+            if datetime_obj:
+                return datetime_obj
     return None
 
 
