@@ -105,6 +105,7 @@ def main():
         print(f"{flag} {name:<{width}} {status}")
     print(f"{n_ok}/{len(results)} clean")
     spark.stop()
+    sys.exit(0 if n_ok == len(results) else 1)
 
 
 if __name__ == "__main__":
