@@ -14,7 +14,7 @@ import json
 
 from ..dom import fromstring
 from .cleaner import clean_document
-from .formatter import get_formatted_text
+from .formatter import get_formatted
 from .metadata import (
     MetaIndex,
     extract_tags,
@@ -58,6 +58,7 @@ _EMPTY = {
     "images": [],
     "movies": [],
     "meta_data_json": "{}",
+    "article_html": "",
     "link_hash": None,
     "status": "parse_failed",
 }
@@ -70,7 +71,8 @@ def _empty(status="parse_failed"):
 
 
 def extract_article(html: str, url: str = "", language: str = "en",
-                    use_meta_language: bool = True) -> dict:
+                    use_meta_language: bool = True,
+                    keep_article_html: bool = False) -> dict:
     """Full Article.parse() equivalent on one HTML payload."""
     if not html or not isinstance(html, str):
         return _empty("no_html")
@@ -119,8 +121,9 @@ def extract_article(html: str, url: str = "", language: str = "en",
         rec["movies"] = get_movies(top_node)
         top_node = post_cleanup(top_node, language)
         clean_top_node = top_node.copy_subtree()
-        text = get_formatted_text(top_node)
+        text, article_html = get_formatted(top_node, keep_article_html)
         rec["text"] = (text or "")[:MAX_TEXT]
+        rec["article_html"] = article_html or ""
 
     meta_img = get_meta_img_url(url, clean_doc, midx)
     rec["meta_img"] = meta_img

@@ -31,14 +31,69 @@ def get_text(node: Element) -> str:
 
 
 def get_formatted_text(top_node: Element) -> str:
+    text, _ = get_formatted(top_node, keep_article_html=False)
+    return text
+
+
+def get_formatted(top_node: Element, keep_article_html: bool = False):
+    """OutputFormatter.get_formatted (outputformatters.py:41-61):
+    returns (text, article_html); html captured after the negative-score
+    sweep, before link stripping — reference ordering."""
     remove_negativescores_nodes(top_node)
+    html = convert_to_html(top_node) if keep_article_html else ""
     links_to_text(top_node)
     add_newline_to_br(top_node)
     add_newline_to_li(top_node)
     replace_with_text(top_node)
     remove_empty_tags(top_node)
     remove_trailing_media_div(top_node)
-    return convert_to_text(top_node)
+    return convert_to_text(top_node), html
+
+
+_ARTICLE_HTML_ALLOW = frozenset(
+    "a span p br strong b em i tt code pre blockquote img h1 h2 h3 h4 "
+    "h5 h6 ul ol li dl dt dd".split()
+)
+
+
+def convert_to_html(top_node: Element) -> str:
+    """keep_article_html output: whitelist-clean the top node and
+    serialize (Parser.clean_article_html, parsers.py:74-85 — lxml
+    Cleaner with allow_tags: scripts/styles/comments removed, other
+    non-allowed tags unwrapped keeping their content)."""
+    from ..dom import iter_comments, node_to_html, remove_keep_tail
+
+    node = top_node.copy_subtree()
+    node.tail = None
+    for el in list(node.iterdescendants()):
+        if el.tag in ("script", "style"):
+            parent = el.getparent()
+            if parent is not None:
+                parent.remove(el)
+    for c in iter_comments(node):
+        parent = c.getparent()
+        if parent is not None:
+            parent.remove(c)
+    changed = True
+    while changed:
+        changed = False
+        for el in list(node.iterdescendants()):
+            if (
+                isinstance(el.tag, str)
+                and el.tag not in _ARTICLE_HTML_ALLOW
+                and el.getparent() is not None
+            ):
+                drop_tag_keep_content(el)
+                changed = True
+    if isinstance(node.tag, str) and node.tag not in _ARTICLE_HTML_ALLOW:
+        node.tag = "div"  # lxml Cleaner keeps a root container
+    return node_to_html(node, with_tail=False)
+
+
+def drop_tag_keep_content(el: Element) -> None:
+    from ..dom import drop_tag
+
+    drop_tag(el)
 
 
 def convert_to_text(top_node: Element) -> str:

@@ -40,6 +40,7 @@ ARTICLE_FIELDS = [
     ("images", T.ArrayType(T.StringType())),
     ("movies", T.ArrayType(T.StringType())),
     ("meta_data_json", T.StringType()),
+    ("article_html", T.StringType()),
     ("link_hash", T.StringType()),
     ("status", T.StringType()),
 ]
@@ -65,7 +66,7 @@ def _normalize_ts(dt):
         return None
 
 
-def _extract_batch(texts: pd.Series, urls: pd.Series) -> pd.DataFrame:
+def _extract_batch(texts: pd.Series, urls: pd.Series, flags: pd.Series) -> pd.DataFrame:
     # imported inside the worker so the kernel (and its stopword cache)
     # is a per-Python-worker singleton, not a pickled closure
     from ..kernel.article import extract_article
@@ -75,9 +76,10 @@ def _extract_batch(texts: pd.Series, urls: pd.Series) -> pd.DataFrame:
     # 1200 → 3340 turns/s on the sf0.1 bench)
     names = [n for n, _ in ARTICLE_FIELDS]
     cols: dict = {n: [] for n in names}
-    for html, url in zip(texts, urls):
+    for html, url, keep_html in zip(texts, urls, flags):
         try:
-            rec = extract_article(html, url=url or "")
+            rec = extract_article(html, url=url or "",
+                                  keep_article_html=bool(keep_html))
         except Exception as e:  # per-row fault tolerance (parsers.py:62-72)
             rec = {name: None for name in names}
             rec["status"] = f"error:{type(e).__name__}"
@@ -88,8 +90,10 @@ def _extract_batch(texts: pd.Series, urls: pd.Series) -> pd.DataFrame:
 
 
 @F.pandas_udf(ARTICLE_STRUCT)
-def extract_article_udf(texts: pd.Series, urls: pd.Series) -> pd.DataFrame:
-    return _extract_batch(texts, urls)
+def extract_article_udf(
+    texts: pd.Series, urls: pd.Series, flags: pd.Series
+) -> pd.DataFrame:
+    return _extract_batch(texts, urls, flags)
 
 
 @F.pandas_udf(T.StringType())
@@ -111,6 +115,7 @@ def extract_articles(
     text_col: str = "text",
     url_col: str | None = None,
     keep_cols: tuple = ("conv_id", "turn_idx", "role", "tool", "ts"),
+    include_article_html: bool = False,
 ) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) → one row per
     turn with the extraction struct flattened alongside the keys.
@@ -123,7 +128,10 @@ def extract_articles(
     url_expr = F.col(url_col) if url_col else F.lit("")
     keep = [c for c in keep_cols if c in df.columns]
     enriched = df.withColumn(
-        "article", extract_article_udf(F.col(text_col), url_expr)
+        "article",
+        extract_article_udf(
+            F.col(text_col), url_expr, F.lit(include_article_html)
+        ),
     )
     cols = keep + [F.col(f"article.{n}").alias(n) for n, _ in ARTICLE_FIELDS]
     return enriched.select(*cols)

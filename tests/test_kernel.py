@@ -367,3 +367,27 @@ def test_pubdate_url_corpus():
             continue
         label, url = line.strip().split(" ")
         assert bool(re.search(STRICT_DATE_REGEX, url)) == bool(int(label)), url
+
+
+@requires_reference
+def test_article_html_whitelist():
+    """keep_article_html output (outputformatters.py:50-51,79-81 via
+    Parser.clean_article_html): only whitelisted tags survive."""
+    import re
+
+    from newspaper_spark.kernel.article import extract_article
+
+    html = (DATA / "html" / "cnn_article.html").read_text(encoding="utf-8")
+    rec = extract_article(html, keep_article_html=True)
+    ah = rec["article_html"]
+    assert len(ah) > 1000
+    allowed = {
+        "a", "span", "p", "br", "strong", "b", "em", "i", "tt", "code",
+        "pre", "blockquote", "img", "h1", "h2", "h3", "h4", "h5", "h6",
+        "ul", "ol", "li", "dl", "dt", "dd", "div",  # div = root container
+    }
+    tags = set(re.findall(r"</?([a-zA-Z0-9]+)", ah))
+    assert tags <= allowed, tags - allowed
+    # default stays off and empty
+    rec2 = extract_article(html)
+    assert rec2["article_html"] == ""
