@@ -280,3 +280,26 @@ def get_base_domain(url: str) -> str:
     else:
         end_chunks = domain.split(".")[-2:]
     return ".".join(end_chunks)
+
+
+def extract_meta_refresh(html: str):
+    """Meta-refresh redirect target (utils.py:184-204): the url= part of
+    <meta http-equiv="refresh" content="0;url=...">, quotes stripped;
+    None when absent or the content has no url part."""
+    from ..dom import find_by_tag, fromstring
+
+    doc = fromstring(html) if isinstance(html, str) else html
+    if doc is None:
+        return None
+    for el in find_by_tag(doc, tag="meta", attr="http-equiv", value="refresh"):
+        content = el.get("content")
+        if content is None:
+            continue
+        try:
+            _wait_part, url_part = content.split(";")
+        except ValueError:
+            return None
+        if url_part.lower().startswith("url="):
+            return url_part[4:].replace('"', "").replace("'", "")
+        return None
+    return None

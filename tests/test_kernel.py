@@ -391,3 +391,16 @@ def test_article_html_whitelist():
     # default stays off and empty
     rec2 = extract_article(html)
     assert rec2["article_html"] == ""
+
+
+@requires_reference
+def test_meta_refresh_extraction():
+    """utils.py:184-204 via the meta-refresh fixtures
+    (unit_tests.py:186-208)."""
+    from newspaper_spark.kernel.urlutils import extract_meta_refresh
+
+    google = (DATA / "html" / "google_meta_refresh.html").read_text(encoding="utf-8")
+    target = extract_meta_refresh(google)
+    assert target and "example" in target
+    ap = (DATA / "html" / "ap_meta_refresh.html").read_text(encoding="utf-8")
+    assert extract_meta_refresh(ap) is None  # no url= part → stay put
