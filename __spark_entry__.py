@@ -2,12 +2,13 @@
 
 ``queries()`` exposes the engine's operator surface (SURVEY.md §2 plus
 the training-data operators); ``oracle_sql()`` gives the DuckDB-
-equivalent ANSI SQL for every SQL-expressible operator. Non-SQL ops
-(the lxml-equivalent DOM kernel, LSH planes, simhash bit votes, the
-mapInPandas media stub) are intentionally omitted from oracle_sql and
-get rows-only checks — EXCEPT extraction itself, which IS oracle-
-checked here because the synthetic page generator
-(newspaper_spark/sources/transcripts.py) makes the kernel's output
+equivalent ANSI SQL for every operator. Every hash in the dedup /
+similarity family is md5-derived precisely so the oracle can
+reconstruct it bit-for-bit (minhash affine rehashes, simhash bit
+votes, LSH hyperplanes, the media fake-decoder dims). The single
+rows-only entry is nlp_summary (procedural sentence scoring). The
+extraction kernel itself IS oracle-checked because the synthetic page
+generator (newspaper_spark/sources/transcripts.py) makes its output
 reconstructable in SQL.
 """
 from __future__ import annotations
@@ -284,6 +285,9 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+EMB_DIM = 64  # embeddings.parquet vector length (TESTDATA.md)
+
+
 def q_ann_lsh(spark, sf_dir):
     from newspaper_spark.operators.similarity import lsh_topk
     from newspaper_spark.sources.transcripts import load_table
@@ -293,7 +297,9 @@ def q_ann_lsh(spark, sf_dir):
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
     queries_df = emb_d.filter(F.col("vec_id") % 50 == 0)
-    return lsh_topk(queries_df, emb_d, k=5)
+    return lsh_topk(
+        queries_df, emb_d, k=5, dim=EMB_DIM, n_planes=16, bands=4
+    ).select("query_id", "neighbor_id", "rank")
 
 
 def q_embedding_dedup(spark, sf_dir):
@@ -304,7 +310,21 @@ def q_embedding_dedup(spark, sf_dir):
     emb_d = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    return embedding_dedup_pairs(emb_d, threshold=0.95)
+    # the synthetic embeddings carry no true near-dups (max pairwise
+    # cosine ≈ 0.48), so seed deterministic perturbed copies of every
+    # 25th vector — real positives for the operator, mirrored exactly
+    # in the oracle SQL
+    pert = F.concat(
+        F.array(F.element_at("embedding", 1) * 1.2 + 0.01),
+        F.slice("embedding", 2, EMB_DIM - 1),
+    )
+    dups = emb_d.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), pert.alias("embedding")
+    )
+    aug = emb_d.unionByName(dups)
+    return embedding_dedup_pairs(
+        aug, threshold=0.9, dim=EMB_DIM, n_planes=16, bands=4
+    )
 
 
 def q_lang_id(spark, sf_dir):
@@ -397,16 +417,17 @@ def q_pdf_skip(spark, sf_dir):
 def q_array_ops(spark, sf_dir):
     """Set-op surface (SURVEY §2.7): union/distinct/intersect over token
     arrays — the img-set/keyword-union/tags analogs (article.py:297-300,
-    379-381; extractors.py:748-771)."""
+    379-381; extractors.py:748-771). Array results are serialized with
+    array_join so the driver canonicalizer gets sortable scalars."""
     d = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     first8 = F.slice(toks, 1, 8)
     last8 = F.slice(toks, F.greatest(F.size(toks) - 7, F.lit(1)), 8)
     return d.select(
         "doc_id",
-        F.array_sort(F.array_distinct(first8)).alias("dedup_head"),
-        F.array_sort(F.array_union(first8, last8)).alias("union_head_tail"),
-        F.array_sort(F.array_intersect(first8, last8)).alias("common"),
+        F.array_join(F.array_sort(F.array_distinct(first8)), " ").alias("dedup_head"),
+        F.array_join(F.array_sort(F.array_union(first8, last8)), " ").alias("union_head_tail"),
+        F.array_join(F.array_sort(F.array_intersect(first8, last8)), " ").alias("common"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
     )
 
@@ -473,7 +494,14 @@ def q_nlp_summary(spark, sf_dir):
 
     out = extract_articles(_transcripts(spark, sf_dir))
     out = add_nlp(out.limit(50))
-    return out.select("conv_id", "turn_idx", "keywords", "summary")
+    # keywords is array<string>: serialize so the driver canonicalizer
+    # (pandas sort_values) gets a sortable scalar column
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.array_join("keywords", " ").alias("keywords"),
+        "summary",
+    )
 
 
 def q_sessionize(spark, sf_dir):
@@ -701,6 +729,11 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "minhash_pairs": _minhash_oracle(),
+        "simhash": _simhash_oracle(),
+        "simhash_near_dups": _simhash_near_dups_oracle(max_hamming=8),
+        "ann_lsh": _ann_lsh_oracle(),
+        "embedding_dedup": _embedding_dedup_oracle(),
+        "media_features": _MEDIA_FEATURES_ORACLE,
         "nlp_keywords": _nlp_keywords_oracle(),
         "prepare_url": """
             SELECT doc_id,
@@ -752,9 +785,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT doc_id,
-                   list_sort(list_distinct(first8)) AS dedup_head,
-                   list_sort(list_distinct(list_concat(first8, last8))) AS union_head_tail,
-                   list_sort(list_filter(list_distinct(first8), x -> list_contains(last8, x))) AS common,
+                   coalesce(array_to_string(list_sort(list_distinct(first8)), ' '), '') AS dedup_head,
+                   coalesce(array_to_string(list_sort(list_distinct(list_concat(first8, last8))), ' '), '') AS union_head_tail,
+                   coalesce(array_to_string(list_sort(list_filter(list_distinct(first8), x -> list_contains(last8, x))), ' '), '') AS common,
                    len(list_distinct(toks)) AS n_unique
             FROM s
         """,
@@ -887,32 +920,63 @@ def _nlp_keywords_oracle() -> str:
     """
 
 
-def _minhash_oracle() -> str:
-    """DuckDB reconstruction of minhash_lsh_pairs(num_hashes=8, bands=4,
-    shingle_n=3): md5-hex minima over word 3-gram shingles."""
-    shingle = """
-        list_distinct(list_transform(
-            generate_series(0, greatest(len(toks) - 3, 0)),
-            i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
-    """
-    mh = ", ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{k}:' || s)), 'min') AS h{k}"
-        for k in range(8)
-    )
-    bands = " UNION ALL ".join(
-        f"SELECT id, {b} AS band, h{2*b} || '|' || h{2*b+1} AS sig FROM sigs"
-        for b in range(4)
-    )
-    return f"""
+# shared CTE fragments for the dedup-family oracles -----------------------
+
+_TOKS_CTE = """
         WITH t AS (
             SELECT doc_id AS id,
                    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
             FROM documents
-        ), sh_t AS (
-            SELECT id, {shingle} AS sh FROM t
+        )"""
+
+_SHINGLE_EXPR = """
+        list_distinct(list_transform(
+            generate_series(0, greatest(len(toks) - 3, 0)),
+            i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))
+"""
+
+#: 60-bit md5-derived hash — identical to dedup.md5_long on the Spark side
+_MD5_LONG = "('0x' || substring(md5({x}), 1, 15))::BIGINT"
+
+
+def _minhash_cte_tail(num_hashes: int = 8, bands: int = 4) -> str:
+    """sh_t → xs_t → sigs → banded fragment, mirroring
+    minhash_signature's affine rehash family exactly."""
+    from newspaper_spark.operators.dedup import MERSENNE31, affine_params
+
+    params = affine_params(num_hashes)
+    mh = ", ".join(
+        f"list_aggregate(list_transform(xs, x -> ({a} * x + {b}) % {MERSENNE31}), 'min') AS h{k}"
+        for k, (a, b) in enumerate(params)
+    )
+    rows_per_band = num_hashes // bands
+    band_rows = " UNION ALL ".join(
+        "SELECT id, {b} AS band, {sig} AS sig FROM sigs".format(
+            b=b,
+            sig=" || '|' || ".join(
+                f"h{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    base = _MD5_LONG.format(x="s")
+    return f"""
+        , sh_t AS (
+            SELECT id, {_SHINGLE_EXPR} AS sh FROM t
+        ), xs_t AS (
+            SELECT id, sh,
+                   list_transform(sh, s -> {base} % {MERSENNE31}) AS xs
+            FROM sh_t
         ), sigs AS (
-            SELECT id, {mh} FROM sh_t
-        ), banded AS ({bands})
+            SELECT id, {mh} FROM xs_t
+        ), banded AS ({band_rows})
+    """
+
+
+def _minhash_oracle() -> str:
+    """DuckDB reconstruction of minhash_lsh_pairs(num_hashes=8, bands=4,
+    shingle_n=3): one md5 per shingle + affine rehash minima."""
+    return f"""{_TOKS_CTE}{_minhash_cte_tail()}
         SELECT DISTINCT l.id AS id_a, r.id AS id_b
         FROM banded l JOIN banded r
           ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
@@ -921,33 +985,180 @@ def _minhash_oracle() -> str:
 
 
 def _jaccard_oracle() -> str:
-    return f"""
-        WITH t AS (
-            SELECT doc_id AS id,
-                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-            FROM documents
-        ), sh_t AS (
-            SELECT id,
-                   list_distinct(list_transform(
-                       generate_series(0, greatest(len(toks) - 3, 0)),
-                       i -> array_to_string(list_slice(toks, i + 1, i + 3), ' '))) AS sh
-            FROM t
-        ), sigs AS (
-            SELECT id, {", ".join(f"list_aggregate(list_transform(sh, s -> md5('{k}:' || s)), 'min') AS h{k}" for k in range(8))}
-            FROM sh_t
-        ), banded AS ({" UNION ALL ".join(f"SELECT id, {b} AS band, h{2*b} || '|' || h{2*b+1} AS sig FROM sigs" for b in range(4))}),
-        pairs AS (
+    """Candidates from the minhash bands, verified with exact Jaccard on
+    the 60-bit-hashed shingle sets (same hash as the Spark side)."""
+    hs = f"list_distinct(list_transform(sh, s -> {_MD5_LONG.format(x='s')}))"
+    return f"""{_TOKS_CTE}{_minhash_cte_tail()}
+        , pairs AS (
             SELECT DISTINCT l.id AS id_a, r.id AS id_b
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+        ), hs_t AS (
+            SELECT id, {hs} AS hs FROM sh_t
         )
         SELECT p.id_a, p.id_b,
-               round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                     / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0), 6) AS jaccard
+               round(len(list_intersect(a.hs, b.hs))::DOUBLE
+                     / nullif(len(list_distinct(list_concat(a.hs, b.hs))), 0), 6) AS jaccard
         FROM pairs p
-        JOIN sh_t a ON a.id = p.id_a
-        JOIN sh_t b ON b.id = p.id_b
-        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-              / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0) >= 0.5
+        JOIN hs_t a ON a.id = p.id_a
+        JOIN hs_t b ON b.id = p.id_b
+        WHERE round(len(list_intersect(a.hs, b.hs))::DOUBLE
+              / nullif(len(list_distinct(list_concat(a.hs, b.hs))), 0), 6) >= 0.5
         ORDER BY id_a, id_b
     """
+
+
+def _simhash_cte() -> str:
+    """doc_id → 64-bit simhash, bit-for-bit equal to dedup.simhash_col:
+    per-token md5 split into 4 16-bit hex chunks, ±1 votes per bit,
+    bit set when the vote sum is positive."""
+    return f"""{_TOKS_CTE}
+        , tok AS (SELECT id, unnest(toks) AS w FROM t
+        ), hx_t AS (SELECT id, md5(w) AS hx FROM tok
+        ), c AS (
+            SELECT id,
+                   ('0x' || substring(hx, 1, 4))::INT AS c0,
+                   ('0x' || substring(hx, 5, 4))::INT AS c1,
+                   ('0x' || substring(hx, 9, 4))::INT AS c2,
+                   ('0x' || substring(hx, 13, 4))::INT AS c3
+            FROM hx_t
+        ), bitsv AS (
+            SELECT id, i.i AS i,
+                   CASE WHEN ((CASE i.i // 16 WHEN 0 THEN c0 WHEN 1 THEN c1
+                               WHEN 2 THEN c2 ELSE c3 END)
+                        & (1 << (i.i % 16))) <> 0 THEN 1 ELSE -1 END AS v
+            FROM c CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+        ), votes AS (
+            SELECT id, i, sum(v) AS vt FROM bitsv GROUP BY id, i
+        ), sims AS (
+            SELECT id,
+                   sum(CASE WHEN vt > 0 THEN
+                         CASE WHEN i = 63 THEN -9223372036854775808
+                              ELSE (1::BIGINT << i) END
+                       ELSE 0 END)::BIGINT AS sim
+            FROM votes GROUP BY id
+        )"""
+
+
+def _simhash_oracle() -> str:
+    return f"""{_simhash_cte()}
+        SELECT id AS doc_id, sim AS simhash FROM sims
+    """
+
+
+def _simhash_near_dups_oracle(max_hamming: int = 8) -> str:
+    """Pigeonhole chunk blocking identical to simhash_near_dups: the
+    chunk layout comes from the same _chunk_layout helper."""
+    from newspaper_spark.operators.dedup import _chunk_layout
+
+    rows = ", ".join(
+        f"({c}, {off}, {(1 << width) - 1})"
+        for c, (off, width) in enumerate(_chunk_layout(max_hamming + 1))
+    )
+    return f"""{_simhash_cte()}
+        , chunks AS (
+            SELECT id, sim, m.chunk, (sim >> m.off) & m.mask AS val
+            FROM sims CROSS JOIN (VALUES {rows}) AS m(chunk, off, mask)
+        ), cand AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                   l.sim AS sim_a, r.sim AS sim_b
+            FROM chunks l JOIN chunks r
+              ON l.chunk = r.chunk AND l.val = r.val AND l.id < r.id
+        )
+        SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+    """
+
+
+def _plane_sig_sql(vexpr: str, n_planes: int = 16, dim: int = 64) -> str:
+    """Sign-bit signature expression with the exact hyperplane doubles
+    (fold order matches the Spark aggregate: left-to-right)."""
+    from newspaper_spark.operators.similarity import hyperplanes
+
+    parts = []
+    for plane in hyperplanes(dim, n_planes):
+        dot = " + ".join(f"{vexpr}[{d + 1}] * ({w!r})" for d, w in enumerate(plane))
+        parts.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(parts)
+
+
+_BAND4_VALUES = "(0), (1), (2), (3)"
+
+
+def _ann_lsh_oracle() -> str:
+    sig = _plane_sig_sql("v")
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ), sigs AS (
+            SELECT vec_id, v, {sig} AS sig FROM emb
+        ), qb AS (
+            SELECT vec_id AS query_id, b.b AS band,
+                   substring(sig, b.b * 4 + 1, 4) AS bsig
+            FROM sigs CROSS JOIN (VALUES {_BAND4_VALUES}) b(b)
+            WHERE vec_id % 50 = 0
+        ), cb AS (
+            SELECT vec_id AS neighbor_id, b.b AS band,
+                   substring(sig, b.b * 4 + 1, 4) AS bsig
+            FROM sigs CROSS JOIN (VALUES {_BAND4_VALUES}) b(b)
+        ), cand AS (
+            SELECT DISTINCT query_id, neighbor_id
+            FROM qb JOIN cb USING (band, bsig)
+            WHERE query_id <> neighbor_id
+        ), scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos
+            FROM cand c
+            JOIN sigs a ON a.vec_id = c.query_id
+            JOIN sigs b ON b.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+    """
+
+
+def _embedding_dedup_oracle() -> str:
+    sig = _plane_sig_sql("v")
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ), aug AS (
+            SELECT vec_id, v FROM emb
+            UNION ALL
+            SELECT vec_id + 1000000, list_concat([v[1] * 1.2 + 0.01], v[2:])
+            FROM emb WHERE vec_id % 25 = 0
+        ), sigs AS (
+            SELECT vec_id, v, {sig} AS sig FROM aug
+        ), bb AS (
+            SELECT vec_id, b.b AS band, substring(sig, b.b * 4 + 1, 4) AS bsig
+            FROM sigs CROSS JOIN (VALUES {_BAND4_VALUES}) b(b)
+        ), cand AS (
+            SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+            FROM bb l JOIN bb r
+              ON l.band = r.band AND l.bsig = r.bsig AND l.vec_id < r.vec_id
+        )
+        SELECT c.id_a, c.id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        FROM cand c
+        JOIN sigs a ON a.vec_id = c.id_a
+        JOIN sigs b ON b.vec_id = c.id_b
+        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+    """
+
+
+_MEDIA_FEATURES_ORACLE = """
+    SELECT md5(text) AS media_id,
+           'image' AS kind,
+           strlen(text)::BIGINT AS n_bytes,
+           (64 + ('0x' || substring(md5(text), 1, 2))::INT) AS width,
+           (64 + ('0x' || substring(md5(text), 31, 2))::INT) AS height,
+           1 AS n_frames,
+           NULL::VARCHAR AS error
+    FROM documents
+"""

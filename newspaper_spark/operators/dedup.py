@@ -5,14 +5,21 @@ written Spark-first:
 
 * exact        — md5 grouping; one shuffle on the 32-hex key, map-side
                  combine via min() aggregation.
-* minhash LSH  — shingle → K minhashes → B bands; candidate pairs come
-                 from a self-equi-join on (band_idx, band_signature),
-                 i.e. co-partitioned hash join, never an O(n²) cross
-                 join. Hashes are md5-hex strings (portable: the DuckDB
-                 oracle reproduces them bit-for-bit).
-* simhash      — 64-bit sign-aggregated token hashes via bit counting
-                 in Column space.
-* n-gram jaccard — verification stage for LSH candidates, array ops.
+* minhash LSH  — shingle → ONE base md5-derived 60-bit hash → K affine
+                 rehashes (universal hashing (a_k·x + b_k) mod p, p =
+                 2^31−1) → running minima in a single `aggregate` pass →
+                 B bands; candidate pairs come from a self-equi-join on
+                 (band_idx, band_signature), i.e. co-partitioned hash
+                 join, never an O(n²) cross join. One md5 per shingle
+                 (not K), and everything is reconstructable in the
+                 DuckDB oracle via ('0x' || substring(md5(s),1,15)).
+* simhash      — 64-bit sign-aggregated token hashes; bits come from
+                 the md5 hex digest (portable to the oracle), votes
+                 accumulate in ONE `aggregate` pass carrying a 64-slot
+                 vote array (not 64 passes).
+* n-gram jaccard — verification stage for LSH candidates; shingles are
+                 hashed to int64 before the join so the shuffle carries
+                 8-byte values instead of document-sized string arrays.
 
 At 100 TB: every stage is a narrow map except the LSH band join and the
 final groupBys, which shuffle on uniformly-distributed hash keys (no
@@ -22,8 +29,13 @@ Jaccard threshold knee.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: 2^31 − 1 (Mersenne prime) — modulus for the affine rehash family.
+MERSENNE31 = 2147483647
 
 
 def normalized_text(c):
@@ -58,23 +70,47 @@ def shingles_col(text_col, n: int = 3):
     )
 
 
+def md5_long(c):
+    """First 60 bits of md5(c) as a non-negative BIGINT.
+
+    Portable: DuckDB computes the identical value with
+    ``('0x' || substring(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) pairs for the universal-hash family
+    h_k(x) = (a_k·x + b_k) mod MERSENNE31. Derived from md5 so the
+    oracle SQL embeds the same literals."""
+    out = []
+    for k in range(num_hashes):
+        h = hashlib.md5(f"minhash:{k}".encode()).hexdigest()
+        a = int(h[:8], 16) % (MERSENNE31 - 1) + 1
+        b = int(h[8:16], 16) % MERSENNE31
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(text_col, num_hashes: int = 16, shingle_n: int = 3):
-    """Array of `num_hashes` minhash values.
+    """Array of ``num_hashes`` minhash values (BIGINT).
 
-    Each hash_k(shingle) = md5(k || ':' || shingle) compared as hex
-    strings; min over shingles. Pure Column expressions (transform +
-    array_min) — no UDF, and md5 makes the DuckDB oracle exact."""
+    One md5 per shingle; the K hash functions are affine rehashes of
+    that base value, and all K running minima ride in a single
+    `aggregate` pass (one traversal of the shingle array, no K
+    intermediate arrays). Pure Column expressions — no UDF."""
     sh = shingles_col(text_col, shingle_n)
+    xs = F.transform(sh, lambda s: md5_long(s) % MERSENNE31)
+    params = affine_params(num_hashes)
 
-    def min_hash_k(k: int):
-        # factory, not a default-arg lambda: pyspark would reinterpret a
-        # two-parameter lambda as (element, index)
-        prefix = f"{k}:"
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s)))
-        )
+    def rehashes(x):
+        return F.array(*[(F.lit(a) * x + F.lit(b)) % MERSENNE31 for a, b in params])
 
-    return F.array(*[min_hash_k(k) for k in range(num_hashes)])
+    init = F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes)
+    return F.aggregate(
+        xs,
+        init,
+        lambda acc, x: F.zip_with(acc, rehashes(x), lambda m, h: F.least(m, h)),
+    )
 
 
 def minhash_lsh_pairs(
@@ -95,17 +131,17 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(text_col), num_hashes, shingle_n).alias("mh"),
     )
+
+    def band_sig(b: int):
+        part = F.slice("mh", b * rows_per_band + 1, rows_per_band)
+        return F.array_join(F.transform(part, lambda v: v.cast("string")), "|")
+
     banded = sig.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|", F.slice("mh", b * rows_per_band + 1, rows_per_band)
-                        ).alias("sig"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
                     for b in range(bands)
                 ]
             )
@@ -136,10 +172,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity.
 
-    Joins shingle arrays onto both pair sides (broadcast-able when the
-    candidate set is small) and computes |∩|/|∪| with array ops."""
+    Shingles are hashed to 60-bit BIGINTs first, so the two joins
+    shuffle 8-byte values instead of full shingle strings (~5-10× fewer
+    shuffle bytes at scale); set semantics are preserved (collisions at
+    2^-60 are negligible and the oracle applies the identical hash)."""
     sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), shingle_n).alias("sh")
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(shingles_col(F.col(text_col), shingle_n), md5_long)
+        ).alias("sh"),
     )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -153,29 +194,73 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_col(text_col, bits: int = 64):
-    """64-bit SimHash over word tokens, entirely in Column space:
-    per-token 64-bit hash (xxhash64), per-bit ±1 votes (shift amounts
-    are Python-level literals — Spark's shiftright needs an int), sign
-    of the vote sets the bit."""
-    toks = F.split(normalized_text(text_col), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+# 16-bit masks, indexed by (bit % 16) + 1 via element_at
+_BIT_MASKS = [1 << i for i in range(16)]
 
-    def vote(i: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+
+def simhash_col(text_col, bits: int = 64):
+    """64-bit SimHash over word tokens, entirely in Column space.
+
+    Per token: ONE md5, split into 4 16-bit chunks (hex substrings —
+    the DuckDB oracle reconstructs them with ('0x'||…)::INT). Votes for
+    all 64 bits accumulate in a single `aggregate` pass carrying a
+    64-slot vote array; the final fold sets bit i when vote_i > 0."""
+    assert bits == 64, "simhash_col is specialized to 64 bits"
+    toks = F.split(normalized_text(text_col), " ")
+    # one md5 per token (materialized by the first transform), then the
+    # second transform splits the hex into 4 16-bit ints
+    hexes = F.transform(toks, lambda t: F.md5(t))
+    chunk_arrays = F.transform(
+        hexes,
+        lambda h: F.array(
+            *[
+                F.conv(F.substring(h, 4 * j + 1, 4), 16, 10).cast("int")
+                for j in range(4)
+            ]
+        ),
+    )
+    masks = F.array(*[F.lit(m) for m in _BIT_MASKS])
+    idx64 = F.sequence(F.lit(0), F.lit(bits - 1))
+
+    def token_votes(chunks):
+        # ±1 per bit: +1 when bit i of the token hash is set
+        return F.transform(
+            idx64,
+            lambda i: F.when(
+                F.element_at(chunks, F.floor(i / 16).cast("int") + 1)
+                .bitwiseAND(F.element_at(masks, (i % 16) + 1))
+                != 0,
+                1,
+            ).otherwise(-1),
         )
 
+    votes = F.aggregate(
+        chunk_arrays,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, chunks: F.zip_with(acc, token_votes(chunks), lambda a, v: a + v),
+    )
     sim = F.lit(0).cast("long")
     for i in range(bits):
         bit = (
             F.lit(int(-(2**63))) if i == 63 else F.shiftleft(F.lit(1).cast("long"), i)
         )
-        sim = sim.bitwiseOR(F.when(vote(i) > 0, bit).otherwise(F.lit(0).cast("long")))
+        sim = sim.bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0, bit).otherwise(F.lit(0).cast("long"))
+        )
     return sim
+
+
+def _chunk_layout(n_chunks: int, bits: int = 64) -> list[tuple[int, int]]:
+    """Partition ``bits`` into ``n_chunks`` contiguous (offset, width)
+    spans — the first bits % n_chunks chunks get the extra bit."""
+    base = bits // n_chunks
+    extra = bits % n_chunks
+    layout, off = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        layout.append((off, width))
+        off += width
+    return layout
 
 
 def simhash_near_dups(
@@ -186,25 +271,32 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ k.
 
-    Scale path: block on 4 16-bit chunks (pigeonhole: distance ≤3 ⇒ at
-    least one chunk equal), join per chunk — shuffle on chunk value,
-    never all-pairs."""
+    Scale path: pigeonhole blocking on max_hamming+1 disjoint bit
+    chunks — any pair within distance k has at least one chunk with
+    zero differing bits, so the per-chunk equi-join has full recall at
+    the configured radius (never all-pairs). Join keys are uniform hash
+    chunks, so no skew."""
+    n_chunks = max_hamming + 1
+    if n_chunks > 32:
+        raise ValueError("max_hamming too large for 64-bit pigeonhole blocking")
     sh = df.select(
         F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sim")
     )
+    def chunk_val(off: int, width: int):
+        # a full-width chunk (max_hamming=0) needs no mask — and
+        # (1 << 64) - 1 would overflow BIGINT anyway
+        if width >= 64:
+            return F.col("sim")
+        return F.shiftright("sim", off).bitwiseAND(F.lit((1 << width) - 1))
+
     chunks = sh.select(
         "id",
         "sim",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("sim", c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("val"),
-                    )
-                    for c in range(4)
+                    F.struct(F.lit(c).alias("chunk"), chunk_val(off, width).alias("val"))
+                    for c, (off, width) in enumerate(_chunk_layout(n_chunks))
                 ]
             )
         ).alias("cv"),

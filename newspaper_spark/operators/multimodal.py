@@ -49,16 +49,18 @@ def _decode_image(payload: bytes, real_decode: bool = False):
     """STUB: real implementation needs PIL/opencv (absent here).
 
     Raises NotImplementedError when real_decode is requested; otherwise
-    returns a deterministic fake (dims derived from payload bytes) so
-    the Spark plumbing is exercisable end-to-end."""
+    returns a deterministic fake whose dims derive from md5(payload) —
+    chosen so the DuckDB oracle reconstructs them in pure SQL
+    (width = 64 + ('0x' || substring(md5(text),1,2))::INT etc.)."""
     if real_decode:
         raise NotImplementedError("image decode requires PIL/opencv")
-    if not payload:
-        return (0, 0, 1, [0.0] * 8)
-    w = 64 + payload[0]
-    h = 64 + payload[-1]
-    feat = [float(b) / 255.0 for b in payload[:8]] + [0.0] * max(0, 8 - len(payload))
-    return (w, h, 1, feat[:8])
+    import hashlib
+
+    hx = hashlib.md5(payload or b"").hexdigest()
+    w = 64 + int(hx[:2], 16)
+    h = 64 + int(hx[30:32], 16)
+    feat = [int(hx[2 * i : 2 * i + 2], 16) / 255.0 for i in range(8)]
+    return (w, h, 1, feat)
 
 
 def extract_media_features(
@@ -67,29 +69,39 @@ def extract_media_features(
     """mapInPandas stage: binary payload → (dims, frames, feature vec).
 
     Errors never kill the task — they land in the ``error`` column
-    (per-row fault tolerance, same policy as the HTML kernel)."""
+    (per-row fault tolerance, same policy as the HTML kernel). The
+    batch loop iterates column arrays directly (zip over numpy values,
+    never ``iterrows``) and emits one column-oriented frame per batch."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                rec = {
-                    "media_id": row["media_id"],
-                    "kind": row["kind"],
-                    "n_bytes": row["n_bytes"],
-                    "width": None,
-                    "height": None,
-                    "n_frames": None,
-                    "feature": None,
-                    "error": None,
-                }
+            widths, heights, frames, feats, errs = [], [], [], [], []
+            for payload in pdf["payload"].values:
                 try:
-                    w, h, nf, feat = _decode_image(row["payload"], real_decode)
-                    rec.update(width=w, height=h, n_frames=nf, feature=feat)
+                    w, h, nf, feat = _decode_image(payload, real_decode)
+                    widths.append(w)
+                    heights.append(h)
+                    frames.append(nf)
+                    feats.append(feat)
+                    errs.append(None)
                 except Exception as e:  # noqa: BLE001
-                    rec["error"] = f"{type(e).__name__}: {e}"
-                out.append(rec)
-            yield pd.DataFrame(out)
+                    widths.append(None)
+                    heights.append(None)
+                    frames.append(None)
+                    feats.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "n_bytes": pdf["n_bytes"].values,
+                    "width": widths,
+                    "height": heights,
+                    "n_frames": frames,
+                    "feature": feats,
+                    "error": errs,
+                }
+            )
 
     pruned = df.select("media_id", "kind", "n_bytes", "payload")
     return pruned.mapInPandas(op, schema=FEATURE_SCHEMA)

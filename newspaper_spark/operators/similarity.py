@@ -3,19 +3,23 @@
 * brute_force_topk — exact cosine top-k per query; dot products via
   ``zip_with``/``aggregate`` (JVM, no Python), ranked with a window.
   Baseline + correctness oracle.
-* lsh_topk — random-hyperplane LSH bucketing as the scale path: each
-  vector hashes to a sign-bit signature; candidates come from an
-  equi-join on (probe) signatures, so the shuffle is proportional to
-  bucket collisions, not |Q|×|N|. At 100 TB the signature join
-  partitions uniformly by construction.
+* lsh_topk — random-hyperplane LSH with BANDED signatures as the scale
+  path: each vector hashes to an n_planes sign-bit string split into
+  ``bands`` sub-signatures; a pair is a candidate when ANY band
+  matches (union of equi-joins), which keeps recall usable near the
+  threshold while the shuffle stays proportional to bucket collisions,
+  not |Q|×|N|.
+* embedding_dedup_pairs — near-duplicate pairs over one table via the
+  same banded bucket join.
 
 Hyperplanes are deterministic (md5-derived pseudo-randoms), so results
-are reproducible and oracle-checkable.
+are reproducible and oracle-checkable, and every function is a pure
+plan builder: no driver-side actions (``dim`` is a parameter, never
+probed with ``.first()``).
 """
 from __future__ import annotations
 
 import hashlib
-import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -51,7 +55,8 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k: broadcast the query side (queries ≪ corpus at scale),
     rank with a per-query window. Returns (query_id, neighbor_id, cos,
-    rank)."""
+    rank). Deliberately a broadcast cartesian — the exact baseline; the
+    scale path is lsh_topk."""
     q = queries.select(
         F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv")
     )
@@ -75,21 +80,27 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list:
-    """Deterministic pseudo-random unit-ish hyperplanes from md5 bits."""
+def hyperplanes(dim: int, n_planes: int) -> list:
+    """Deterministic pseudo-random unit-ish hyperplanes from md5 bits.
+
+    Component (p, d) = int(md5('plane:p:d')[:8], 16) / 2^31 − 1 — the
+    DuckDB oracle reconstructs the identical doubles with
+    ('0x' || substring(md5(...), 1, 8))::BIGINT / 2147483648.0 − 1."""
     planes = []
     for p in range(n_planes):
         vec = []
         for d in range(dim):
             h = hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()
-            # map 8 hex chars to [-1, 1)
             vec.append(int(h[:8], 16) / 2**31 - 1.0)
         planes.append(vec)
     return planes
 
 
 def signature_col(vec, planes):
-    """Sign-bit signature string for one vector against fixed planes."""
+    """Sign-bit signature string for one vector against fixed planes.
+
+    Dot products fold left-to-right in double precision, so the oracle's
+    explicit sum expression reproduces the exact same signs."""
     bits = [
         F.when(
             F.aggregate(
@@ -109,23 +120,45 @@ def signature_col(vec, planes):
     return F.concat(*bits)
 
 
+def _explode_bands(df: DataFrame, id_alias: str, bands: int, band_size: int) -> DataFrame:
+    """(id, sig) → one row per (id, band, band-substring)."""
+    return df.select(
+        id_alias,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("sig", b * band_size + 1, band_size).alias("bsig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_alias, "bb.band", "bb.bsig")
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
-    dim: int | None = None,
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
     q_id: str = "vec_id",
     c_id: str = "vec_id",
     q_vec: str = "embedding",
     c_vec: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: bucket by hyperplane signature, rank within
-    buckets. Recall < 1 by design; the bench compares against
-    brute_force_topk for recall measurement."""
-    if dim is None:
-        dim = len(corpus.select(c_vec).first()[0])
-    planes = _hyperplanes(dim, n_planes)
+    """Approximate top-k via banded hyperplane LSH.
+
+    Candidates = pairs sharing at least one of ``bands`` sub-signatures
+    (union of co-partitioned equi-joins, deduped on ids), then exact
+    cosine + per-query rank over candidates only. Recall < 1 by design;
+    the band count trades recall for shuffle width."""
+    assert n_planes % bands == 0, "n_planes must divide into bands"
+    band_size = n_planes // bands
+    planes = hyperplanes(dim, n_planes)
     q = queries.select(
         F.col(q_id).alias("query_id"),
         F.col(q_vec).alias("qv"),
@@ -136,9 +169,17 @@ def lsh_topk(
         F.col(c_vec).alias("cv"),
         signature_col(F.col(c_vec), planes).alias("sig"),
     )
-    scored = (
-        q.join(c, "sig")
+    qb = _explode_bands(q, "query_id", bands, band_size)
+    cb = _explode_bands(c, "neighbor_id", bands, band_size)
+    cand = (
+        qb.join(cb, ["band", "bsig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(q.select("query_id", "qv"), "query_id")
+        .join(c.select("neighbor_id", "cv"), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -153,26 +194,45 @@ def lsh_topk(
 
 def embedding_dedup_pairs(
     df: DataFrame,
-    threshold: float = 0.98,
+    threshold: float = 0.9,
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 16,
+    bands: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via the LSH bucket join."""
-    dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes)
+    """Embedding-cosine near-duplicate pairs via the banded LSH bucket
+    join (id_a < id_b). Any-band-match candidate generation keeps
+    recall high near the threshold; exact cosine verifies."""
+    assert n_planes % bands == 0, "n_planes must divide into bands"
+    band_size = n_planes // bands
+    planes = hyperplanes(dim, n_planes)
     sigd = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         signature_col(F.col(vec_col), planes).alias("sig"),
     )
-    l, r = sigd.alias("l"), sigd.alias("r")
+    b = _explode_bands(sigd, "id", bands, band_size)
+    l, r = b.alias("l"), b.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bsig") == F.col("r.bsig"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    va = sigd.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = sigd.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        l.join(r, (F.col("l.sig") == F.col("r.sig")) & (F.col("l.id") < F.col("r.id")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.round(cosine_col(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -60,6 +60,24 @@ def test_simhash_hamming(spark, docs):
     assert near is not None and near <= 10
 
 
+def test_simhash_blocking_recall_at_radius(spark):
+    """Pigeonhole blocking must guarantee recall at the CONFIGURED
+    radius: this pair sits at hamming distance 5 — guaranteed found
+    with max_hamming=8 (9 chunks), missable under 4-chunk blocking."""
+    from newspaper_spark.operators.dedup import simhash_near_dups
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the stone cat again and again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dups(df, max_hamming=8).collect()
+    }
+    assert pairs.get((1, 2)) == 5
+
+
 def test_brute_force_topk(spark):
     from newspaper_spark.operators.similarity import brute_force_topk
 
@@ -93,7 +111,7 @@ def test_lsh_recall_against_brute(spark):
     }
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in lsh_topk(q, emb, k=3, n_planes=4).collect()
+        for r in lsh_topk(q, emb, k=3, dim=3, n_planes=4, bands=4).collect()
     }
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
@@ -108,7 +126,9 @@ def test_embedding_dedup(spark):
         (3, [0.0, 1.0]),
     ]
     emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
-    pairs = {(r.id_a, r.id_b) for r in embedding_dedup_pairs(emb, 0.99).collect()}
+    pairs = {
+        (r.id_a, r.id_b) for r in embedding_dedup_pairs(emb, 0.99, dim=2).collect()
+    }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs
 
