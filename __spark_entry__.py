@@ -259,10 +259,12 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    from newspaper_spark.operators.dedup import simhash_col
+    from newspaper_spark.operators.dedup import simhash_table
 
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", simhash_col(F.col("text")).alias("simhash"))
+    return simhash_table(d).select(
+        F.col("id").alias("doc_id"), F.col("sim").alias("simhash")
+    )
 
 
 def q_simhash_near_dups(spark, sf_dir):
