@@ -5,20 +5,31 @@ representative operator queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1), on local[$SPARK_GRAFT_CPUS] (default 32), and prints ONE JSON
 line:
 
-  {"metric": "extraction_throughput", "value": <turns/sec at full
+  {"metric": "extraction_throughput", "value": <seconds at full
    cores>, "unit": "sec", "queries": {...per-query seconds...},
-   "sf": ..., "scaling": {...}}
+   "sf": ..., "turns_per_sec": ..., "scaling": {...}}
 
 Scaling efficiency (north rule, sandbox proxy): the same extraction
 job runs at N=8 and 4N=32 local cores in separate *subprocesses*, each
 pinned with sched_setaffinity to exactly that many CPUs — so the
 "8-core executor" cannot borrow the other 24 cores for JVM work, just
 like a real cluster executor. efficiency = throughput(32) /
-(4 × throughput(8)). Residual gap vs a real cluster: a single host
-clocks 8 busy cores higher than 32 busy cores (turbo), which separate
-executor machines would not see.
+(4 × throughput(8)).
 
-Set SPARK_GRAFT_BENCH_SCALING=0 to skip the second run (driver smoke).
+The JSON also carries the NO-FRAMEWORK CEILING: the identical
+extraction kernel over the identical synthetic pages via raw
+multiprocessing (pages shared copy-on-write through fork, workers
+return counts — zero pipe traffic), at the same two pinned levels.
+A single host clocks 8 busy cores higher than 32 busy cores (turbo /
+shared memory subsystem / hypervisor steal), which separate executor
+machines would not see — the ceiling quantifies exactly that
+machine-imposed loss, and `efficiency_framework_relative` =
+spark_efficiency / ceiling_efficiency isolates what Spark itself
+costs. The first pinned run of a session is a cold-cache outlier, so
+one discarded warm-up run precedes measurement and levels interleave
+across reps (medians reported, raw samples included).
+
+Set SPARK_GRAFT_BENCH_SCALING=0 to skip scaling+ceiling (driver smoke).
 """
 from __future__ import annotations
 
@@ -32,6 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 _TARGET_TURNS = 40000  # enough work to amortize per-task overhead
+_CEILING_TURNS = 16000
 
 
 def _replication() -> int:
@@ -90,9 +102,99 @@ def extraction_run(cores: int) -> tuple[float, int]:
         spark.stop()
 
 
+# ---------------------------------------------------------------------------
+# no-framework ceiling: identical kernel, identical pages, bare
+# multiprocessing — measures what this MACHINE loses going 8 → 32 busy
+# cores, independent of Spark
+# ---------------------------------------------------------------------------
+
+_CEILING_PAGES: list | None = None  # set pre-fork; children inherit via COW
+
+
+def _build_pages(n: int) -> list:
+    """The same synthetic pages synthetic_html_col builds, in Python."""
+    import re as _re
+
+    import duckdb
+
+    from newspaper_spark.sources.transcripts import (
+        _BOILER_FOOT,
+        _BOILER_NAV,
+        BODY_REPEAT,
+        PARA_LEAD,
+        PARA_WORDS,
+    )
+
+    rows = duckdb.sql(
+        f"select doc_id, text, coalesce(lang, 'en') from '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    pat = _re.compile(r"((?:\S+ ){%d})" % PARA_WORDS)
+    pages = []
+    i = 0
+    while len(pages) < n:
+        doc_id, text, lang = rows[i % len(rows)]
+        block = (
+            "<p>" + PARA_LEAD
+            + pat.sub(lambda m: m.group(1) + "</p><p>" + PARA_LEAD, text)
+            + "</p>"
+        )
+        title = f"Document number {doc_id} on data systems"
+        pages.append(
+            '<html lang="en"><head><title>' + title + " - Example Media</title>"
+            '<meta name="doc-lang" content="' + lang + '">'
+            '<meta property="og:site_name" content="Example Media">'
+            '<meta property="article:published_time" content="2014-12-30T00:00:00Z">'
+            '<meta name="author" content="Alex Writer">'
+            "</head><body>" + _BOILER_NAV + '<div class="article-body">'
+            + block * BODY_REPEAT
+            + "</div>" + _BOILER_FOOT + "</body></html>"
+        )
+        i += 1
+    return pages
+
+
+def _ceiling_worker(rng: tuple) -> int:
+    from newspaper_spark.kernel.article import extract_article
+
+    n_ok = 0
+    for i in range(rng[0], rng[1]):
+        rec = extract_article(_CEILING_PAGES[i])
+        if rec.get("status") == "ok":
+            n_ok += 1
+    return n_ok
+
+
+def ceiling_run(cores: int) -> tuple[float, int]:
+    """(seconds, n_pages) for the bare-multiprocessing kernel at
+    ``cores`` pinned CPUs. Pages live in a pre-fork global (COW), so
+    the pool moves counts, not HTML."""
+    global _CEILING_PAGES
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except (AttributeError, OSError):
+        pass
+    import multiprocessing as mp
+
+    n = _CEILING_TURNS
+    _CEILING_PAGES = _build_pages(n)
+    n_chunks = cores * 4
+    step = -(-n // n_chunks)
+    ranges = [(i, min(i + step, n)) for i in range(0, n, step)]
+    with mp.get_context("fork").Pool(cores) as pool:
+        # warm: import the kernel in every worker before timing
+        pool.map(_ceiling_worker, [(i, i + 1) for i in range(cores)])
+        t0 = time.time()
+        oks = pool.map(_ceiling_worker, ranges)
+        dt = time.time() - t0
+    assert sum(oks) > 0
+    return dt, n
+
+
 def query_timings(cores: int) -> dict:
     import __spark_entry__ as E
+    from newspaper_spark.operators.extract import extract_articles
     from newspaper_spark.plans.session import get_spark
+    from newspaper_spark.sources.transcripts import synthetic_transcripts
 
     headline = [
         "extract_fulltext",
@@ -100,16 +202,23 @@ def query_timings(cores: int) -> dict:
         "minhash_pairs",
         "simhash_near_dups",
         "ann_topk",
+        "ann_lsh",
+        "embedding_dedup",
         "lang_id",
         "quality",
         "keywords_topk",
         "sessionize",
         "events_hourly",
+        "media_features",
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)
     times = {}
     try:
+        # steady-state: fork + import every Python UDF worker once so the
+        # first UDF query isn't charged the one-time startup
+        warm = synthetic_transcripts(spark, SF_DIR).limit(cores * 4).repartition(cores)
+        extract_articles(warm).filter("status = 'ok'").count()
         for name in headline:
             t0 = time.time()
             df = qs[name](spark, SF_DIR)
@@ -120,12 +229,12 @@ def query_timings(cores: int) -> dict:
     return times
 
 
-def _run_pinned(cores: int) -> tuple[float, int]:
-    """Run extraction_run in a subprocess (affinity + fresh JVM)."""
+def _run_sub(mode: str, cores: int) -> tuple[float, int]:
+    """Run extraction/ceiling in a subprocess (affinity + fresh state)."""
     import subprocess
 
     proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--extract-run", str(cores)],
+        [sys.executable, os.path.abspath(__file__), mode, str(cores)],
         capture_output=True,
         text=True,
         check=True,
@@ -134,23 +243,31 @@ def _run_pinned(cores: int) -> tuple[float, int]:
     return out["seconds"], out["n"]
 
 
+def _run_pinned(cores: int) -> tuple[float, int]:
+    return _run_sub("--extract-run", cores)
+
+
 def main():
-    if len(sys.argv) > 2 and sys.argv[1] == "--extract-run":
-        dt, n = extraction_run(int(sys.argv[2]))
+    if len(sys.argv) > 2 and sys.argv[1] in ("--extract-run", "--ceiling-run"):
+        fn = extraction_run if sys.argv[1] == "--extract-run" else ceiling_run
+        dt, n = fn(int(sys.argv[2]))
         print(json.dumps({"seconds": dt, "n": n}))
         return
 
     do_scaling = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
-    # sustained all-core load triggers frequency throttling on this
-    # host, so single measurements are noisy: interleave high/low runs
-    # and take medians
+    # sustained all-core load triggers frequency scaling on this host
+    # and the first pinned run of a session pays cold page-cache / JIT
+    # costs: discard one warm-up run, interleave high/low across reps,
+    # report medians with raw samples
     import statistics
 
+    low_cores = max(CPUS // 4, 1)
     highs, lows = [], []
     n_turns = None
-    low_cores = max(CPUS // 4, 1)
+    if do_scaling:
+        _run_pinned(CPUS)  # discarded warm-up (cold-session outlier)
     for _ in range(reps if do_scaling else 1):
         dt, n_turns = _run_pinned(CPUS)
         highs.append(n_turns / dt)
@@ -164,6 +281,16 @@ def main():
     if do_scaling:
         thr_low = statistics.median(lows)
         efficiency = thr_full / (4.0 * thr_low)
+        # machine ceiling: same kernel, same pages, no framework
+        c_highs, c_lows = [], []
+        for _ in range(2):
+            dt_c, n_c = _run_sub("--ceiling-run", CPUS)
+            c_highs.append(n_c / dt_c)
+            dt_c, n_c = _run_sub("--ceiling-run", low_cores)
+            c_lows.append(n_c / dt_c)
+        ceil_high = statistics.median(c_highs)
+        ceil_low = statistics.median(c_lows)
+        ceil_eff = ceil_high / (4.0 * ceil_low)
         scaling = {
             "cores_low": low_cores,
             "cores_high": CPUS,
@@ -172,6 +299,18 @@ def main():
             "efficiency_nx4": round(efficiency, 3),
             "samples_high": [round(x, 1) for x in highs],
             "samples_low": [round(x, 1) for x in lows],
+            "ceiling": {
+                "method": "raw multiprocessing, identical kernel+pages, "
+                          "COW-shared input, pinned affinity",
+                "turns_per_sec_low": round(ceil_low, 2),
+                "turns_per_sec_high": round(ceil_high, 2),
+                "efficiency_nx4": round(ceil_eff, 3),
+                "samples_high": [round(x, 1) for x in c_highs],
+                "samples_low": [round(x, 1) for x in c_lows],
+            },
+            "efficiency_framework_relative": round(
+                min(efficiency / ceil_eff, 1.0), 3
+            ) if ceil_eff > 0 else None,
         }
 
     queries = query_timings(CPUS)
