@@ -172,7 +172,6 @@ class _TreeBuilder(HTMLParser):
                 if tag not in VOID_ELEMENTS:
                     # rawtext/title content captured via stack
                     self.stack.append(el)
-                    self._head_pending = True
                 return
             self._enter_body()
 
@@ -205,8 +204,6 @@ class _TreeBuilder(HTMLParser):
         for i in range(len(self.stack) - 1, -1, -1):
             if self.stack[i].tag == tag:
                 del self.stack[i:]
-                if not self.in_body and not self.stack:
-                    pass
                 return
         # stray end tag: ignored (libxml2 recovery)
 
@@ -337,6 +334,17 @@ def fromstring(html: str) -> Element | None:
                 break
     if body is None:
         return root
+    # fragment parse: head-only elements (meta/link/title/…) were routed
+    # into the implied <head> — graft them back to the front of the
+    # returned content so fragment consumers (extract_meta_refresh,
+    # get_feed_urls) still see them, matching lxml's body-context
+    # fragment parse where such tags stay in place
+    head = root[0] if len(root) > 0 and root[0].tag == "head" else None
+    if head is not None:
+        for pos, hc in enumerate(list(head)):
+            head.remove(hc)
+            hc.tail = None
+            body.insert(pos, hc)
     kids = body._children
     if (
         len(kids) == 1

@@ -11,7 +11,7 @@ _TreeBuilder implements.
 from __future__ import annotations
 
 import re
-from html import unescape
+from html.entities import html5 as _HTML5_ENTITIES
 from html.parser import (
     attrfind_tolerant,
     charref,
@@ -21,6 +21,37 @@ from html.parser import (
 )
 
 _INTERESTING = re.compile("[&<]")
+
+# html.unescape's charref pattern, reused so NAMED entity semantics in
+# attribute values stay identical to stdlib; numeric refs get the same
+# literal-codepoint rule as _TreeBuilder.handle_charref (libxml2 emits
+# the raw codepoint for C1 refs — no HTML5 remap of &#146; → ’)
+_ATTR_CHARREF = re.compile(
+    r"&(#[0-9]+;?|#[xX][0-9a-fA-F]+;?|[^\t\n\f <&#;]{1,32};?)"
+)
+
+
+def _replace_attr_charref(m) -> str:
+    s = m.group(1)
+    if s[0] == "#":
+        body = s.rstrip(";")
+        cp = int(body[2:], 16) if body[1] in ("x", "X") else int(body[1:])
+        if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+            return chr(cp)
+        return "�"
+    if s in _HTML5_ENTITIES:
+        return _HTML5_ENTITIES[s]
+    # longest historical no-semicolon prefix, as html.unescape does
+    for x in range(len(s) - 1, 1, -1):
+        if s[:x] in _HTML5_ENTITIES:
+            return _HTML5_ENTITIES[s[:x]] + s[x:]
+    return "&" + s
+
+
+def _decode_attr_value(value: str) -> str:
+    if "&" not in value:
+        return value
+    return _ATTR_CHARREF.sub(_replace_attr_charref, value)
 _COMMENT_CLOSE = re.compile(r"--\s*>")
 _ENDTAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _MARKED_CLOSE = re.compile(r"]\s*]\s*>|]\s*>")
@@ -99,7 +130,7 @@ def tokenize(rawdata: str, builder) -> None:
                     ):
                         attrvalue = attrvalue[1:-1]
                     if attrvalue:
-                        attrvalue = unescape(attrvalue)
+                        attrvalue = _decode_attr_value(attrvalue)
                     attrs.append((attrname.lower(), attrvalue))
                     k = am.end()
                 end = rawdata[k:endpos].strip()

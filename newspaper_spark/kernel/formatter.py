@@ -55,18 +55,59 @@ _ARTICLE_HTML_ALLOW = frozenset(
     "h5 h6 ul ol li dl dt dd".split()
 )
 
+# subtrees the reference's Cleaner KILLS rather than unwraps: script /
+# style (scripts+style=True), form controls (forms=True) and embedded
+# content (embedded/frames=True kill applet/object/embed/iframe)
+_ARTICLE_HTML_KILL = frozenset(
+    "script style form button input select textarea applet object "
+    "embed iframe frame frameset".split()
+)
+
+# lxml.html.defs.safe_attrs — the Cleaner's safe_attrs_only=True default
+_SAFE_ATTRS = frozenset(
+    "abbr accept accept-charset accesskey action align alt axis border "
+    "cellpadding cellspacing char charoff charset checked cite class "
+    "clear cols colspan color compact coords datetime dir disabled "
+    "enctype for frame headers height href hreflang hspace id ismap "
+    "label lang longdesc maxlength media method multiple name nohref "
+    "noshade nowrap prompt readonly rel rev rows rowspan rules scope "
+    "selected shape size span src start summary tabindex target title "
+    "type usemap valign value vspace width".split()
+)
+
+_SCRIPT_SCHEMES = ("javascript:", "vbscript:")
+
+
+def _sanitize_attrs(el: Element) -> None:
+    """safe_attrs_only + javascript=True attribute behavior: drop
+    attributes outside lxml's safe set (on* handlers, style, data-*)
+    and neutralize script-scheme URLs in href/src."""
+    attrib = el.attrib
+    for key in list(attrib):
+        if key.lower() not in _SAFE_ATTRS:
+            del attrib[key]
+            continue
+        if key.lower() in ("href", "src"):
+            # scheme check ignores embedded whitespace/control chars the
+            # way browsers do ("java\tscript:" is still live)
+            value = "".join((attrib[key] or "").split()).lower()
+            if any(value.startswith(s) for s in _SCRIPT_SCHEMES):
+                del attrib[key]
+
 
 def convert_to_html(top_node: Element) -> str:
     """keep_article_html output: whitelist-clean the top node and
     serialize (Parser.clean_article_html, parsers.py:74-85 — lxml
-    Cleaner with allow_tags: scripts/styles/comments removed, other
-    non-allowed tags unwrapped keeping their content)."""
-    from ..dom import iter_comments, node_to_html, remove_keep_tail
+    Cleaner with allow_tags). Parity with the Cleaner's defaults:
+    script/style/comment and form/embedded subtrees are KILLED, other
+    non-allowed tags unwrap keeping content, surviving elements keep
+    only safe_attrs and never a script-scheme href/src."""
+    from ..dom import iter_comments, node_to_html
 
     node = top_node.copy_subtree()
     node.tail = None
     for el in list(node.iterdescendants()):
-        if el.tag in ("script", "style"):
+        if el.tag in _ARTICLE_HTML_KILL:
             parent = el.getparent()
             if parent is not None:
                 parent.remove(el)
@@ -85,8 +126,12 @@ def convert_to_html(top_node: Element) -> str:
             ):
                 drop_tag_keep_content(el)
                 changed = True
+    for el in node.iterdescendants():
+        if isinstance(el.tag, str):
+            _sanitize_attrs(el)
     if isinstance(node.tag, str) and node.tag not in _ARTICLE_HTML_ALLOW:
         node.tag = "div"  # lxml Cleaner keeps a root container
+    _sanitize_attrs(node)
     return node_to_html(node, with_tail=False)
 
 

@@ -27,7 +27,11 @@ from .urlutils import STRICT_DATE_REGEX
 
 RE_LANG = r"^[A-Za-z]{2}$"
 
-_MOTLEY = "�"  # &#65533; decoded
+# the reference's MOTLEY_REPLACEMENT targets the literal string
+# '&#65533;' AFTER libxml2 has already decoded numeric refs — i.e. it
+# never matches and the decoded U+FFFD stays in titles. Mirror the
+# literal-string replace for exact parity.
+_MOTLEY = "&#65533;"
 A_REL_TAG_SELECTOR = "a[rel=tag]"
 A_HREF_TAG_SELECTOR = (
     "a[href*='/tag/'], a[href*='/tags/'], a[href*='/topic/'], a[href*='?keyword=']"
@@ -50,24 +54,38 @@ _HINT_FILTER = re.compile(r"[^a-zA-Z0-9\ ]")
 _DIGITS = re.compile(r"\d")
 
 
-def _parse_byline(search_str: str) -> list:
-    search_str = re.sub("<[^<]+?>", "", search_str)
-    search_str = re.sub(r"[bB][yY][\:\s]|[fF]rom[\:\s]", "", search_str)
-    search_str = search_str.strip()
-    name_tokens = [s.strip() for s in re.split(r"[^\w\'\-\.]", search_str)]
-    _authors = []
-    curname = []
-    delimiters = ["and", ",", ""]
-    for token in name_tokens:
-        if token in delimiters:
-            if len(curname) > 0:
-                _authors.append(" ".join(curname))
-                curname = []
-        elif not _DIGITS.search(token):
-            curname.append(token)
-    if len(curname) >= 2:
-        _authors.append(" ".join(curname))
-    return _authors
+_BYLINE_TAGS = re.compile("<[^<]+?>")
+_BYLINE_PREFIX = re.compile(r"[bB][yY][\:\s]|[fF]rom[\:\s]")
+_NAME_BOUNDARY = re.compile(r"[^\w\'\-\.]")
+
+
+def _parse_byline(raw: str) -> list:
+    """Split one byline string into author names.
+
+    Same grammar as the reference's byline parser
+    (/root/reference/newspaper/extractors.py:94-134): drop markup and a
+    leading By:/From:, then cut the token stream at 'and' / ',' /
+    empty-token boundaries. Digit-bearing tokens are discarded; the
+    trailing fragment only counts as a name when it has ≥2 words.
+    """
+    text = _BYLINE_TAGS.sub("", raw)
+    text = _BYLINE_PREFIX.sub("", text).strip()
+
+    names: list = []
+    pending: list = []
+
+    def flush(min_words: int = 1):
+        if len(pending) >= min_words:
+            names.append(" ".join(pending))
+        pending.clear()
+
+    for tok in (t.strip() for t in _NAME_BOUNDARY.split(text)):
+        if tok in ("and", ",", ""):
+            flush()
+        elif not _DIGITS.search(tok):
+            pending.append(tok)
+    flush(min_words=2)
+    return names
 
 
 def get_authors(doc: Element) -> list:

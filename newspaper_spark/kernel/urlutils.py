@@ -291,7 +291,13 @@ def extract_meta_refresh(html: str):
     doc = fromstring(html) if isinstance(html, str) else html
     if doc is None:
         return None
-    for el in find_by_tag(doc, tag="meta", attr="http-equiv", value="refresh"):
+    # a bare '<meta …>' fragment unwraps to the meta element itself, and
+    # find_by_tag mirrors getElementsByTag's drop-the-root quirk — so
+    # consider the root too (the reference's soup parse finds it)
+    candidates = list(find_by_tag(doc, tag="meta", attr="http-equiv", value="refresh"))
+    if doc.tag == "meta" and (doc.get("http-equiv") or "").lower() == "refresh":
+        candidates.insert(0, doc)
+    for el in candidates:
         content = el.get("content")
         if content is None:
             continue

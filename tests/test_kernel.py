@@ -393,6 +393,28 @@ def test_article_html_whitelist():
     assert rec2["article_html"] == ""
 
 
+def test_article_html_sanitizes_attributes_and_forms():
+    """lxml-Cleaner parity: on* handlers and script-scheme hrefs are
+    stripped, form/embedded subtrees are killed (not unwrapped)."""
+    from newspaper_spark.dom import fromstring
+    from newspaper_spark.kernel.formatter import convert_to_html
+
+    node = fromstring(
+        "<div>"
+        '<p onclick="evil()" class="x">Hello <a href="java\tscript:alert(1)">link</a></p>'
+        '<a href="/ok" onmouseover="evil()">fine</a>'
+        "<button>CLICK ME</button><textarea>typed</textarea>"
+        '<img src="vbscript:boom" alt="pic">'
+        "</div>"
+    )
+    out = convert_to_html(node)
+    assert "onclick" not in out and "onmouseover" not in out
+    assert "script:" not in out.lower()
+    assert "CLICK ME" not in out and "typed" not in out  # killed, not unwrapped
+    assert 'class="x"' in out and 'href="/ok"' in out  # safe attrs survive
+    assert 'alt="pic"' in out and "vbscript" not in out
+
+
 @requires_reference
 def test_meta_refresh_extraction():
     """utils.py:184-204 via the meta-refresh fixtures
