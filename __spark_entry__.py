@@ -516,6 +516,58 @@ def q_sessionize(spark, sf_dir):
     return session_stats(ev, gap_minutes=30, tiebreak_col="event_id")
 
 
+def _image_candidates(spark, sf_dir):
+    """Three deterministic image candidates per document (dims from
+    md5 — SQL-reconstructable), one with 'logo' in the URL."""
+    d = _docs(spark, sf_dir)
+
+    def hx2(k, pos):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("text"), F.lit(f":{k}"))), pos, 2),
+            16, 10,
+        ).cast("int")
+
+    parts = []
+    for k in range(3):
+        stem = "/logo-" if k == 1 else "/img-"
+        url = F.concat(
+            F.lit("http://img.example.com/"),
+            F.col("doc_id").cast("string"),
+            F.lit(f"{stem}{k}.jpg"),
+        )
+        parts.append(
+            d.select(
+                "doc_id",
+                url.alias("img_url"),
+                (40 + hx2(k, 1) * 4).alias("width"),
+                (40 + hx2(k, 31) * 3).alias("height"),
+            )
+        )
+    return parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+
+def q_image_score(spark, sf_dir):
+    """Entropy/area image-candidate ranking (images.py:181-220 math;
+    fetch oos). Top candidate per doc by calculate_area semantics."""
+    from newspaper_spark.operators.images import top_image_by_area
+
+    cands = _image_candidates(spark, sf_dir)
+    return top_image_by_area(cands).select(
+        F.col("id").alias("doc_id"), "img_url", "score"
+    )
+
+
+def q_text_entropy(spark, sf_dir):
+    """Shannon entropy of the char distribution per doc — the
+    image_entropy histogram math (images.py:49-55) as a relational
+    aggregation."""
+    from newspaper_spark.operators.images import text_entropy
+
+    return text_entropy(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "entropy"
+    )
+
+
 def q_media_features(spark, sf_dir):
     from newspaper_spark.operators.multimodal import attach_media, extract_media_features
 
@@ -557,6 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "media_features": q_media_features,
+        "image_score": q_image_score,
+        "text_entropy": q_text_entropy,
         "nlp_keywords": q_nlp_keywords,
         "nlp_summary": q_nlp_summary,
         "prepare_url": q_prepare_url,
@@ -736,6 +790,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_oracle(),
         "embedding_dedup": _embedding_dedup_oracle(),
         "media_features": _MEDIA_FEATURES_ORACLE,
+        "image_score": _IMAGE_SCORE_ORACLE,
+        "text_entropy": """
+            SELECT doc_id, round(entropy(c), 6) AS entropy
+            FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c
+                  FROM documents)
+            GROUP BY doc_id
+        """,
         "nlp_keywords": _nlp_keywords_oracle(),
         "prepare_url": """
             SELECT doc_id,
@@ -1152,6 +1213,42 @@ def _embedding_dedup_oracle() -> str:
         JOIN sigs b ON b.vec_id = c.id_b
         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
     """
+
+
+def _image_score_cand_sql(k: int) -> str:
+    stem = "/logo-" if k == 1 else "/img-"
+    return f"""
+        SELECT doc_id,
+               'http://img.example.com/' || doc_id::VARCHAR || '{stem}{k}.jpg' AS img_url,
+               40 + ('0x' || substring(md5(text || ':{k}'), 1, 2))::INT * 4 AS width,
+               40 + ('0x' || substring(md5(text || ':{k}'), 31, 2))::INT * 3 AS height
+        FROM documents
+    """
+
+
+_IMAGE_SCORE_ORACLE = f"""
+    WITH cand AS (
+        {_image_score_cand_sql(0)} UNION ALL {_image_score_cand_sql(1)}
+        UNION ALL {_image_score_cand_sql(2)}
+    ), scored AS (
+        SELECT doc_id, img_url,
+               CASE WHEN (width * height)::DOUBLE < 5000 THEN 0.0
+                    WHEN width < 90 THEN 0.0
+                    WHEN greatest(width, height)::DOUBLE / least(width, height)
+                         > (16.0 / 9.0) THEN 0.0
+                    WHEN lower(img_url) LIKE '%sprite%'
+                         OR lower(img_url) LIKE '%logo%'
+                         THEN (width * height)::DOUBLE / 10
+                    ELSE (width * height)::DOUBLE END AS score
+        FROM cand
+    )
+    SELECT doc_id, img_url, round(score, 4) AS score FROM (
+        SELECT doc_id, img_url, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, img_url) AS rn
+        FROM scored WHERE score > 0)
+    WHERE rn = 1
+"""
 
 
 _MEDIA_FEATURES_ORACLE = """

@@ -52,6 +52,7 @@ _EMPTY = {
     "meta_favicon": "",
     "meta_type": "",
     "canonical_link": "",
+    "meta_refresh_target": None,
     "tags": [],
     "meta_img": "",
     "top_image": "",
@@ -103,6 +104,12 @@ def extract_article(html: str, url: str = "", language: str = "en",
     rec["meta_site_name"] = get_meta_site_name(clean_doc, midx)
     rec["meta_description"] = get_meta_description(clean_doc, midx)
     rec["canonical_link"] = get_canonical_link(url, clean_doc, midx)
+    # surfaced as an output column so a pipeline CAN refetch the
+    # redirect target (the reference's follow_meta_refresh loop,
+    # article.py:202-207, is off by default and needs network — oos)
+    from .urlutils import extract_meta_refresh
+
+    rec["meta_refresh_target"] = extract_meta_refresh(clean_doc)
     rec["tags"] = sorted(extract_tags(clean_doc))
     mk = get_meta_keywords(clean_doc, midx)
     rec["meta_keywords"] = [k.strip() for k in mk.split(",")] if mk else []

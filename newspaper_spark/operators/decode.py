@@ -2,9 +2,12 @@
 
 The transcripts input carries decoded strings (input_hint), but raw
 crawl tables carry bytes; this is the UnicodeDammit stage
-(parsers.py:46-57) re-expressed without bs4: BOM sniff → declared
-charset (meta/xml decl) → utf-8 strict → cp1252 fallback (the superset
-that never fails). Vectorized over Arrow batches.
+(parsers.py:46-57) re-expressed without bs4/chardet: BOM sniff →
+declared charset (meta/xml decl) → utf-8 strict → statistical detector
+over the top legacy encodings (shift_jis / euc_jp / gbk / big5 /
+euc_kr / cp1252: trial-decode, then score how well the decoded
+codepoints match each encoding's expected script mix) → cp1252-replace
+as the never-fails floor. Vectorized over Arrow batches.
 """
 from __future__ import annotations
 
@@ -30,6 +33,78 @@ _BOMS = [
 ]
 
 
+# statistical fallback: candidate legacy encodings, scored on the
+# script mix of their NON-ASCII decode output (ASCII tags dominate HTML
+# and carry no signal). Families share ranges deliberately — the goal
+# is "undeclared Shift-JIS page stops decoding as mojibake", not a
+# perfect zh-TW/zh-CN split.
+_DETECT_CANDIDATES = ("shift_jis", "euc_jp", "gbk", "big5", "euc_kr", "cp1252")
+
+_EXPECTED_RANGES = {
+    # (lo, hi) inclusive codepoint ranges that look RIGHT per encoding
+    "shift_jis": ((0x3000, 0x30FF), (0x4E00, 0x9FFF), (0xFF00, 0xFFEF)),
+    "euc_jp": ((0x3000, 0x30FF), (0x4E00, 0x9FFF), (0xFF00, 0xFFEF)),
+    "gbk": ((0x3000, 0x30FF), (0x4E00, 0x9FFF), (0xFF00, 0xFFEF)),
+    "big5": ((0x3000, 0x303F), (0x4E00, 0x9FFF), (0xFF00, 0xFFEF)),
+    "euc_kr": ((0x1100, 0x11FF), (0x3130, 0x318F), (0x3000, 0x303F),
+               (0x4E00, 0x9FFF), (0xAC00, 0xD7AF)),
+    "cp1252": ((0x00A0, 0x024F), (0x2013, 0x2026), (0x20AC, 0x20AC)),
+}
+
+
+# the EUC-KR / GB2312 two-byte grids overlap almost entirely, so range
+# checks alone can't split them (Korean bytes decode to VALID hanzi
+# under gbk and vice versa). Tiny per-language frequency tables break
+# the tie: a correct decode hits its language's most common characters
+# constantly; a wrong-grid decode hits them at chance level.
+_COMMON_CHARS = {
+    "gbk": set("的一是不了人我在有他这为之大来以个中上们到说国和地也子时道出而要于就下得可你年生"),
+    "big5": set("的一是不了人我在有他這為之大來以個中上們到說國和地也子時道出而要於就下得可你年生"),
+    "euc_kr": set("이다는에하고의지을가서한들로도를은어있기사나것수그대보주정등시"),
+    "shift_jis": set("のにはをたがでてとしれさあるいうんなっ日本語"),
+    "euc_jp": set("のにはをたがでてとしれさあるいうんなっ日本語"),
+    "cp1252": set("éèêàâçüöäñáíóú“”‘’–—€«»"),
+}
+
+
+def _plausibility(txt: str, enc: str) -> float:
+    ranges = _EXPECTED_RANGES[enc]
+    common = _COMMON_CHARS[enc]
+    expected = weird = other = hits = 0
+    for ch in txt:
+        o = ord(ch)
+        if o < 0x80:
+            continue
+        if ch in common:
+            hits += 1
+        if any(lo <= o <= hi for lo, hi in ranges):
+            expected += 1
+        elif 0x80 <= o <= 0x9F or o == 0xFFFD or 0xE000 <= o <= 0xF8FF:
+            weird += 1  # C1 controls / replacement / private use: wrong
+        else:
+            other += 1
+    n = expected + weird + other
+    if n == 0:
+        return 0.0
+    return (expected - 2.0 * weird + 3.0 * hits) / n
+
+
+def _detect_and_decode(raw: bytes) -> str:
+    sample = raw[:65536]
+    best_enc, best_score = None, 0.0
+    for enc in _DETECT_CANDIDATES:
+        try:
+            txt = sample.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            continue
+        score = _plausibility(txt, enc)
+        if score > best_score:
+            best_enc, best_score = enc, score
+    if best_enc is not None:
+        return raw.decode(best_enc, "replace")
+    return raw.decode("cp1252", "replace")
+
+
 def decode_html_bytes(raw: bytes) -> str:
     if raw is None:
         return None
@@ -51,7 +126,7 @@ def decode_html_bytes(raw: bytes) -> str:
     try:
         return raw.decode("utf-8")
     except UnicodeDecodeError:
-        return raw.decode("cp1252", "replace")
+        return _detect_and_decode(raw)
 
 
 def _decode_batch(payloads: pd.Series) -> pd.Series:

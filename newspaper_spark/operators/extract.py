@@ -34,6 +34,7 @@ ARTICLE_FIELDS = [
     ("meta_favicon", T.StringType()),
     ("meta_type", T.StringType()),
     ("canonical_link", T.StringType()),
+    ("meta_refresh_target", T.StringType()),
     ("tags", T.ArrayType(T.StringType())),
     ("meta_img", T.StringType()),
     ("top_image", T.StringType()),

@@ -145,9 +145,19 @@ class ExtractionJob:
             shutil.rmtree(d)  # idempotent overwrite of a failed partition
 
     def _bucket_stats(self, group) -> dict:
-        out = self.spark.read.parquet(self.output_dir).filter(
-            F.col("bucket").isin(group)
-        )
+        # read ONLY this commit group's bucket dirs: scanning the whole
+        # output root per group would re-list every earlier bucket —
+        # O(groups²) listing amplification over a long job. basePath
+        # keeps the bucket partition column; buckets that wrote zero
+        # rows have no dir and fall back to the caller's default entry.
+        paths = [
+            p
+            for b in group
+            if os.path.isdir(p := os.path.join(self.output_dir, f"bucket={b}"))
+        ]
+        if not paths:
+            return {}
+        out = self.spark.read.option("basePath", self.output_dir).parquet(*paths)
         rows = (
             out.groupBy("bucket")
             .agg(

@@ -214,3 +214,70 @@ def test_decode_html_bytes(spark):
     assert "café" in out[2]
     assert out[3] == "bom text"
     assert "smart quotes" in out[4] and "é" in out[4]
+
+
+def test_charset_detection_undeclared():
+    """Statistical fallback: undeclared legacy CJK encodings decode to
+    the right script instead of cp1252 mojibake."""
+    from newspaper_spark.operators.decode import decode_html_bytes
+
+    cases = [
+        ("shift_jis", "<p>日本語のページです。漢字とひらがなとカタカナ。</p>"),
+        ("euc_kr", "<p>한국어 페이지입니다. 이것은 한국어 문서다.</p>"),
+        ("gbk", "<p>这是一个中文网页，我们的文章在这里。</p>"),
+        ("big5", "<p>這是一個中文網頁，我們的文章在這裡。</p>"),
+        ("cp1252", "<p>Voilà — “l’été” canción möglich €99.</p>"),
+    ]
+    for enc, text in cases:
+        assert decode_html_bytes(text.encode(enc)) == text, enc
+
+
+def test_image_candidate_scoring(spark):
+    """calculate_area semantics (reference images.py:198-220): tiny,
+    narrow and over-elongated candidates score 0; logo penalized 10x;
+    argmax per doc."""
+    from newspaper_spark.operators.images import top_image_by_area
+
+    rows = [
+        (1, "http://x/a.jpg", 100, 100),       # area 10000
+        (1, "http://x/b.jpg", 160, 100),       # area 16000, ratio 1.6 → winner
+        (1, "http://x/logo.jpg", 300, 300),    # 90000/10 = 9000
+        (1, "http://x/tiny.jpg", 60, 60),      # area < 5000 → 0
+        (1, "http://x/narrow.jpg", 80, 400),   # width < 90 → 0
+        (1, "http://x/banner.jpg", 900, 100),  # ratio 9 > 16/9 → 0
+        (2, "http://x/only-logo.jpg", 100, 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, img_url string, width int, height int")
+    out = {r.id: (r.img_url, r.score) for r in top_image_by_area(df).collect()}
+    assert out[1] == ("http://x/b.jpg", 16000.0)
+    assert out[2] == ("http://x/only-logo.jpg", 1000.0)
+
+
+def test_histogram_entropy_matches_relational(spark):
+    """The relational text_entropy equals the reference's histogram
+    formula (images.py:49-55) computed in Python."""
+    from collections import Counter
+
+    from newspaper_spark.operators.images import histogram_entropy, text_entropy
+
+    texts = ["aabb", "hello world", "你好你好吗"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {r.id: r.entropy for r in text_entropy(df).collect()}
+    for i, t in enumerate(texts):
+        expect = round(histogram_entropy(list(Counter(t).values())), 6)
+        assert abs(got[i] - expect) < 1e-6, (t, got[i], expect)
+
+
+def test_meta_refresh_target_column():
+    from newspaper_spark.kernel.article import extract_article
+
+    html = (
+        '<html><head><title>T - S</title>'
+        '<meta http-equiv="refresh" content="0;url=http://next.example/p">'
+        "</head><body><p>hello world text</p></body></html>"
+    )
+    rec = extract_article(html)
+    assert rec["meta_refresh_target"] == "http://next.example/p"
+    assert extract_article("<html><body><p>x</p></body></html>")["meta_refresh_target"] is None
