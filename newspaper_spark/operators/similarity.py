@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -120,6 +121,40 @@ def signature_col(vec, planes):
     return F.concat(*bits)
 
 
+def signature_udf(planes):
+    """Arrow-vectorized signature: one numpy batch op instead of
+    n_planes × dim interpreted Catalyst lambda evaluations per row
+    (the HOF path doesn't codegen). np.cumsum's last element IS the
+    sequential left-fold sum bit-for-bit (verified over random
+    vectors), so signs — and therefore buckets — match signature_col
+    and the DuckDB oracle exactly."""
+    import numpy as np
+
+    mat = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+
+    def _sig_batch(vecs: pd.Series) -> pd.Series:
+        # null / wrong-length vectors: the Column path's null dot fails
+        # the >= 0 test, i.e. all-'0' — mirror that
+        default = "0" * mat.shape[0]
+        arrs, idx = [], []
+        for i, v in enumerate(vecs):
+            if v is None or len(v) != mat.shape[1]:
+                continue
+            arrs.append(np.asarray(v, dtype=np.float64))
+            idx.append(i)
+        out = [default] * len(vecs)
+        if arrs:
+            stack = np.stack(arrs)  # (N, dim)
+            prods = stack[:, None, :] * mat[None, :, :]  # (N, planes, dim)
+            dots = np.cumsum(prods, axis=2)[:, :, -1]
+            bits = np.where(dots >= 0, "1", "0")
+            for i, row in zip(idx, bits):
+                out[i] = "".join(row)
+        return pd.Series(out, dtype="object")
+
+    return F.pandas_udf(_sig_batch, "string")
+
+
 def _explode_bands(df: DataFrame, id_alias: str, bands: int, band_size: int) -> DataFrame:
     """(id, sig) → one row per (id, band, band-substring)."""
     return df.select(
@@ -159,15 +194,16 @@ def lsh_topk(
     assert n_planes % bands == 0, "n_planes must divide into bands"
     band_size = n_planes // bands
     planes = hyperplanes(dim, n_planes)
+    sig = signature_udf(planes)
     q = queries.select(
         F.col(q_id).alias("query_id"),
         F.col(q_vec).alias("qv"),
-        signature_col(F.col(q_vec), planes).alias("sig"),
+        sig(F.col(q_vec)).alias("sig"),
     )
     c = corpus.select(
         F.col(c_id).alias("neighbor_id"),
         F.col(c_vec).alias("cv"),
-        signature_col(F.col(c_vec), planes).alias("sig"),
+        sig(F.col(c_vec)).alias("sig"),
     )
     qb = _explode_bands(q, "query_id", bands, band_size)
     cb = _explode_bands(c, "neighbor_id", bands, band_size)
@@ -210,7 +246,7 @@ def embedding_dedup_pairs(
     sigd = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        signature_col(F.col(vec_col), planes).alias("sig"),
+        signature_udf(planes)(F.col(vec_col)).alias("sig"),
     )
     b = _explode_bands(sigd, "id", bands, band_size)
     l, r = b.alias("l"), b.alias("r")
