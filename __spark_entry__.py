@@ -336,6 +336,22 @@ def q_lang_id(spark, sf_dir):
     return d.select("doc_id", "lang", lang_id_col(F.col("text")).alias("lang_id"))
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Token counting both ways (whitespace + BPE-ish sub-word
+    estimate via the pre-tokenizer regex)."""
+    from newspaper_spark.operators.textstats import (
+        bpe_ish_token_count_col,
+        token_count_col,
+    )
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def q_quality(spark, sf_dir):
     from newspaper_spark.operators.textstats import quality_score_col, token_count_col
 
@@ -604,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "embedding_dedup": q_embedding_dedup,
         "lang_id": q_lang_id,
+        "bpe_tokens": q_bpe_tokens,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "events_hourly": q_events_hourly,
@@ -872,28 +889,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored)
             WHERE rank <= 5
         """,
-        "lang_id": """
-            WITH t AS (
-                SELECT doc_id, lang,
-                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-                FROM documents
-            ), s AS (
-                SELECT doc_id, lang,
-                  len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
-                  len(list_filter(toks, x -> x IN ('the','and','of','to','is','that','for','with'))) AS s_en,
-                  len(list_filter(toks, x -> x IN ('el','la','los','las','que','para','con','una'))) AS s_es,
-                  len(list_filter(toks, x -> x IN ('le','la','les','est','une','pour','dans','avec'))) AS s_fr,
-                  len(list_filter(toks, x -> x IN ('的','是','了','在','和','有','我','不'))) AS s_zh
-                FROM t
-            )
-            SELECT doc_id, lang,
-                   CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-                        WHEN s_zh >= greatest(s_de, s_en, s_es, s_fr) THEN 'zh'
-                        WHEN s_fr >= greatest(s_de, s_en, s_es) THEN 'fr'
-                        WHEN s_es >= greatest(s_de, s_en) THEN 'es'
-                        WHEN s_en >= s_de THEN 'en'
-                        ELSE 'de' END AS lang_id
-            FROM s
+        "lang_id": _lang_id_oracle(),
+        "bpe_tokens": """
+            SELECT doc_id,
+                   len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_ws_tokens,
+                   coalesce(list_sum(list_transform(
+                       regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'),
+                       t -> ceil(length(t) / 4.0)::BIGINT)), 0) AS n_bpe_tokens
+            FROM documents
         """,
         "quality": """
             WITH t AS (
@@ -1212,6 +1215,44 @@ def _embedding_dedup_oracle() -> str:
         JOIN sigs a ON a.vec_id = c.id_a
         JOIN sigs b ON b.vec_id = c.id_b
         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+    """
+
+
+def _lang_id_oracle() -> str:
+    """Generated from the SAME marker tables the operator uses, so the
+    two sides can never drift."""
+    from newspaper_spark.operators.textstats import LANG_CHAR_MARKERS, LANG_MARKERS
+
+    branches = []
+    for lang, words in sorted(LANG_MARKERS.items()):
+        wl = ",".join("'" + w.replace("'", "''") + "'" for w in words)
+        branches.append(
+            f"SELECT doc_id, lang, '{lang}' AS cand, "
+            f"len(list_filter(toks, x -> x IN ({wl}))) AS score FROM t"
+        )
+    for lang, ms in sorted(LANG_CHAR_MARKERS.items()):
+        expr = " + ".join(
+            f"((length(text) - length(replace(text, '{m}', ''))) // {len(m)})"
+            for m in ms
+        )
+        branches.append(
+            f"SELECT doc_id, lang, '{lang}' AS cand, {expr} AS score FROM t"
+        )
+    union = " UNION ALL ".join(branches)
+    return f"""
+        WITH t AS (
+            SELECT doc_id, lang, text,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ), scores AS ({union}), ranked AS (
+            SELECT doc_id, lang, cand, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cand DESC) AS rn
+            FROM scores
+        )
+        SELECT doc_id, lang,
+               CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_id
+        FROM ranked WHERE rn = 1
     """
 
 

@@ -7,19 +7,40 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# small high-frequency marker word lists per language (public knowledge,
-# intentionally tiny: this is an n-gram/marker heuristic, not a model)
+# small high-frequency marker lists per language (public knowledge,
+# intentionally tiny: this is an n-gram/marker heuristic, not a model).
+# Space-delimited languages match whole tokens; scriptio-continua
+# languages (zh/ja/th) count marker SUBSTRING occurrences, since
+# whitespace tokenization never isolates their function words.
 LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "is", "that", "for", "with"],
     "es": ["el", "la", "los", "las", "que", "para", "con", "una"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
     "fr": ["le", "la", "les", "est", "une", "pour", "dans", "avec"],
+    "pt": ["de", "que", "não", "uma", "os", "para", "com", "mais"],
+    "it": ["di", "che", "non", "per", "una", "sono", "con", "del"],
+    "nl": ["de", "het", "een", "van", "niet", "met", "voor", "zijn"],
+    "ru": ["и", "в", "не", "на", "что", "с", "это", "как"],
+    "ar": ["في", "من", "على", "أن", "إلى", "عن", "هذا", "ما"],
+    "ko": ["그리고", "있는", "하는", "것은", "있다", "한다", "으로", "에서"],
+}
+
+LANG_CHAR_MARKERS = {
     "zh": ["的", "是", "了", "在", "和", "有", "我", "不"],
+    "ja": ["の", "に", "は", "を", "が", "です", "ます", "した"],
+    "th": ["และ", "ที่", "ใน", "ของ", "ให้", "ได้", "เป็น", "มี"],
 }
 
 
 def _tokens(text_col):
     return F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+
+
+def _substr_count(text_col, marker: str):
+    """Occurrences of a literal marker — (len − len(removed)) / len(m).
+    Exact integer; mirrors (length(x)-length(replace(x,m,'')))//k in SQL."""
+    removed = F.replace(text_col, F.lit(marker), F.lit(""))
+    return ((F.length(text_col) - F.length(removed)) / F.lit(len(marker))).cast("int")
 
 
 def lang_id_col(text_col):
@@ -33,12 +54,18 @@ def lang_id_col(text_col):
         arr = F.array(*[F.lit(w) for w in words])
         return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
+    def char_count(markers):
+        total = F.lit(0)
+        for m in markers:
+            total = total + _substr_count(text_col, m)
+        return total
+
     scores = [
-        F.struct(
-            hit_count(words).alias("score"),
-            F.lit(lang).alias("lang"),
-        )
+        F.struct(hit_count(words).alias("score"), F.lit(lang).alias("lang"))
         for lang, words in sorted(LANG_MARKERS.items())
+    ] + [
+        F.struct(char_count(ms).alias("score"), F.lit(lang).alias("lang"))
+        for lang, ms in sorted(LANG_CHAR_MARKERS.items())
     ]
     # array_max on (score, lang) structs: max score, then max lang code —
     # mirror with ORDER BY score DESC, lang DESC LIMIT 1 in SQL
@@ -51,14 +78,24 @@ def token_count_col(text_col):
     return F.size(_tokens(text_col))
 
 
+#: pre-tokenizer pattern (GPT-2-ish without lookarounds, so the same
+#: pattern runs under both Java regex and DuckDB's RE2): alnum runs or
+#: one non-space symbol per match
+_BPE_PRETOK = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
 def bpe_ish_token_count_col(text_col):
-    """Sub-word-ish count: alnum runs and single punctuation marks, the
-    usual pre-tokenizer regex."""
-    return F.size(
-        F.filter(
-            F.split(text_col, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-            lambda t: F.trim(t) != "",
-        )
+    """Sub-word token ESTIMATE: pre-tokenize into alnum runs + single
+    symbols, then charge ⌈len/4⌉ sub-words per alnum run (the usual
+    ~4-chars-per-BPE-token rule); symbols count 1."""
+    pieces = F.regexp_extract_all(text_col, F.lit(_BPE_PRETOK), F.lit(0))
+    return F.coalesce(
+        F.aggregate(
+            pieces,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.ceil(F.length(t) / 4.0),
+        ),
+        F.lit(0).cast("long"),
     )
 
 

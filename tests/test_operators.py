@@ -141,6 +141,10 @@ def test_lang_id(spark):
         (2, "el gato y la casa que los perros para una persona"),
         (3, "der hund und die katze ist nicht ein problem mit"),
         (4, "xyzzy plugh"),
+        (5, "这是一个中文网页我们的文章不是在这里的吗"),          # no spaces
+        (6, "これは日本語のページです。記事はここにあります。"),  # no spaces
+        (7, "и в лесу не было на что смотреть как обычно"),
+        (8, "il gatto non è che una parte del problema per ora sono qui"),
     ]
     df = spark.createDataFrame(rows, "id int, text string")
     out = {r.id: r.lang for r in df.select("id", lang_id_col(F.col("text")).alias("lang")).collect()}
@@ -148,6 +152,27 @@ def test_lang_id(spark):
     assert out[2] == "es"
     assert out[3] == "de"
     assert out[4] == "und"
+    assert out[5] == "zh"
+    assert out[6] == "ja"
+    assert out[7] == "ru"
+    assert out[8] == "it"
+
+
+def test_bpe_ish_token_count(spark):
+    from newspaper_spark.operators.textstats import bpe_ish_token_count_col
+
+    rows = [
+        (1, "cat dog"),            # 1 + 1
+        (2, "extraordinary!"),     # ceil(13/4)=4 + 1 symbol
+        (3, ""),                   # 0
+        (4, "a b,c"),              # 1 + 1 + 1 + 1
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    out = {r.id: r.n for r in df.select("id", bpe_ish_token_count_col(F.col("text")).alias("n")).collect()}
+    assert out[1] == 2
+    assert out[2] == 5
+    assert out[3] == 0
+    assert out[4] == 4
 
 
 def test_quality_and_tokens(spark):
