@@ -32,10 +32,18 @@ _RESOURCE_PATH = os.path.join(
 _STOPWORDS_ALL: dict[str, frozenset] | None = None
 
 
+_WS_NOT_SPACE = re.compile(r"[^\S ]")
+
+
 def inner_trim(value) -> str:
     """Collapse whitespace runs to single spaces, join lines, strip
     (text.py:19-25)."""
     if isinstance(value, str):
+        # fast path (the overwhelmingly common case in the scorer's
+        # per-node calls): no whitespace runs and no non-space
+        # whitespace ⇒ sub+splitlines are identity, only strip applies
+        if "  " not in value and _WS_NOT_SPACE.search(value) is None:
+            return value.strip()
         value = _TABSSPACE.sub(" ", value)
         value = "".join(value.splitlines())
         return value.strip()
