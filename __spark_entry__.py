@@ -594,6 +594,31 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_corpus_prep(spark, sf_dir):
+    """End-to-end training-data prep over documents: exact-dedup (keep
+    min-id representative) → language-ID → quality score → token count
+    → keep docs passing the quality/length gates. One broadcast-able
+    join + Column-only enrichment — the composition a 100 TB corpus
+    build runs before tokenization."""
+    from newspaper_spark.operators.dedup import dedup_exact
+    from newspaper_spark.operators.textstats import (
+        lang_id_col,
+        quality_score_col,
+        token_count_col,
+    )
+
+    d = _docs(spark, sf_dir)
+    reps = dedup_exact(d).select("doc_id")
+    kept = d.join(reps, "doc_id")
+    enriched = kept.select(
+        "doc_id",
+        lang_id_col(F.col("text")).alias("lang_id"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+        quality_score_col(F.col("text")).alias("quality"),
+    )
+    return enriched.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "transcripts": q_transcripts,
@@ -636,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hash": q_link_hash,
         "dedup_url": q_dedup_url,
         "pdf_skip": q_pdf_skip,
+        "corpus_prep": q_corpus_prep,
     }
 
 
@@ -950,7 +976,45 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        "corpus_prep": _corpus_prep_oracle(),
     }
+
+
+def _corpus_prep_oracle() -> str:
+    """Compose the dedup / lang-ID / quality oracle fragments — each is
+    already exact on its own, so the pipeline oracle reuses them as
+    derived tables instead of restating the formulas."""
+    lang_sql = _lang_id_oracle()
+    return f"""
+        WITH reps AS (
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        ), lang AS (
+            SELECT doc_id, lang_id FROM ({lang_sql})
+        ), stats AS (
+            SELECT doc_id,
+                   len(toks) AS n_tokens,
+                   round((
+                     (length(regexp_replace(text, '[^A-Za-zÀ-ÿ一-龥]', '', 'g'))::DOUBLE
+                        / nullif(length(text), 0))
+                     + (CASE WHEN length(text) BETWEEN 100 AND 100000 THEN 1.0 ELSE 0.25 END)
+                     + (CASE WHEN length(text)::DOUBLE / nullif(len(toks), 0)
+                              BETWEEN 3 AND 12 THEN 1.0 ELSE 0.25 END)
+                     + (CASE WHEN len(list_filter(toks,
+                           x -> x IN ('the','and','is','a','of'))) > 0
+                        THEN 1.0 ELSE 0.5 END)
+                   ) / 4.0, 6) AS quality
+            FROM (
+                SELECT doc_id, text,
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                FROM documents)
+        )
+        SELECT r.doc_id, l.lang_id, s.n_tokens, s.quality
+        FROM reps r
+        JOIN lang l ON l.doc_id = r.doc_id
+        JOIN stats s ON s.doc_id = r.doc_id
+        WHERE s.quality >= 0.5 AND s.n_tokens >= 10
+    """
 
 
 
