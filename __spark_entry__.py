@@ -28,16 +28,28 @@ TURNS_PER_CONV = 4
 _STOPS_SMALL = ["the", "and", "is", "a", "of", "to", "in"]
 
 
+def _spread(df, spark):
+    """The sf test tables are single small parquet files → ONE input
+    split, which serializes every downstream stage no matter how many
+    cores exist. Spread to the session's parallelism; a no-op on real
+    multi-file tables (at 100 TB inputs arrive with thousands of
+    splits). Row content is unchanged, so oracle hashes are unaffected."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 def _transcripts(spark, sf_dir):
     from newspaper_spark.sources.transcripts import synthetic_transcripts
 
-    return synthetic_transcripts(spark, sf_dir)
+    return _spread(synthetic_transcripts(spark, sf_dir), spark)
 
 
 def _docs(spark, sf_dir):
     from newspaper_spark.sources.transcripts import load_table
 
-    return load_table(spark, sf_dir, "documents")
+    return _spread(load_table(spark, sf_dir, "documents"), spark)
 
 
 def _synth_urls(spark, sf_dir):
@@ -277,7 +289,7 @@ def q_ann_topk(spark, sf_dir):
     from newspaper_spark.operators.similarity import brute_force_topk
     from newspaper_spark.sources.transcripts import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
     emb_d = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -294,7 +306,7 @@ def q_ann_lsh(spark, sf_dir):
     from newspaper_spark.operators.similarity import lsh_topk
     from newspaper_spark.sources.transcripts import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
     emb_d = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -308,7 +320,7 @@ def q_embedding_dedup(spark, sf_dir):
     from newspaper_spark.operators.similarity import embedding_dedup_pairs
     from newspaper_spark.sources.transcripts import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
     emb_d = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
@@ -373,7 +385,7 @@ def q_fingerprint(spark, sf_dir):
 def q_events_hourly(spark, sf_dir):
     from newspaper_spark.sources.transcripts import load_table
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = _spread(load_table(spark, sf_dir, "events"), spark)
     hour = F.date_trunc("hour", F.col("ts"))
     return (
         ev.groupBy(hour.alias("hour"), "event_type")
@@ -528,7 +540,7 @@ def q_sessionize(spark, sf_dir):
     from newspaper_spark.operators.sessionize import session_stats
     from newspaper_spark.sources.transcripts import load_table
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = _spread(load_table(spark, sf_dir, "events"), spark)
     return session_stats(ev, gap_minutes=30, tiebreak_col="event_id")
 
 
