@@ -37,3 +37,72 @@ def test_streaming_extraction(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == n
     assert out.filter("status = 'ok'").count() == n
+
+
+def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
+    """Watermarked windowed agg: a row arriving later than the
+    watermark delay must not reopen (or double-emit) its window."""
+    import datetime as dt
+
+    from newspaper_spark.streaming.stream import start_windowed_count_stream
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    t0 = dt.datetime(2020, 1, 1, 0, 0, 0)
+
+    def add_batch(name, rows):
+        # the file source lists top-level files only: stage the batch in
+        # a scratch dir, then move its part file into in_dir
+        import glob
+        import shutil
+
+        df = spark.createDataFrame(
+            [("c", i, r, "x", "", ts) for i, (r, ts) in enumerate(rows)], schema
+        )
+        scratch = tmp_path / f"scratch_{name}"
+        df.coalesce(1).write.parquet(str(scratch))
+        part = glob.glob(str(scratch / "part-*.parquet"))[0]
+        shutil.move(part, str(in_dir / f"{name}.parquet"))
+
+    # batch 1: 3 user turns in window [00:00, 00:10) + one row at 01:00
+    # that advances the watermark past that window's end
+    add_batch(
+        "batch1",
+        [("user", t0), ("user", t0 + dt.timedelta(minutes=2)),
+         ("user", t0 + dt.timedelta(minutes=4)),
+         ("assistant", t0 + dt.timedelta(hours=1))],
+    )
+
+    q = start_windowed_count_stream(
+        spark, str(in_dir), out_dir, ckpt,
+        window_duration="10 minutes", watermark_delay="10 minutes",
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one LATE user row back in the first window (beyond
+        # the watermark -> dropped) + a fresh row advancing time again
+        add_batch(
+            "batch2",
+            [("user", t0 + dt.timedelta(minutes=3)),
+             ("assistant", t0 + dt.timedelta(hours=2))],
+        )
+        q.processAllAvailable()
+        # one more trigger so finalized state flushes to the sink
+        add_batch("batch3", [("tool", t0 + dt.timedelta(hours=3))])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(out_dir)
+    first = out.filter(
+        (out.window_start == t0) & (out.role == "user")
+    ).collect()
+    # emitted exactly once, with the on-time count only (late row dropped)
+    assert len(first) == 1, first
+    assert first[0].n_turns == 3
