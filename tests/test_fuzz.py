@@ -66,3 +66,17 @@ def test_nlp_never_raises(text, title):
 
     assert isinstance(keywords(text), dict)
     assert isinstance(summarize(title=title, text=text), str)
+
+
+def test_charset_detector_never_crashes_on_random_bytes():
+    """decode_html_bytes must return a str for ANY byte soup."""
+    import random
+
+    from newspaper_spark.operators.decode import decode_html_bytes
+
+    rng = random.Random(1234)
+    for n in (0, 1, 7, 100, 4096):
+        for _ in range(20):
+            raw = bytes(rng.randrange(256) for _ in range(n))
+            out = decode_html_bytes(raw)
+            assert isinstance(out, str)
