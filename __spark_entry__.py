@@ -465,22 +465,18 @@ def q_array_ops(spark, sf_dir):
 def q_conversation_text(spark, sf_dir):
     """Conversation reassembly: per-conv extracted turns concatenated in
     stable turn order (north-rule ordering made visible as an operator).
-    groupBy(conv_id) + sort_array(collect_list(struct(turn_idx, text)))
-    — one shuffle on conv_id, order restored inside the aggregate."""
+    Uses the SEGMENTED two-level aggregation (operators/reassemble.py)
+    so mega-conversations never materialize in one buffer; segment=2
+    forces the multi-segment path even on 4-turn test conversations.
+    Output is identical to the single-level groupBy+collect form, so
+    the same SQL oracle covers it."""
     from newspaper_spark.operators.extract import extract_articles
+    from newspaper_spark.operators.reassemble import (
+        reassemble_conversations_segmented,
+    )
 
     out = extract_articles(_transcripts(spark, sf_dir))
-    per_turn = out.select("conv_id", F.struct("turn_idx", "text").alias("t"))
-    agg = per_turn.groupBy("conv_id").agg(
-        F.array_sort(F.collect_list("t")).alias("ts")
-    )
-    return agg.select(
-        "conv_id",
-        F.size("ts").alias("n_turns"),
-        F.array_join(F.transform("ts", lambda x: x["text"]), "\n===\n").alias(
-            "conversation_text"
-        ),
-    )
+    return reassemble_conversations_segmented(out, segment=2)
 
 
 def q_nlp_keywords(spark, sf_dir):

@@ -360,3 +360,21 @@ def test_table_ref_dispatch(spark, tmp_path):
     with _pytest.raises(Exception) as ei:
         read_table(spark, "iceberg:cat.db.t").count()
     assert "iceberg" in str(ei.value).lower()
+
+
+def test_reassembly_segmented_equals_single_level(spark):
+    from newspaper_spark.operators.reassemble import (
+        reassemble_conversations,
+        reassemble_conversations_segmented,
+    )
+
+    rows = [
+        (f"c{c}", t, f"text-{c}-{t}") for c in range(3) for t in range(7)
+    ] + [("solo", 0, "only")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    single = {r.conv_id: (r.n_turns, r.conversation_text)
+              for r in reassemble_conversations(df).collect()}
+    for seg in (1, 2, 3, 100):
+        segd = {r.conv_id: (r.n_turns, r.conversation_text)
+                for r in reassemble_conversations_segmented(df, segment=seg).collect()}
+        assert segd == single, f"segment={seg}"
