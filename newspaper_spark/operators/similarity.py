@@ -53,11 +53,22 @@ def brute_force_topk(
     c_id: str = "vec_id",
     q_vec: str = "embedding",
     c_vec: str = "embedding",
+    max_query_rows: int | None = None,
 ) -> DataFrame:
     """Exact top-k: broadcast the query side (queries ≪ corpus at scale),
     rank with a per-query window. Returns (query_id, neighbor_id, cos,
     rank). Deliberately a broadcast cartesian — the exact baseline; the
-    scale path is lsh_topk."""
+    scale path is lsh_topk. A large query side would turn this into an
+    all-pairs scan: pass ``max_query_rows`` to fail fast instead (one
+    count() job at plan-build time, opt-in because counting is an
+    action)."""
+    if max_query_rows is not None:
+        n_q = queries.count()
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"brute_force_topk query side has {n_q} rows "
+                f"(> {max_query_rows}); use lsh_topk for large query sets"
+            )
     q = queries.select(
         F.col(q_id).alias("query_id"), F.col(q_vec).alias("qv")
     )
