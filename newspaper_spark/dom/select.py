@@ -250,6 +250,23 @@ def css_select(root: Element, selector: str) -> list:
             _SELECTOR_CACHE[selector] = groups
     out = []
     stack = [root]
+    # fast path: every group is a single simple selector (the common
+    # case: "meta", "*[gravityScore]", "span[class~=dropcap]") — no
+    # ancestor walking needed, call matches() directly
+    if all(len(ch) == 1 for ch in groups):
+        singles = [ch[0] for ch in groups]
+        while stack:
+            node = stack.pop()
+            children = node._children
+            if children:
+                stack.extend(children[::-1])
+            if node.tag.__class__ is not str:
+                continue
+            for s in singles:
+                if s.matches(node):
+                    out.append(node)
+                    break
+        return out
     while stack:
         node = stack.pop()
         children = node._children
