@@ -382,6 +382,16 @@ def q_fingerprint(spark, sf_dir):
     return d.select("doc_id", doc_fingerprint_col(F.col("text")).alias("fingerprint"))
 
 
+def q_winnow(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (k=8, window=16) — distinct
+    window minima of the char k-gram hash sequence per doc."""
+    from newspaper_spark.operators.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir)).select(
+        F.col("id").alias("doc_id"), "fingerprint"
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     from newspaper_spark.sources.transcripts import load_table
 
@@ -656,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
+        "winnow": q_winnow,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "media_features": q_media_features,
@@ -956,6 +967,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
             FROM documents
+        """,
+        "winnow": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       greatest(length(text) - 8 + 1, 1) AS n
+                FROM documents
+            ), g AS (
+                SELECT doc_id, n,
+                       unnest(generate_series(1, n)) AS pos,
+                       text
+                FROM t
+            ), h AS (
+                SELECT doc_id, n, pos,
+                       ('0x' || substring(md5(substring(text, pos, 8)), 1, 15))::BIGINT AS h
+                FROM g
+            ), m AS (
+                SELECT doc_id, pos, n,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mh
+                FROM h
+            )
+            SELECT DISTINCT doc_id, mh AS fingerprint
+            FROM m WHERE pos <= greatest(n - 16 + 1, 1)
         """,
         "sessionize": """
             WITH flagged AS (

@@ -127,6 +127,46 @@ def doc_fingerprint_col(text_col):
     return F.md5(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")))
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing: hash every
+    char k-gram, slide a ``window`` over the hash sequence, keep the
+    minimum of each window, emit the distinct minima per doc.
+
+    The guarantee (the winnowing paper's): any shared substring of
+    length ≥ k + window − 1 between two documents yields at least one
+    shared fingerprint — the standard contamination / overlap-detection
+    primitive. Relational form: per-position k-gram rows (codegen
+    md5 → 60-bit int), one window min per doc ordered by position,
+    distinct. Shuffle is on doc id for the window, uniform keys."""
+    from pyspark.sql import Window as W
+
+    n_grams = F.greatest(F.length(text_col) - k + 1, F.lit(1))
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+        n_grams.alias("n"),
+        F.col(text_col).alias("t"),
+    ).select(
+        "id",
+        "pos",
+        "n",
+        F.conv(
+            F.substring(F.md5(F.substr("t", F.col("pos"), F.lit(k))), 1, 15), 16, 10
+        ).cast("long").alias("h"),
+    )
+    w = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    minima = grams.withColumn("mh", F.min("h").over(w)).filter(
+        F.col("pos") <= F.greatest(F.col("n") - window + 1, F.lit(1))
+    )
+    return minima.select("id", F.col("mh").alias("fingerprint")).distinct()
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.withColumns(

@@ -378,3 +378,24 @@ def test_reassembly_segmented_equals_single_level(spark):
         segd = {r.conv_id: (r.n_turns, r.conversation_text)
                 for r in reassemble_conversations_segmented(df, segment=seg).collect()}
         assert segd == single, f"segment={seg}"
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing invariant: documents sharing a substring of length
+    >= k + window - 1 share at least one fingerprint; disjoint content
+    shares none (w.h.p.)."""
+    from newspaper_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "the identical plagiarized passage appears here verbatim"
+    rows = [
+        (1, "intro text one. " + shared + " tail one."),
+        (2, "completely different opening. " + shared + " other ending."),
+        (3, "nothing in common with the others at all, truly disjoint words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = {}
+    for r in winnowing_fingerprints(df, k=8, window=16).collect():
+        fps.setdefault(r.id, set()).add(r.fingerprint)
+    assert fps[1] & fps[2], "shared passage must yield a shared fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
