@@ -392,6 +392,31 @@ def q_winnow(spark, sf_dir):
     )
 
 
+def q_contamination(spark, sf_dir):
+    """Decontamination check: corpus docs sharing winnowing fingerprints
+    with an 'eval set' (every 10th doc stands in for the benchmark
+    data). Shared-fingerprint equi-join — the scale-safe form of
+    substring-overlap detection (never pairwise text comparison)."""
+    from newspaper_spark.operators.textstats import winnowing_fingerprints
+
+    d = _docs(spark, sf_dir)
+    fps = winnowing_fingerprints(d)
+    eval_fps = fps.join(
+        d.filter(F.col("doc_id") % 10 == 0).select(F.col("doc_id").alias("id")),
+        "id",
+    ).select(F.col("fingerprint"))
+    corpus_fps = fps.join(
+        d.filter(F.col("doc_id") % 10 != 0).select(F.col("doc_id").alias("id")),
+        "id",
+    )
+    hits = corpus_fps.join(eval_fps.distinct(), "fingerprint")
+    return (
+        hits.groupBy("id")
+        .agg(F.count("*").alias("n_shared_fps"))
+        .select(F.col("id").alias("doc_id"), "n_shared_fps")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     from newspaper_spark.sources.transcripts import load_table
 
@@ -667,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprint": q_fingerprint,
         "winnow": q_winnow,
+        "contamination": q_contamination,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "media_features": q_media_features,
@@ -990,6 +1016,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, mh AS fingerprint
             FROM m WHERE pos <= greatest(n - 16 + 1, 1)
+        """,
+        "contamination": """
+            WITH t AS (
+                SELECT doc_id, text, greatest(length(text) - 8 + 1, 1) AS n
+                FROM documents
+            ), g AS (
+                SELECT doc_id, n, unnest(generate_series(1, n)) AS pos, text FROM t
+            ), h AS (
+                SELECT doc_id, n, pos,
+                       ('0x' || substring(md5(substring(text, pos, 8)), 1, 15))::BIGINT AS h
+                FROM g
+            ), m AS (
+                SELECT doc_id, pos, n,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mh
+                FROM h
+            ), fps AS (
+                SELECT DISTINCT doc_id, mh AS fingerprint
+                FROM m WHERE pos <= greatest(n - 16 + 1, 1)
+            ), eval_fps AS (
+                SELECT DISTINCT fingerprint FROM fps WHERE doc_id % 10 = 0
+            )
+            SELECT f.doc_id, count(*) AS n_shared_fps
+            FROM fps f JOIN eval_fps e USING (fingerprint)
+            WHERE f.doc_id % 10 <> 0
+            GROUP BY f.doc_id
         """,
         "sessionize": """
             WITH flagged AS (
