@@ -627,6 +627,38 @@ def q_text_entropy(spark, sf_dir):
     )
 
 
+def q_media_resize(spark, sf_dir):
+    """Resize-dimension stage over the fake-decoded media (aspect-
+    preserving thumbnail math; pixel resample behind the real_decode
+    stub)."""
+    from newspaper_spark.operators.multimodal import attach_media, resize_media
+
+    d = _docs(spark, sf_dir)
+    return resize_media(attach_media(d), target=128).select(
+        "media_id", "width", "height", "resized_w", "resized_h", "error"
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    """Frame-sampling schedule for the fake video table: indices
+    0, 4, 8, … capped at 8 frames, serialized for the driver."""
+    from newspaper_spark.operators.multimodal import attach_video, sample_frame_indices
+
+    d = _docs(spark, sf_dir)
+    v = attach_video(d)
+    return v.select(
+        "media_id",
+        "n_frames",
+        F.array_join(
+            F.transform(
+                sample_frame_indices(F.col("n_frames"), every_n=4, max_frames=8),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("frame_idx"),
+    )
+
+
 def q_media_features(spark, sf_dir):
     from newspaper_spark.operators.multimodal import attach_media, extract_media_features
 
@@ -696,6 +728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "frame_sample": q_frame_sample,
         "image_score": q_image_score,
         "text_entropy": q_text_entropy,
         "nlp_keywords": q_nlp_keywords,
@@ -878,6 +912,33 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_oracle(),
         "embedding_dedup": _embedding_dedup_oracle(),
         "media_features": _MEDIA_FEATURES_ORACLE,
+        "media_resize": """
+            WITH d AS (
+                SELECT md5(text) AS media_id,
+                       64 + ('0x' || substring(md5(text), 1, 2))::INT AS w,
+                       64 + ('0x' || substring(md5(text), 31, 2))::INT AS h
+                FROM documents)
+            SELECT media_id, w AS width, h AS height,
+                   CASE WHEN w <= 128 AND h <= 128 THEN w
+                        WHEN w >= h THEN 128
+                        ELSE greatest(1, (w * 128) // h) END AS resized_w,
+                   CASE WHEN w <= 128 AND h <= 128 THEN h
+                        WHEN w >= h THEN greatest(1, (h * 128) // w)
+                        ELSE 128 END AS resized_h,
+                   NULL::VARCHAR AS error
+            FROM d
+        """,
+        "frame_sample": """
+            WITH v AS (
+                SELECT md5(text) AS media_id,
+                       1 + (('0x' || substring(md5(text), 3, 2))::INT % 64) AS n_frames
+                FROM documents)
+            SELECT media_id, n_frames,
+                   array_to_string(list_transform(
+                       list_slice(generate_series(0, n_frames - 1, 4), 1, 8),
+                       x -> x::VARCHAR), ',') AS frame_idx
+            FROM v
+        """,
         "image_score": _IMAGE_SCORE_ORACLE,
         "text_entropy": """
             SELECT doc_id, round(entropy(c), 6) AS entropy

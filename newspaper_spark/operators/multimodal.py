@@ -105,3 +105,80 @@ def extract_media_features(
 
     pruned = df.select("media_id", "kind", "n_bytes", "payload")
     return pruned.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "media_id string, width int, height int, "
+    "resized_w int, resized_h int, error string"
+)
+
+
+def _resize_dims(w: int, h: int, target: int):
+    """Thumbnail-style downscale preserving aspect ratio (never scale
+    up): the dimension math every image pipeline runs, independent of
+    the pixel work. Deterministic and SQL-expressible."""
+    if w <= 0 or h <= 0:
+        return (0, 0)
+    if w <= target and h <= target:
+        return (w, h)
+    if w >= h:
+        return (target, max(1, (h * target) // w))
+    return (max(1, (w * target) // h), target)
+
+
+def resize_media(
+    df: DataFrame, target: int = 128, real_decode: bool = False
+) -> DataFrame:
+    """mapInPandas resize stage over decoded dims (fake decoder supplies
+    md5-derived dims; the pixel resample itself is behind the same
+    real_decode stub as decoding). Column-array iteration, no iterrows."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, rws, rhs, errs = [], [], [], [], []
+            for payload in pdf["payload"].values:
+                try:
+                    w, h, _nf, _feat = _decode_image(payload, real_decode)
+                    rw, rh = _resize_dims(w, h, target)
+                    ws.append(w); hs.append(h); rws.append(rw); rhs.append(rh)
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001
+                    ws.append(None); hs.append(None); rws.append(None); rhs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": ws,
+                    "height": hs,
+                    "resized_w": rws,
+                    "resized_h": rhs,
+                    "error": errs,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+def sample_frame_indices(n_frames_col, every_n: int = 4, max_frames: int = 8):
+    """Frame-sampling plan as a Column: indices 0, every_n, 2·every_n, …
+    capped at max_frames — the schedule a video decoder would follow.
+    Pure Column (sequence + slice), SQL-mirrorable."""
+    last = F.greatest(n_frames_col - 1, F.lit(0))
+    idx = F.sequence(F.lit(0), last, F.lit(every_n))
+    return F.slice(idx, 1, max_frames)
+
+
+def attach_video(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic fake 'video' table: n_frames derived from the md5
+    of the payload (1..64), mirroring the fake image decoder's scheme
+    so the DuckDB oracle reconstructs it."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    n_frames = (
+        1 + F.conv(F.substring(F.md5(F.col(text_col)), 3, 2), 16, 10).cast("int") % 64
+    )
+    return df.select(
+        F.md5(F.col(text_col)).alias("media_id"),
+        F.lit("video").alias("kind"),
+        payload.alias("payload"),
+        n_frames.alias("n_frames"),
+    )

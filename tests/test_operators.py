@@ -399,3 +399,35 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert fps[1] & fps[2], "shared passage must yield a shared fingerprint"
     assert not (fps[1] & fps[3])
     assert not (fps[2] & fps[3])
+
+
+def test_media_resize_and_frame_sampling(spark):
+    from newspaper_spark.operators.multimodal import (
+        attach_media,
+        attach_video,
+        resize_media,
+        sample_frame_indices,
+    )
+
+    df = spark.createDataFrame([(1, "hello media resize")], "id int, text string")
+    r = resize_media(attach_media(df), target=128).first()
+    assert r.error is None
+    assert max(r.resized_w, r.resized_h) <= 128 or (
+        r.width <= 128 and r.height <= 128
+    )
+    # aspect preserved within integer truncation
+    if r.width > 128 or r.height > 128:
+        assert r.resized_w == 128 or r.resized_h == 128
+
+    v = attach_video(df)
+    out = v.select(
+        "n_frames",
+        sample_frame_indices(v.n_frames, every_n=4, max_frames=8).alias("idx"),
+    ).first()
+    assert out.idx[0] == 0
+    assert len(out.idx) <= 8
+    assert all(b - a == 4 for a, b in zip(out.idx, out.idx[1:]))
+
+    # stub honesty: real decode surfaces the error, job survives
+    err = resize_media(attach_media(df), real_decode=True).first()
+    assert err.error and "NotImplementedError" in err.error
