@@ -210,6 +210,8 @@ def query_timings(cores: int) -> dict:
         "sessionize",
         "events_hourly",
         "media_features",
+        "winnow",
+        "corpus_prep",
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)
