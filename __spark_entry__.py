@@ -316,6 +316,22 @@ def q_ann_lsh(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN: nearest-centroid cells, n_probe=2 query probing,
+    exact cosine within probed cells."""
+    from newspaper_spark.operators.similarity import ivf_topk
+    from newspaper_spark.sources.transcripts import load_table
+
+    emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
+    emb_d = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries_df = emb_d.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(
+        queries_df, emb_d, k=5, dim=EMB_DIM, n_cells=16, n_probe=2
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def q_embedding_dedup(spark, sf_dir):
     from newspaper_spark.operators.similarity import embedding_dedup_pairs
     from newspaper_spark.sources.transcripts import load_table
@@ -718,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_dedup": q_embedding_dedup,
         "lang_id": q_lang_id,
         "bpe_tokens": q_bpe_tokens,
@@ -910,6 +927,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle(),
         "simhash_near_dups": _simhash_near_dups_oracle(max_hamming=8),
         "ann_lsh": _ann_lsh_oracle(),
+        "ann_ivf": _ann_ivf_oracle(),
         "embedding_dedup": _embedding_dedup_oracle(),
         "media_features": _MEDIA_FEATURES_ORACLE,
         "media_resize": """
@@ -1397,6 +1415,47 @@ def _ann_lsh_oracle() -> str:
             FROM cand c
             JOIN sigs a ON a.vec_id = c.query_id
             JOIN sigs b ON b.vec_id = c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+    """
+
+
+def _ann_ivf_oracle() -> str:
+    """Cell assignment reconstructed with explicit dot expressions —
+    left-to-right float folds match the UDF's cumsum exactly."""
+    from newspaper_spark.operators.similarity import hyperplanes
+
+    branches = []
+    for cid, cent in enumerate(hyperplanes(64, 16)):
+        dot = " + ".join(f"v[{d + 1}] * ({w!r})" for d, w in enumerate(cent))
+        branches.append(f"SELECT vec_id, {cid} AS cell, ({dot}) AS dot FROM emb")
+    union = " UNION ALL ".join(branches)
+    return f"""
+        WITH emb AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ), dots AS ({union}), ranked AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell) AS rn
+            FROM dots
+        ), corpus AS (
+            SELECT e.vec_id AS neighbor_id, e.v AS cv, r.cell
+            FROM emb e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn = 1
+        ), probes AS (
+            SELECT e.vec_id AS query_id, e.v AS qv, r.cell
+            FROM emb e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn <= 2
+            WHERE e.vec_id % 50 = 0
+        ), scored AS (
+            SELECT DISTINCT p.query_id, c.neighbor_id,
+                   round(list_cosine_similarity(p.qv, c.cv), 6) AS cos
+            FROM probes p JOIN corpus c USING (cell)
+            WHERE p.query_id <> c.neighbor_id
         )
         SELECT query_id, neighbor_id, rank FROM (
             SELECT query_id, neighbor_id,

@@ -239,6 +239,80 @@ def lsh_topk(
     )
 
 
+def ivf_assign_udf(centroids, top_p: int = 1):
+    """Arrow-vectorized IVF cell assignment: dot each vector against
+    every centroid (cumsum = exact sequential fold, same trick as
+    signature_udf) and return the top_p cell ids ordered by
+    (dot DESC, cell ASC) — reproducible in SQL as a row_number over
+    explicit dot expressions."""
+    import numpy as np
+
+    mat = np.asarray(centroids, dtype=np.float64)  # (cells, dim)
+    n_cells = mat.shape[0]
+
+    def _assign(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None or len(v) != mat.shape[1]:
+                out.append(list(range(top_p)))
+                continue
+            arr = np.asarray(v, dtype=np.float64)
+            dots = np.cumsum(arr[None, :] * mat, axis=1)[:, -1]
+            order = sorted(range(n_cells), key=lambda c: (-dots[c], c))
+            out.append(order[:top_p])
+        return pd.Series(out, dtype="object")
+
+    return F.pandas_udf(_assign, "array<int>")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF-flat: corpus vectors live in their
+    nearest-centroid cell, queries probe their ``n_probe`` nearest
+    cells, exact cosine ranks within the probed cells only.
+
+    Centroids here are deterministic md5-derived pseudo-random vectors
+    (the `hyperplanes` generator) — at 100 TB a k-means training job
+    would supply them; assignment/probing/ranking is identical either
+    way. The cell join shuffles on small int cell ids; per-cell
+    population is the scale knob (n_cells ∝ √N is the usual rule)."""
+    cents = hyperplanes(dim, n_cells)
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(c_vec).alias("cv"),
+        F.element_at(ivf_assign_udf(cents, 1)(F.col(c_vec)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_vec).alias("qv"),
+        F.explode(ivf_assign_udf(cents, n_probe)(F.col(q_vec))).alias("cell"),
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_col(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

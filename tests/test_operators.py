@@ -431,3 +431,25 @@ def test_media_resize_and_frame_sampling(spark):
     # stub honesty: real decode surfaces the error, job survives
     err = resize_media(attach_media(df), real_decode=True).first()
     assert err.error and "NotImplementedError" in err.error
+
+
+def test_ivf_recall_against_brute(spark):
+    import math
+
+    from newspaper_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rows = []
+    for i in range(80):
+        angle = (i % 16) / 16 * 2 * math.pi
+        rows.append((i, [math.cos(angle), math.sin(angle), (i % 7) * 0.01, 0.1]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = emb.filter("vec_id < 6")
+    brute = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(q, emb, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(q, emb, k=3, dim=4, n_cells=8, n_probe=3).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
