@@ -883,7 +883,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id,
-                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+                   md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fingerprint
             FROM documents
             GROUP BY 2
             ORDER BY 1
@@ -1042,16 +1042,16 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "bpe_tokens": """
             SELECT doc_id,
-                   len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_ws_tokens,
+                   len(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS n_ws_tokens,
                    coalesce(list_sum(list_transform(
-                       regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'),
-                       t -> ceil(length(t) / 4.0)::BIGINT)), 0) AS n_bpe_tokens
+                       regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'),
+                       t -> ceil(length(t) / 4.0)::BIGINT)), 0)::BIGINT AS n_bpe_tokens
             FROM documents
         """,
         "quality": """
             WITH t AS (
                 SELECT doc_id, text,
-                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                       string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
                 FROM documents
             )
             SELECT doc_id,
@@ -1070,7 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": """
             SELECT doc_id,
-                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+                   md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fingerprint
             FROM documents
         """,
         "winnow": """
@@ -1161,7 +1161,7 @@ def _corpus_prep_oracle() -> str:
     return f"""
         WITH reps AS (
             SELECT min(doc_id) AS doc_id FROM documents
-            GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
         ), lang AS (
             SELECT doc_id, lang_id FROM ({lang_sql})
         ), stats AS (
@@ -1179,7 +1179,7 @@ def _corpus_prep_oracle() -> str:
                    ) / 4.0, 6) AS quality
             FROM (
                 SELECT doc_id, text,
-                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                       string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
                 FROM documents)
         )
         SELECT r.doc_id, l.lang_id, s.n_tokens, s.quality
@@ -1228,7 +1228,7 @@ def _nlp_keywords_oracle() -> str:
 _TOKS_CTE = """
         WITH t AS (
             SELECT doc_id AS id,
-                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                   string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
             FROM documents
         )"""
 
@@ -1520,7 +1520,7 @@ def _lang_id_oracle() -> str:
     return f"""
         WITH t AS (
             SELECT doc_id, lang, text,
-                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                   string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS toks
             FROM documents
         ), scores AS ({union}), ranked AS (
             SELECT doc_id, lang, cand, score,

@@ -39,8 +39,12 @@ MERSENNE31 = 2147483647
 
 
 def normalized_text(c):
-    """lowercase, collapse whitespace — canonical form for hashing."""
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    """lowercase, collapse whitespace — canonical form for hashing.
+
+    Whitespace class spelled explicitly (== Java \\s) so the DuckDB
+    oracle's RE2, whose \\s lacks \\x0B, reads the identical set.
+    """
+    return F.trim(F.regexp_replace(F.lower(c), r"[ \t\n\x0B\f\r]+", " "))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

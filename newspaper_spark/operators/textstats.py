@@ -32,8 +32,17 @@ LANG_CHAR_MARKERS = {
 }
 
 
+# Explicit ASCII whitespace class — byte-identical to Java regex \s
+# ([ \t\n\x0B\f\r]) but, unlike \s, read the SAME way by DuckDB's RE2
+# (whose \s lacks \x0B). Every cross-engine pattern must use this, never
+# bare \s, so Spark and the SQL oracle can't silently diverge.
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]"
+
+
 def _tokens(text_col):
-    return F.split(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " ")
+    return F.split(
+        F.trim(F.regexp_replace(F.lower(text_col), WS_CLASS + "+", " ")), " "
+    )
 
 
 def _substr_count(text_col, marker: str):
@@ -80,8 +89,9 @@ def token_count_col(text_col):
 
 #: pre-tokenizer pattern (GPT-2-ish without lookarounds, so the same
 #: pattern runs under both Java regex and DuckDB's RE2): alnum runs or
-#: one non-space symbol per match
-_BPE_PRETOK = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+#: one non-space symbol per match. Whitespace spelled explicitly —
+#: Java \s and RE2 \s disagree on \x0B.
+_BPE_PRETOK = r"[A-Za-z0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def bpe_ish_token_count_col(text_col):
@@ -124,7 +134,7 @@ def quality_score_col(text_col):
 
 def doc_fingerprint_col(text_col):
     """Deterministic 128-bit content fingerprint of normalized text."""
-    return F.md5(F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")))
+    return F.md5(F.trim(F.regexp_replace(F.lower(text_col), WS_CLASS + "+", " ")))
 
 
 def winnowing_fingerprints(

@@ -87,6 +87,23 @@ def main():
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
+        # numeric-KIND drift (Spark int vs DuckDB HUGEINT/DOUBLE): the
+        # driver compares via PANDAS, where HUGEINT lands as float64 and
+        # stringifies 44 → '44.0' ≠ Spark's '44'. fetchall() masks this
+        # (HUGEINT → python int), so check the DECLARED types instead.
+        s_int = {
+            f.name.lower()
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("byte", "short", "integer", "long")
+        }
+        o_types = {c.lower(): str(t).upper() for c, t in zip(ocols, orel.types)}
+        for c in s_int:
+            ot = o_types.get(c)
+            if ot and any(x in ot for x in ("HUGEINT", "FLOAT", "DOUBLE", "DECIMAL")):
+                problems.append(
+                    f"dtype drift on '{c}': spark integral vs oracle {ot} "
+                    "— pandas will float-ize it; cast the oracle to BIGINT"
+                )
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
             problems.append(f"schema {sorted(scols)} vs {sorted(ocols)}")
         if not problems:
