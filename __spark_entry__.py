@@ -317,18 +317,22 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
-    """IVF-flat ANN: nearest-centroid cells, n_probe=2 query probing,
-    exact cosine within probed cells."""
-    from newspaper_spark.operators.similarity import ivf_topk
+    """IVF-flat ANN on TRAINED centroids: 2 rounds of distributed
+    Lloyd's k-means (exact-integer quantized sums → bit-deterministic
+    centroids the oracle reconstructs in SQL), then nearest-centroid
+    cells, n_probe=2 query probing, exact cosine within probed cells."""
+    from newspaper_spark.operators.similarity import ivf_topk, kmeans_train
     from newspaper_spark.sources.transcripts import load_table
 
     emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
     emb_d = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
+    cents = kmeans_train(emb_d, dim=EMB_DIM, n_cells=16, n_iter=2)
     queries_df = emb_d.filter(F.col("vec_id") % 50 == 0)
     return ivf_topk(
-        queries_df, emb_d, k=5, dim=EMB_DIM, n_cells=16, n_probe=2
+        queries_df, emb_d, k=5, dim=EMB_DIM, n_cells=16, n_probe=2,
+        centroids=cents,
     ).select("query_id", "neighbor_id", "rank")
 
 
@@ -564,20 +568,81 @@ def q_nlp_keywords(spark, sf_dir):
 
 
 def q_nlp_summary(spark, sf_dir):
-    """Extractive summary over the extracted articles (UDF; rows-only
-    check — procedural sentence scoring is not SQL-expressible)."""
+    """Extractive summary over the extracted articles, through the real
+    kernel (split_sentences → keywords → score_sentences → top-5 →
+    positional re-sort, nlp.py:40-54 semantics). Exact oracle: the
+    synthetic corpus has no sentence terminators, so the splitter
+    provably yields ONE sentence per article and the summary reduces to
+    the newline-stripped extracted text; the keyword union is
+    reconstructed relationally. Deterministic doc subset (doc_id < 50
+    recovered from conv_id/turn_idx) instead of a nondeterministic
+    limit()."""
     from newspaper_spark.operators.extract import extract_articles
     from newspaper_spark.operators.nlp_ops import add_nlp
 
     out = extract_articles(_transcripts(spark, sf_dir))
-    out = add_nlp(out.limit(50))
-    # keywords is array<string>: serialize so the driver canonicalizer
-    # (pandas sort_values) gets a sortable scalar column
+    doc_num = (
+        F.element_at(F.split("conv_id", "-"), -1).cast("int") * 4
+        + F.col("turn_idx")
+    )
+    out = add_nlp(out.filter(doc_num < 50))
+    # keywords is array<string> built from a Python set (iteration order
+    # not SQL-reconstructable): sort + serialize so the driver
+    # canonicalizer (pandas sort_values) gets a stable scalar column
     return out.select(
         "conv_id",
         "turn_idx",
-        F.array_join("keywords", " ").alias("keywords"),
+        F.array_join(F.array_sort("keywords"), " ").alias("keywords"),
         "summary",
+    )
+
+
+def q_nlp_sentence_scores(spark, sf_dir):
+    """Sentence scoring through the REAL kernel (nlp.py:164-208
+    semantics: title/length/position/sbs/dbs features + blended total +
+    most_common(5) selection), exercised on a sentence-RICH derivation
+    of the corpus: every word initcap'd, a period inserted after each
+    12-word run whose last word has ≥2 chars (so the splitter's
+    single-letter / lowercase-next guards never reject a boundary and
+    the oracle can reconstruct the split relationally). The feature
+    math is IEEE-identical on both sides — the oracle folds the sbs/dbs
+    sums left-to-right exactly as the Python kernel does."""
+    from newspaper_spark.operators.nlp_ops import sentence_features_udf
+
+    d = _docs(spark, sf_dir)
+    derived = F.regexp_replace(
+        F.initcap(F.col("text")), r"((?:[^ ]+ ){11}[^ ][^ ]+) ", "$1. "
+    )
+    title = F.concat(
+        F.lit("Document number "),
+        F.col("doc_id").cast("string"),
+        F.lit(" on data systems"),
+    )
+    feats = d.select(
+        "doc_id",
+        F.explode(
+            sentence_features_udf(title, derived, F.lit("en"))
+        ).alias("f"),
+    )
+    def r6(c):
+        # explicit floor-based rounding: F.round is HALF_UP while
+        # DuckDB's round() is HALF_EVEN on doubles — they disagree on
+        # exact .5-at-6dp values (observed on 3 rows at sf0.01).
+        # floor(x*1e6 + 0.5)/1e6 is the identical double-op sequence on
+        # both engines, so identical inputs give identical outputs.
+        return F.floor(F.col(c) * 1e6 + 0.5) / 1e6
+
+    return feats.select(
+        "doc_id",
+        F.col("f.idx").alias("sent_idx"),
+        F.col("f.sentence").alias("sentence"),
+        r6("f.title_score").alias("title_score"),
+        r6("f.length_score").alias("length_score"),
+        r6("f.position_score").alias("position_score"),
+        r6("f.sbs").alias("sbs"),
+        r6("f.dbs").alias("dbs"),
+        r6("f.total").alias("total"),
+        F.col("f.selected").alias("selected"),
     )
 
 
@@ -685,6 +750,34 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_decode_real(spark, sf_dir):
+    """REAL image decode end-to-end: generated binary PPM (P6) payloads
+    (raster bytes = padded text bytes, so the oracle reconstructs every
+    decoded value from the text column), parsed by the pure-stdlib
+    decoder — not the md5 fake — then 8-band mean-intensity features."""
+    from newspaper_spark.operators.multimodal import (
+        attach_ppm,
+        extract_media_features,
+    )
+
+    d = _docs(spark, sf_dir)
+    media = attach_ppm(d)
+    out = extract_media_features(media, real_decode=True)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        "error",
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
 def q_corpus_prep(spark, sf_dir):
     """End-to-end training-data prep over documents: exact-dedup (keep
     min-id representative) → language-ID → quality score → token count
@@ -745,12 +838,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "media_features": q_media_features,
+        "media_decode_real": q_media_decode_real,
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
         "image_score": q_image_score,
         "text_entropy": q_text_entropy,
         "nlp_keywords": q_nlp_keywords,
         "nlp_summary": q_nlp_summary,
+        "nlp_sentence_scores": q_nlp_sentence_scores,
         "prepare_url": q_prepare_url,
         "array_ops": q_array_ops,
         "conversation_text": q_conversation_text,
@@ -930,6 +1025,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_oracle(),
         "embedding_dedup": _embedding_dedup_oracle(),
         "media_features": _MEDIA_FEATURES_ORACLE,
+        "media_decode_real": _media_decode_real_oracle(),
         "media_resize": """
             WITH d AS (
                 SELECT md5(text) AS media_id,
@@ -965,6 +1061,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
         """,
         "nlp_keywords": _nlp_keywords_oracle(),
+        "nlp_summary": _nlp_summary_oracle(),
+        "nlp_sentence_scores": _nlp_sentence_scores_oracle(),
         "prepare_url": """
             SELECT doc_id,
                    CASE doc_id % 3
@@ -1191,7 +1289,7 @@ def _corpus_prep_oracle() -> str:
 
 
 
-def _nlp_keywords_oracle() -> str:
+def _nlp_stop_list() -> str:
     import json, os
 
     res = os.path.join(
@@ -1199,7 +1297,236 @@ def _nlp_keywords_oracle() -> str:
         "newspaper_spark", "resources", "stopwords.json")
     with open(res, encoding="utf-8") as f:
         nlp_stops = json.load(f)["nlp-en"]
-    stop_list = ",".join("'" + w.replace("'", "''") + "'" for w in nlp_stops if w)
+    return ",".join("'" + w.replace("'", "''") + "'" for w in nlp_stops if w)
+
+
+def _nlp_summary_oracle() -> str:
+    """Exact oracle for q_nlp_summary.
+
+    The synthetic corpus contains no sentence terminators ([.!?]), so
+    the kernel's splitter provably returns ONE sentence per article:
+    the whole extracted text, stripped of newlines — sentence scoring
+    then selects it trivially and the summary equals the
+    newline-stripped text truncated to the operator's 5000-char cap.
+    Keywords (nlp.py:119-150 over the extracted text) are relational:
+    split_words' re.sub removes every non-[\\w ] char INCLUDING the
+    newlines (merging paragraph-boundary words), then top-10 by
+    (freq, word) desc; the operator emits them sorted.
+    """
+    stop_list = _nlp_stop_list()
+    return f"""
+        WITH src AS (
+            SELECT doc_id,
+                   'conv-0-' || (doc_id // 4)::VARCHAR AS conv_id,
+                   (doc_id % 4)::INT AS turn_idx,
+                   {_EXPECTED_TEXT} AS extracted
+            FROM documents
+            WHERE doc_id < 50
+        ), toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(regexp_replace(
+                       extracted, '[^a-zA-Z0-9_ ]', '', 'g')), ' '),
+                       x -> x <> '') AS toks
+            FROM src
+        ), freq AS (
+            SELECT doc_id, w, count(*) AS freq
+            FROM (SELECT doc_id, unnest(toks) AS w FROM toks)
+            WHERE w NOT IN ({stop_list})
+            GROUP BY doc_id, w
+        ), top10 AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, w,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY freq DESC, w DESC) AS rank
+                FROM freq)
+            WHERE rank <= 10
+        ), kw AS (
+            SELECT doc_id, string_agg(w, ' ' ORDER BY w) AS keywords
+            FROM top10 GROUP BY doc_id
+        )
+        SELECT s.conv_id, s.turn_idx,
+               coalesce(k.keywords, '') AS keywords,
+               substring(replace(s.extracted, chr(10), ''), 1, 5000) AS summary
+        FROM src s LEFT JOIN kw k USING (doc_id)
+    """
+
+
+def _nlp_sentence_scores_oracle() -> str:
+    """Exact oracle for q_nlp_sentence_scores.
+
+    Reconstructs the derived sentence-rich text (initcap + guarded
+    period insertion), the splitter's output (every '. ' is a boundary
+    by construction — the regex never inserts a period after a 1-char
+    word, so the kernel's abbreviation/single-letter guards never fire
+    — and initcap makes every next-char uppercase), then the kernel's
+    per-sentence feature math with IEEE-identical operation order:
+    list_reduce folds the sbs/dbs accumulations left-to-right exactly
+    like the Python loops (adding 0.0 for non-keyword tokens is exact),
+    divisions/multiplications mirror nlp.py's operand order, and the
+    position ladder compares the same doubles to the same literals.
+    """
+    stop_list = _nlp_stop_list()
+    return f"""
+        WITH src AS (
+            SELECT doc_id, text,
+                   regexp_replace(
+                     array_to_string(list_transform(string_split(text, ' '),
+                         w -> upper(substring(w, 1, 1)) || substring(w, 2)), ' '),
+                     '((?:[^ ]+ ){{11}}[^ ][^ ]+) ', '\\1. ', 'g') AS derived
+            FROM documents
+        ), kwfreq AS (
+            SELECT doc_id, w, count(*) AS freq, any_value(num_words) AS num_words
+            FROM (SELECT doc_id, len(string_split(text, ' ')) AS num_words,
+                         unnest(string_split(text, ' ')) AS w
+                  FROM src)
+            WHERE w NOT IN ({stop_list})
+            GROUP BY doc_id, w
+        ), kws AS (
+            SELECT doc_id, w, freq * 1.0 / num_words * 1.5 + 1 AS score
+            FROM (SELECT doc_id, w, freq, num_words,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY freq DESC, w DESC) AS rank
+                  FROM kwfreq)
+            WHERE rank <= 10
+        ), rawsent AS (
+            SELECT doc_id, i,
+                   CASE WHEN i < len(parts) THEN parts[i] || '.'
+                        ELSE parts[i] END AS sentence
+            FROM (SELECT doc_id, parts,
+                         unnest(generate_series(1, len(parts))) AS i
+                  FROM (SELECT doc_id, string_split(derived, '. ') AS parts
+                        FROM src))
+        ), sents AS (
+            SELECT doc_id, sentence,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS sent_idx,
+                   count(*) OVER (PARTITION BY doc_id) AS size
+            FROM rawsent
+            WHERE length(sentence) > 10
+        ), stoks AS (
+            SELECT doc_id, sent_idx, size, sentence, len(toks) AS n_words,
+                   unnest(generate_series(1, len(toks))) AS ord, toks
+            FROM (SELECT doc_id, sent_idx, size, sentence,
+                         list_filter(string_split(lower(regexp_replace(
+                             sentence, '[^a-zA-Z0-9_ ]', '', 'g')), ' '),
+                             x -> x <> '') AS toks
+                  FROM sents)
+        ), scored AS (
+            SELECT s.doc_id, s.sent_idx, s.size, s.sentence, s.n_words,
+                   s.ord - 1 AS ord0, s.toks[s.ord] AS tok, k.score AS kscore
+            FROM stoks s LEFT JOIN kws k
+              ON k.doc_id = s.doc_id AND k.w = s.toks[s.ord]
+        ), ttl AS (
+            SELECT doc_id,
+                   list_filter(['document', 'number', doc_id::VARCHAR,
+                                'on', 'data', 'systems'],
+                               w -> w NOT IN ({stop_list})) AS ttoks
+            FROM src
+        ), agg AS (
+            SELECT sc.doc_id, sc.sent_idx,
+                   any_value(sc.size) AS size,
+                   any_value(sc.sentence) AS sentence,
+                   any_value(sc.n_words) AS n_words,
+                   list(coalesce(sc.kscore, 0.0) ORDER BY sc.ord0) AS all_scores,
+                   list(struct_pack(acc := 0.0::DOUBLE, i := sc.ord0, s := sc.kscore)
+                        ORDER BY sc.ord0)
+                       FILTER (WHERE sc.kscore IS NOT NULL) AS hits,
+                   -- count(DISTINCT ...) FILTER + a FILTERed ordered
+                   -- list aggregate in one GROUP BY trips an INTERNAL
+                   -- error in DuckDB 1.0; the CASE form is equivalent
+                   -- (NULLs don't count) and dodges it
+                   count(DISTINCT CASE WHEN sc.kscore IS NOT NULL
+                                       THEN sc.tok END) AS k_hits,
+                   count(*)
+                       FILTER (WHERE list_contains(t.ttoks, sc.tok)) AS title_hits,
+                   any_value(len(t.ttoks)) AS n_title
+            FROM scored sc JOIN ttl t ON t.doc_id = sc.doc_id
+            GROUP BY sc.doc_id, sc.sent_idx
+        ), feat AS (
+            SELECT doc_id, sent_idx, sentence,
+                   (title_hits * 1.0) / greatest(n_title, 1) AS title_score,
+                   1 - abs(20.0 - n_words) / 20.0 AS length_score,
+                   (CASE
+                     WHEN (sent_idx + 1) * 1.0 / size > 1.0 THEN 0.0
+                     WHEN (sent_idx + 1) * 1.0 / size > 0.9 THEN 0.15
+                     WHEN (sent_idx + 1) * 1.0 / size > 0.8 THEN 0.04
+                     WHEN (sent_idx + 1) * 1.0 / size > 0.7 THEN 0.04
+                     WHEN (sent_idx + 1) * 1.0 / size > 0.6 THEN 0.06
+                     WHEN (sent_idx + 1) * 1.0 / size > 0.5 THEN 0.04
+                     WHEN (sent_idx + 1) * 1.0 / size > 0.4 THEN 0.05
+                     WHEN (sent_idx + 1) * 1.0 / size > 0.3 THEN 0.08
+                     WHEN (sent_idx + 1) * 1.0 / size > 0.2 THEN 0.14
+                     WHEN (sent_idx + 1) * 1.0 / size > 0.1 THEN 0.23
+                     WHEN (sent_idx + 1) * 1.0 / size > 0 THEN 0.17
+                     ELSE 0.0
+                   END)::DOUBLE AS position_score,
+                   CASE WHEN n_words = 0 THEN 0.0
+                        ELSE (1.0 / n_words *
+                              list_reduce(all_scores, (a, b) -> a + b)) / 10.0
+                   END AS sbs,
+                   1 / ((k_hits + 1) * (k_hits + 2.0)) *
+                   CASE WHEN hits IS NULL OR len(hits) = 0 THEN 0.0
+                        ELSE list_reduce(hits, (a, x) -> struct_pack(
+                                 acc := a.acc + x.s * a.s /
+                                        ((x.i - a.i) * (x.i - a.i)),
+                                 i := x.i, s := x.s)).acc
+                   END AS dbs
+            FROM agg
+        ), tot AS (
+            SELECT doc_id, sent_idx, sentence, title_score, length_score,
+                   position_score, sbs, dbs,
+                   (title_score * 1.5 + (sbs + dbs) / 2.0 * 10.0 * 2.0 +
+                    length_score * 1.0 + position_score * 1.0) / 4.0 AS total
+            FROM feat
+        )
+        SELECT doc_id, sent_idx, sentence,
+               floor(title_score * 1000000.0 + 0.5) / 1000000.0 AS title_score,
+               floor(length_score * 1000000.0 + 0.5) / 1000000.0 AS length_score,
+               floor(position_score * 1000000.0 + 0.5) / 1000000.0 AS position_score,
+               floor(sbs * 1000000.0 + 0.5) / 1000000.0 AS sbs,
+               floor(dbs * 1000000.0 + 0.5) / 1000000.0 AS dbs,
+               floor(total * 1000000.0 + 0.5) / 1000000.0 AS total,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY total DESC, sent_idx) <= 5 AS selected
+        FROM tot
+    """
+
+
+def _media_decode_real_oracle() -> str:
+    """Exact oracle for the real PPM decode: the generated payload is
+    'P6\\n8 4\\n255\\n' + first 96 bytes of the space-padded text (all
+    ASCII, so byte k == ascii(char k)); band i of the feature is
+    sum(bytes 12i+1..12i+12) / (12·255), stored through a float32 cast
+    (reproduced with ::REAL) and rounded at 6dp as double."""
+    n_raster = 8 * 4 * 3
+    feats = []
+    for i in range(8):
+        lo = 12 * i + 1
+        s = (
+            "list_sum(list_transform(generate_series("
+            f"{lo}, {lo + 11}), j -> ascii(substring(padded, j, 1))))"
+        )
+        feats.append(
+            f"round((({s} / 3060.0)::REAL)::DOUBLE, 6) AS f{i}"
+        )
+    feat_sql = ",\n               ".join(feats)
+    return f"""
+        WITH p AS (
+            SELECT md5(text) AS media_id,
+                   substring(rpad(text, {n_raster}, ' '), 1, {n_raster}) AS padded
+            FROM documents
+        )
+        SELECT media_id,
+               'image' AS kind,
+               {11 + n_raster}::BIGINT AS n_bytes,
+               8 AS width, 4 AS height, 1 AS n_frames,
+               NULL::VARCHAR AS error,
+               {feat_sql}
+        FROM p
+    """
+
+
+def _nlp_keywords_oracle() -> str:
+    stop_list = _nlp_stop_list()
     return f"""
         WITH t AS (
             SELECT doc_id,
@@ -1426,30 +1753,82 @@ def _ann_lsh_oracle() -> str:
 
 
 def _ann_ivf_oracle() -> str:
-    """Cell assignment reconstructed with explicit dot expressions —
-    left-to-right float folds match the UDF's cumsum exactly."""
-    from newspaper_spark.operators.similarity import hyperplanes
+    """Reconstructs the TRAINED IVF index end-to-end: round-0 cell
+    assignment with explicit literal dot expressions (left-to-right
+    float folds match the UDF's cumsum exactly), then each k-means
+    round as plain SQL — per-(cell, dim) sums of the floor(x·2^20)
+    fixed-point components are EXACT integers (order-free, so GROUP BY
+    reproduces Spark's partial-combine sums bit-for-bit), centroid
+    means as s/(n·2^20) doubles, re-assignment via list_reduce
+    left-folds. Empty cells inherit the previous round's centroid,
+    exactly like kmeans_train."""
+    from newspaper_spark.operators.similarity import KMEANS_QUANT, hyperplanes
 
+    n_cells, dim, n_iter = 16, 64, 2
+    init = hyperplanes(dim, n_cells)
     branches = []
-    for cid, cent in enumerate(hyperplanes(64, 16)):
+    for cid, cent in enumerate(init):
         dot = " + ".join(f"v[{d + 1}] * ({w!r})" for d, w in enumerate(cent))
         branches.append(f"SELECT vec_id, {cid} AS cell, ({dot}) AS dot FROM emb")
-    union = " UNION ALL ".join(branches)
+    dots0 = " UNION ALL ".join(branches)
+    init_vals = ", ".join(
+        f"({cid}, [{', '.join(repr(w) for w in cent)}]::DOUBLE[])"
+        for cid, cent in enumerate(init)
+    )
+    q = f"{float(KMEANS_QUANT)!r}"
+    rounds_sql = ""
+    prev_cent = "init"
+    prev_asg = "asg0"
+    for r in range(1, n_iter + 1):
+        rounds_sql += f"""
+        , sums{r} AS (
+            SELECT a.cell, d.d, sum(e.q[d.d]) AS s, count(*) AS n
+            FROM qemb e
+            JOIN {prev_asg} a ON a.vec_id = e.vec_id AND a.rn = 1
+            CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS d) d
+            GROUP BY a.cell, d.d
+        ), newc{r} AS (
+            SELECT cell, list(s / (n * {q}) ORDER BY d) AS w
+            FROM sums{r} GROUP BY cell
+        ), cent{r} AS (
+            SELECT p.cell, coalesce(c.w, p.w) AS w
+            FROM {prev_cent} p LEFT JOIN newc{r} c USING (cell)
+        ), dots{r} AS (
+            SELECT e.vec_id, c.cell,
+                   list_reduce(list_transform(generate_series(1, {dim}),
+                                              i -> e.v[i] * c.w[i]),
+                               (a, b) -> a + b) AS dot
+            FROM emb e CROSS JOIN cent{r} c
+        ), asg{r} AS (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, cell) AS rn
+            FROM dots{r}
+        )"""
+        prev_cent = f"cent{r}"
+        prev_asg = f"asg{r}"
     return f"""
         WITH emb AS (
             SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
             FROM embeddings
-        ), dots AS ({union}), ranked AS (
+        ), qemb AS (
+            SELECT vec_id,
+                   list_transform(v, x -> floor(x * {q})::BIGINT) AS q
+            FROM emb
+        ), init AS (
+            SELECT * FROM (VALUES {init_vals}) t(cell, w)
+        ), rdots0 AS ({dots0}), asg0 AS (
             SELECT vec_id, cell,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY dot DESC, cell) AS rn
-            FROM dots
-        ), corpus AS (
+            FROM rdots0 WHERE TRUE
+        ){rounds_sql}
+        , corpus AS (
             SELECT e.vec_id AS neighbor_id, e.v AS cv, r.cell
-            FROM emb e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn = 1
+            FROM emb e JOIN {prev_asg} r ON r.vec_id = e.vec_id AND r.rn = 1
         ), probes AS (
             SELECT e.vec_id AS query_id, e.v AS qv, r.cell
-            FROM emb e JOIN ranked r ON r.vec_id = e.vec_id AND r.rn <= 2
+            FROM emb e JOIN {prev_asg} r ON r.vec_id = e.vec_id AND r.rn <= 2
             WHERE e.vec_id % 50 = 0
         ), scored AS (
             SELECT DISTINCT p.query_id, c.neighbor_id,

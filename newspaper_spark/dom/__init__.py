@@ -1,6 +1,6 @@
 from .element import COMMENT, Element, is_comment, is_element, make_comment
 from .htmlparser import fromstring, parse_document
-from .ops import drop_tag, remove_keep_tail, strip_tags
+from .ops import drop_tag, drop_tree, remove_keep_tail, strip_tags
 from .select import (
     css_select,
     find_attr_regex,
@@ -20,6 +20,7 @@ __all__ = [
     "fromstring",
     "parse_document",
     "drop_tag",
+    "drop_tree",
     "remove_keep_tail",
     "strip_tags",
     "css_select",

@@ -58,6 +58,26 @@ def strip_tags(root: Element, *tags) -> None:
                 changed = True
 
 
+def drop_tree(node: Element) -> None:
+    """lxml.html drop_tree: remove the element and its children but
+    keep its tail, joined DIRECTLY (no inserted space — unlike the
+    reference Parser's remove()) onto the previous sibling's tail or
+    the parent's text. This is what lxml Cleaner's kill path uses, so
+    article-HTML cleaning must splice tails this way or text after a
+    killed <iframe>/<form>/<script> silently disappears."""
+    parent = node.getparent()
+    if parent is None:
+        return
+    if node.tail:
+        prev = node.getprevious()
+        if prev is None:
+            parent.text = (parent.text or "") + node.tail
+        else:
+            prev.tail = (prev.tail or "") + node.tail
+    node.clear()
+    parent.remove(node)
+
+
 def remove_keep_tail(node: Element) -> None:
     """The reference Parser's remove(): before detaching, splice the
     node's tail into the previous sibling (or parent text) with a

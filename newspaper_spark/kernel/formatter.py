@@ -102,19 +102,20 @@ def convert_to_html(top_node: Element) -> str:
     script/style/comment and form/embedded subtrees are KILLED, other
     non-allowed tags unwrap keeping content, surviving elements keep
     only safe_attrs and never a script-scheme href/src."""
-    from ..dom import iter_comments, node_to_html
+    from ..dom import drop_tree, iter_comments, node_to_html
 
     node = top_node.copy_subtree()
     node.tail = None
+    # kill via drop_tree (tail text splices to the previous sibling /
+    # parent, lxml Cleaner semantics) — plain remove() would silently
+    # drop article text trailing a killed <iframe>/<form>/<script>
     for el in list(node.iterdescendants()):
         if el.tag in _ARTICLE_HTML_KILL:
-            parent = el.getparent()
-            if parent is not None:
-                parent.remove(el)
-    for c in iter_comments(node):
-        parent = c.getparent()
-        if parent is not None:
-            parent.remove(c)
+            if el.getparent() is not None:
+                drop_tree(el)
+    for c in list(iter_comments(node)):
+        if c.getparent() is not None:
+            drop_tree(c)
     changed = True
     while changed:
         changed = False

@@ -158,10 +158,14 @@ def _dbs(words, kws):
     return 1 / (k * (k + 1.0)) * summ
 
 
-def score_sentences(sentences, title_tokens, kws, language="en") -> Counter:
+def sentence_features(sentences, title_tokens, kws, language="en") -> list:
+    """Per-sentence feature breakdown behind score_sentences — exposed
+    so the feature math itself is oracle-checkable column by column
+    (title/length/position/sbs/dbs and the blended total,
+    nlp.py:164-208 semantics)."""
     stopwords = nlp_stopword_set(language)
     sen_size = len(sentences)
-    ranks = Counter()
+    feats = []
     for i, s in enumerate(sentences):
         sentence = split_words(s)
         title_feature = _title_score(title_tokens, sentence, stopwords)
@@ -171,7 +175,25 @@ def score_sentences(sentences, title_tokens, kws, language="en") -> Counter:
         dbs_feature = _dbs(sentence, kws)
         frequency = (sbs_feature + dbs_feature) / 2.0 * 10.0
         total = (title_feature * 1.5 + frequency * 2.0 + sent_len * 1.0 + sent_pos * 1.0) / 4.0
-        ranks[(i, s)] = total
+        feats.append(
+            {
+                "idx": i,
+                "sentence": s,
+                "title_score": title_feature,
+                "length_score": sent_len,
+                "position_score": sent_pos,
+                "sbs": sbs_feature,
+                "dbs": dbs_feature,
+                "total": total,
+            }
+        )
+    return feats
+
+
+def score_sentences(sentences, title_tokens, kws, language="en") -> Counter:
+    ranks = Counter()
+    for f in sentence_features(sentences, title_tokens, kws, language):
+        ranks[(f["idx"], f["sentence"])] = f["total"]
     return ranks
 
 

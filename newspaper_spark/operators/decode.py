@@ -92,11 +92,24 @@ def _plausibility(txt: str, enc: str) -> float:
 def _detect_and_decode(raw: bytes) -> str:
     sample = raw[:65536]
     best_enc, best_score = None, 0.0
+    truncated = len(raw) > len(sample)
     for enc in _DETECT_CANDIDATES:
         try:
             txt = sample.decode(enc)
-        except (UnicodeDecodeError, LookupError):
+        except LookupError:
             continue
+        except UnicodeDecodeError as e:
+            # a multibyte sequence split at the 64 KiB sample cut must
+            # not eliminate the CORRECT encoding: if the only failure
+            # is within the last 4 bytes of a truncated sample, retry
+            # strictly on the sample trimmed at the failure point.
+            # Mid-sample garbage still disqualifies (strict decode).
+            if not (truncated and e.start >= len(sample) - 4):
+                continue
+            try:
+                txt = sample[: e.start].decode(enc)
+            except (UnicodeDecodeError, LookupError):
+                continue
         score = _plausibility(txt, enc)
         if score > best_score:
             best_enc, best_score = enc, score

@@ -169,7 +169,11 @@ def minhash_lsh_pairs(
     (band, signature): both sides shuffle-partition on the band key, so
     work is proportional to true collisions."""
     rows_per_band = num_hashes // bands
-    sig = minhash_table(df, id_col, text_col, num_hashes, shingle_n)
+    # persist: the band self-join reads the signature subplan on BOTH
+    # sides, and AQE's runtime broadcast defeats ReuseExchange — without
+    # this the shingle explode + rehash aggregate (the expensive map
+    # stage) executes twice
+    sig = minhash_table(df, id_col, text_col, num_hashes, shingle_n).persist()
 
     def band_sig(b: int):
         part = F.slice("mh", b * rows_per_band + 1, rows_per_band)

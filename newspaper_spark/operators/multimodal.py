@@ -45,15 +45,107 @@ def attach_media(df: DataFrame, text_col: str = "text", kind: str = "image") -> 
     )
 
 
-def _decode_image(payload: bytes, real_decode: bool = False):
-    """STUB: real implementation needs PIL/opencv (absent here).
+#: generated-PPM geometry for the real-decode test path
+PPM_W, PPM_H = 8, 4
+_PPM_HEADER = f"P6\n{PPM_W} {PPM_H}\n255\n"
 
-    Raises NotImplementedError when real_decode is requested; otherwise
-    returns a deterministic fake whose dims derive from md5(payload) —
-    chosen so the DuckDB oracle reconstructs them in pure SQL
-    (width = 64 + ('0x' || substring(md5(text),1,2))::INT etc.)."""
+
+def attach_ppm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic REAL image payloads: a valid binary PPM (P6) whose
+    raster bytes are the first w·h·3 chars of the (space-padded) text —
+    all-ASCII corpus, so byte k == ascii(char k) and the DuckDB oracle
+    reconstructs every decoded feature from the text column alone."""
+    n_raster = PPM_W * PPM_H * 3
+    pixels = F.encode(
+        F.substring(F.rpad(F.col(text_col), n_raster, " "), 1, n_raster),
+        "UTF-8",
+    )
+    payload = F.concat(F.encode(F.lit(_PPM_HEADER), "UTF-8"), pixels)
+    return df.select(
+        F.md5(F.col(text_col)).alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def _raster_feature(raster: bytes, maxval: int = 255) -> list:
+    """8-band mean-intensity feature over raw raster bytes: band i is
+    the mean of bytes [i·n//8, (i+1)·n//8) normalized by maxval. One
+    integer sum per band (exact) then a single double division — the
+    DuckDB oracle reproduces the identical doubles."""
+    n = len(raster)
+    if n == 0:
+        return [0.0] * 8
+    feat = []
+    for i in range(8):
+        lo, hi = i * n // 8, (i + 1) * n // 8
+        chunk = raster[lo:hi]
+        feat.append(sum(chunk) / (len(chunk) * maxval) if chunk else 0.0)
+    return feat
+
+
+def _decode_ppm(payload: bytes):
+    """Binary PPM (P6) decoder — pure stdlib. Header: 'P6', optional
+    #-comments, width height maxval, one whitespace, then w·h·3 raw
+    RGB bytes."""
+    import re
+
+    m = re.match(rb"P6[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*(\d+)[ \t\r\n]+(\d+)[ \t\r\n]+(\d+)[ \t\r\n]", payload)
+    if not m:
+        raise ValueError("bad PPM header")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        raise ValueError("bad PPM dimensions")
+    need = w * h * 3
+    raster = payload[m.end() : m.end() + need]
+    if len(raster) < need:
+        raise ValueError("truncated PPM raster")
+    return (w, h, 1, _raster_feature(raster, maxval))
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed (BI_RGB) BMP decoder — pure stdlib struct parsing
+    of the BITMAPINFOHEADER; top-down bitmaps (negative height) are
+    normalized."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("bad BMP header")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp, comp = struct.unpack_from("<HI", payload, 28)
+    h = abs(h)
+    if comp != 0:
+        raise ValueError("compressed BMP unsupported")
+    if w <= 0 or h == 0 or bpp not in (8, 24, 32):
+        raise ValueError("unsupported BMP geometry")
+    row_bytes = (w * bpp // 8 + 3) & ~3  # rows pad to 4-byte boundary
+    need = row_bytes * h
+    raster = payload[off : off + need]
+    if len(raster) < need:
+        raise ValueError("truncated BMP raster")
+    return (w, h, 1, _raster_feature(raster))
+
+
+def _decode_image(payload: bytes, real_decode: bool = False):
+    """Image decode. real_decode=True parses REAL containers with the
+    pure-stdlib decoders above (PPM/P6 and uncompressed BMP — the
+    formats expressible without PIL/opencv, which this container lacks;
+    other magic bytes raise ValueError into the error column, the slot
+    where a PIL-backed decoder would plug in).
+
+    real_decode=False returns the deterministic fake whose dims derive
+    from md5(payload) — chosen so the DuckDB oracle reconstructs them
+    in pure SQL (width = 64 + ('0x' || substring(md5(text),1,2))::INT
+    etc.)."""
     if real_decode:
-        raise NotImplementedError("image decode requires PIL/opencv")
+        if payload and payload[:2] == b"P6":
+            return _decode_ppm(payload)
+        if payload and payload[:2] == b"BM":
+            return _decode_bmp(payload)
+        raise ValueError("unsupported image format (PIL/opencv absent)")
     import hashlib
 
     hx = hashlib.md5(payload or b"").hexdigest()

@@ -265,6 +265,70 @@ def ivf_assign_udf(centroids, top_p: int = 1):
     return F.pandas_udf(_assign, "array<int>")
 
 
+#: fixed-point scale for k-means sums: floor(x · 2^20) is exact in
+#: both engines, and per-cell per-dim sums of these ints are EXACT
+#: (order-free), so trained centroids are bit-deterministic and the
+#: DuckDB oracle reconstructs them with plain GROUP BY sums.
+KMEANS_QUANT = 1 << 20
+
+
+def kmeans_train(
+    df: DataFrame,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+) -> list:
+    """Distributed Lloyd's k-means for IVF centroids.
+
+    Each round: assign every vector to its nearest centroid with the
+    same Arrow-vectorized dot UDF the serving path uses (map-only),
+    reduce per (cell, dim) with EXACT integer sums of the fixed-point
+    quantized components (map-side partial combine; the shuffle carries
+    n_cells × dim longs per partition, never vectors), and fetch the
+    n_cells × (dim+1) aggregate to the driver — the standard broadcast
+    model-state pattern, O(model) not O(data). Quantized sums make the
+    result independent of partition/combine order, so the trained
+    centroids are reproducible run-to-run AND reconstructable in
+    ANSI SQL (no float sum-order divergence). Empty cells keep their
+    previous centroid. Spark analog of faiss-style IVF training; the
+    reference has no trainer (its analog is sklearn-side).
+    """
+    cents = hyperplanes(dim, n_cells)
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x * KMEANS_QUANT).cast("long")
+    )
+    base = df.select(F.col(vec_col).alias("v"), qv.alias("q")).persist()
+    try:
+        for _ in range(n_iter):
+            assigned = base.select(
+                F.element_at(ivf_assign_udf(cents, 1)(F.col("v")), 1).alias(
+                    "cell"
+                ),
+                "q",
+            )
+            agg = assigned.groupBy("cell").agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("q", d + 1)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            )
+            rows = {r["cell"]: r for r in agg.collect()}
+            cents = [
+                [
+                    rows[c][f"s{d}"] / (rows[c]["n"] * float(KMEANS_QUANT))
+                    for d in range(dim)
+                ]
+                if c in rows
+                else cents[c]
+                for c in range(n_cells)
+            ]
+    finally:
+        base.unpersist()
+    return cents
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -276,17 +340,18 @@ def ivf_topk(
     c_id: str = "vec_id",
     q_vec: str = "embedding",
     c_vec: str = "embedding",
+    centroids: list | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF-flat: corpus vectors live in their
     nearest-centroid cell, queries probe their ``n_probe`` nearest
     cells, exact cosine ranks within the probed cells only.
 
-    Centroids here are deterministic md5-derived pseudo-random vectors
-    (the `hyperplanes` generator) — at 100 TB a k-means training job
-    would supply them; assignment/probing/ranking is identical either
-    way. The cell join shuffles on small int cell ids; per-cell
-    population is the scale knob (n_cells ∝ √N is the usual rule)."""
-    cents = hyperplanes(dim, n_cells)
+    Pass ``centroids`` from :func:`kmeans_train` for a trained index;
+    the default falls back to deterministic md5-derived pseudo-random
+    centroids (useful as an untrained baseline). The cell join shuffles
+    on small int cell ids; per-cell population is the scale knob
+    (n_cells ∝ √N is the usual rule)."""
+    cents = centroids if centroids is not None else hyperplanes(dim, n_cells)
     c = corpus.select(
         F.col(c_id).alias("neighbor_id"),
         F.col(c_vec).alias("cv"),
@@ -332,7 +397,13 @@ def embedding_dedup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         signature_udf(planes)(F.col(vec_col)).alias("sig"),
-    )
+    ).persist()
+    # persist is load-bearing, not a cache hint: sigd fans out into 4
+    # plan branches (both sides of the banded self-join + both vector
+    # lookups) and AQE's runtime broadcasts defeat ReuseExchange, so an
+    # unpersisted plan executes the signature UDF 4×. At 100 TB that is
+    # 4× the single most expensive map stage; MEMORY_AND_DISK spills
+    # gracefully and Spark evicts LRU after the query completes.
     b = _explode_bands(sigd, "id", bands, band_size)
     l, r = b.alias("l"), b.alias("r")
     cand = (

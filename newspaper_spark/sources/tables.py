@@ -34,7 +34,17 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
 
 def write_table(df: DataFrame, ref: str, mode: str = "append") -> None:
     if is_iceberg_ref(ref):
-        df.writeTo(ref[len(_ICEBERG_PREFIX):]).append() if mode == "append" \
-            else df.writeTo(ref[len(_ICEBERG_PREFIX):]).createOrReplace()
+        table = ref[len(_ICEBERG_PREFIX):]
+        if mode == "append":
+            df.writeTo(table).append()
+        elif mode == "overwrite":
+            df.writeTo(table).createOrReplace()
+        else:
+            # 'error'/'ignore'/etc must NOT silently replace an
+            # existing table on the Iceberg path
+            raise ValueError(
+                f"unsupported mode {mode!r} for Iceberg table {table!r}: "
+                "use 'append' or 'overwrite'"
+            )
         return
     df.write.mode(mode).parquet(ref)

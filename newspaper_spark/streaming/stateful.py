@@ -82,6 +82,95 @@ def make_session_fn(gap_minutes: int = 30):
     return update
 
 
+def make_event_time_session_fn(gap_minutes: int = 30):
+    """Event-time twin of make_session_fn: the session closes when the
+    WATERMARK (not the wall clock) passes last_event + gap, so results
+    are reproducible under replay and late-but-within-watermark events
+    still extend their session. Events older than the watermark never
+    reach this function — Spark's late-data filter drops them — so a
+    straggler can't reopen a closed session."""
+    gap_s = gap_minutes * 60
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        out = []
+        if state.hasTimedOut:
+            start_s, last_s, n = state.get
+            out.append((user_id, start_s, last_s, n, True))
+            state.remove()
+        else:
+            ts_list = []
+            for pdf in pdfs:
+                # ts arrives as datetime64 (the watermark column must
+                # stay a timestamp) — convert to epoch seconds
+                ts_list.extend(
+                    pdf["ts"].astype("int64").floordiv(1_000_000_000).tolist()
+                )
+            ts_list.sort()
+            if state.exists:
+                start_s, last_s, n = state.get
+            else:
+                start_s = last_s = None
+                n = 0
+            for t in ts_list:
+                if last_s is not None and t - last_s > gap_s:
+                    out.append((user_id, start_s, last_s, n, True))
+                    start_s, last_s, n = t, t, 1
+                else:
+                    if start_s is None:
+                        start_s = t
+                    last_s = t
+                    n += 1
+            if last_s is not None:
+                state.update((start_s, last_s, n))
+                # close when the watermark passes last event + gap; the
+                # timeout timestamp must exceed the current watermark
+                target_ms = int((last_s + gap_s) * 1000)
+                state.setTimeoutTimestamp(
+                    max(target_ms, state.getCurrentWatermarkMs() + 1)
+                )
+                out.append((user_id, start_s, last_s, n, False))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": pd.to_datetime([o[1] for o in out], unit="s"),
+                    "session_end": pd.to_datetime([o[2] for o in out], unit="s"),
+                    "n_events": [o[3] for o in out],
+                    "closed": [o[4] for o in out],
+                }
+            )
+
+    return update
+
+
+def streaming_sessionize_event_time(
+    events: DataFrame, gap_minutes: int = 30, watermark_minutes: int = 10
+) -> DataFrame:
+    """events(user_id, ts) stream → session rows, EVENT-time semantics:
+    ``withWatermark`` bounds state and drops events later than the
+    watermark delay (they cannot reopen closed sessions), and sessions
+    close via EventTimeTimeout when the watermark passes
+    last_event + gap — deterministic under replay, unlike the
+    processing-time variant."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    ).withWatermark("ts", f"{watermark_minutes} minutes")
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        make_event_time_session_fn(gap_minutes),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """events(user_id, ts) stream → session rows (open + closed).
 

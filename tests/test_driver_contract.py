@@ -34,8 +34,9 @@ def test_oracle_keys_subset_of_queries(spark):
     qs = set(E.queries())
     os_ = set(E.oracle_sql())
     assert os_ <= qs, f"oracles without queries: {os_ - qs}"
-    # the single intentional rows-only entry
-    assert qs - os_ == {"nlp_summary"}, qs - os_
+    # every query has an exact oracle (round 3 closed the last
+    # rows-only entry, nlp_summary)
+    assert qs - os_ == set(), qs - os_
 
 
 def test_entry_smoke(spark):

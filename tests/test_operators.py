@@ -201,14 +201,15 @@ def test_multimodal_plumbing(spark):
     assert len(r.feature) == 8
 
 
-def test_multimodal_real_decoder_stub(spark):
-    """With the real-decoder flag, the stub must surface
-    NotImplementedError in the error column, not crash the job."""
+def test_multimodal_real_decoder_unsupported_format(spark):
+    """With the real-decoder flag, payloads that aren't a container the
+    stdlib decoders handle must surface ValueError in the error column
+    (the PIL/opencv plug-in slot), not crash the job."""
     from newspaper_spark.operators.multimodal import attach_media, extract_media_features
 
     df = spark.createDataFrame([(1, "hello media")], "id int, text string")
     feats = extract_media_features(attach_media(df), real_decode=True).collect()
-    assert feats[0].error is not None and "NotImplementedError" in feats[0].error
+    assert feats[0].error is not None and "ValueError" in feats[0].error
 
 
 def test_valid_url_udf(spark):
@@ -428,9 +429,10 @@ def test_media_resize_and_frame_sampling(spark):
     assert len(out.idx) <= 8
     assert all(b - a == 4 for a, b in zip(out.idx, out.idx[1:]))
 
-    # stub honesty: real decode surfaces the error, job survives
+    # honesty: real decode of a non-image payload surfaces the error,
+    # job survives
     err = resize_media(attach_media(df), real_decode=True).first()
-    assert err.error and "NotImplementedError" in err.error
+    assert err.error and "ValueError" in err.error
 
 
 def test_ivf_recall_against_brute(spark):
@@ -453,3 +455,194 @@ def test_ivf_recall_against_brute(spark):
     }
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ppm_decoder_real():
+    """Pure-stdlib PPM (P6) decode: dims from the header, 8-band
+    mean-intensity features from the raster bytes."""
+    from newspaper_spark.operators.multimodal import _decode_image
+
+    raster = bytes(range(96))  # 8x4 RGB
+    payload = b"P6\n8 4\n255\n" + raster
+    w, h, nf, feat = _decode_image(payload, real_decode=True)
+    assert (w, h, nf) == (8, 4, 1)
+    assert len(feat) == 8
+    assert feat[0] == sum(range(12)) / (12 * 255)
+    assert feat[7] == sum(range(84, 96)) / (12 * 255)
+    # comment in header + maxval scaling
+    payload2 = b"P6\n# a comment\n2 1\n127\n" + bytes([127, 0, 0, 0, 0, 127])
+    w2, h2, _, feat2 = _decode_image(payload2, real_decode=True)
+    assert (w2, h2) == (2, 1)
+    import pytest
+
+    with pytest.raises(ValueError):
+        _decode_image(b"P6\n8 4\n255\nshort", real_decode=True)
+
+
+def test_bmp_decoder_real():
+    """Uncompressed BMP decode: header geometry honored, rows padded to
+    4 bytes, top-down (negative height) normalized."""
+    import struct
+
+    from newspaper_spark.operators.multimodal import _decode_image
+
+    w, h, bpp = 3, 2, 24
+    row = (w * bpp // 8 + 3) & ~3  # 12 bytes (9 + 3 pad)
+    raster = bytes(range(row * h))
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, bpp, 0, len(raster), 0, 0, 0, 0)
+    )
+    wd, hd, nf, feat = _decode_image(header + raster, real_decode=True)
+    assert (wd, hd, nf) == (w, h, 1)
+    assert len(feat) == 8
+    import pytest
+
+    with pytest.raises(ValueError):
+        _decode_image(header[:-1], real_decode=True)  # truncated header
+
+
+def test_media_decode_real_end_to_end(spark):
+    """attach_ppm → real decode: the whole mapInPandas path runs a REAL
+    container parse (no md5 fake) with no errors."""
+    from newspaper_spark.operators.multimodal import attach_ppm, extract_media_features
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over a lazy dog near the river bank today")],
+        "id int, text string",
+    )
+    r = extract_media_features(attach_ppm(df), real_decode=True).first()
+    assert r.error is None
+    assert (r.width, r.height, r.n_frames) == (8, 4, 1)
+    # band 0 = mean of the first 12 text bytes / 255 (float32 storage)
+    expected = sum(b"the quick br") / (12 * 255)
+    assert abs(r.feature[0] - expected) < 1e-6
+
+
+def test_kmeans_train_deterministic_and_recall(spark):
+    """Trained centroids must be bit-deterministic across runs (exact
+    integer sums) and never hurt recall vs the pseudo-random baseline
+    on clustered data."""
+    import math
+
+    from newspaper_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_train,
+    )
+
+    rows = []
+    for i in range(120):
+        angle = (i % 6) / 6 * 2 * math.pi  # 6 tight clusters
+        rows.append(
+            (i, [math.cos(angle) + (i % 5) * 0.01, math.sin(angle), 0.3, 0.1])
+        )
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    c1 = kmeans_train(emb, dim=4, n_cells=6, n_iter=2)
+    c2 = kmeans_train(emb, dim=4, n_cells=6, n_iter=2)
+    assert c1 == c2, "trained centroids must be bit-identical run-to-run"
+
+    q = emb.filter("vec_id < 6")
+    brute = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(q, emb, k=3).collect()
+    }
+
+    def recall(cents):
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                q, emb, k=3, dim=4, n_cells=6, n_probe=2, centroids=cents
+            ).collect()
+        }
+        return len(brute & approx) / len(brute)
+
+    r_trained = recall(c1)
+    r_untrained = recall(None)
+    assert r_trained >= r_untrained, (
+        f"training hurt recall: {r_trained} < {r_untrained}"
+    )
+    assert r_trained >= 0.8, f"trained IVF recall too low: {r_trained}"
+
+
+def test_drop_tree_keeps_tail():
+    """Killed subtrees must not eat the text after them (lxml drop_tree
+    semantics): '<p>Read more <iframe/> after the video.</p>' keeps
+    ' after the video.'."""
+    from newspaper_spark.dom import parse_document
+    from newspaper_spark.kernel.formatter import convert_to_html
+
+    doc = parse_document(
+        "<html><body><div><p>Read more <iframe src='x'></iframe>"
+        " after the video.</p></div></body></html>"
+    )
+    div = next(n for n in doc.iterdescendants() if n.tag == "div")
+    html = convert_to_html(div)
+    assert "after the video." in html
+    assert "iframe" not in html
+
+
+def test_decode_sample_boundary_truncation():
+    """A multibyte char split at the 64 KiB detection-sample boundary
+    must not eliminate the correct encoding."""
+    from newspaper_spark.operators.decode import decode_html_bytes
+
+    unit = "한국어 페이지 내용 ".encode("euc-kr")  # 19 bytes, 2-byte hangul
+    # choose a prefix length so byte 65536 falls INSIDE a 2-byte char:
+    # (65536 - p) % 19 == 1 → one byte into the first hangul of a unit
+    p = (65536 - 1) % len(unit)
+    raw = b"x" * p + unit * 4000
+    assert len(raw) > 65536
+    # sanity: the sample boundary splits a character → strict decode of
+    # the sample fails exactly at the tail
+    try:
+        raw[:65536].decode("euc-kr")
+        assert False, "expected the boundary to split a character"
+    except UnicodeDecodeError as e:
+        assert e.start >= 65536 - 4
+    txt = decode_html_bytes(raw)
+    assert "한국어" in txt
+
+
+def test_write_table_iceberg_mode_guard(spark):
+    """Non-append/overwrite modes must fail loudly on the Iceberg path
+    instead of silently replacing the table."""
+    import pytest
+
+    from newspaper_spark.sources.tables import write_table
+
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="unsupported mode"):
+        write_table(df, "iceberg:cat.db.t", mode="error")
+
+
+def test_sentence_features_on_punctuated_text():
+    """Kernel sentence scoring on sentence-rich text: the splitter honors
+    '. '+capital boundaries, features carry the nlp.py:164-208 blend."""
+    from newspaper_spark.kernel.nlp import (
+        keywords,
+        sentence_features,
+        split_sentences,
+        split_words,
+    )
+
+    text = (
+        "Spark table scans run fast on columnar data today. "
+        "Hash joins shuffle rows between query stages. "
+        "Window functions sort partitions for running aggregates."
+    )
+    sents = split_sentences(text)
+    assert len(sents) == 3
+    kws = keywords(text, "en")
+    feats = sentence_features(sents, split_words("Spark query stages"), kws, "en")
+    assert len(feats) == 3
+    for f in feats:
+        assert 0 <= f["position_score"] <= 0.23
+        assert f["total"] == (
+            f["title_score"] * 1.5
+            + (f["sbs"] + f["dbs"]) / 2.0 * 10.0 * 2.0
+            + f["length_score"]
+            + f["position_score"]
+        ) / 4.0
+    # the title words hit sentence 1 ('spark') and 2/3 ('query'/'stages')
+    assert feats[0]["title_score"] > 0
