@@ -120,7 +120,19 @@ def candidate_words(stripped: str, language: str) -> list:
 
 def stopword_stats(content: str, language: str = "en") -> WordStats:
     """StopWords.get_stopword_count (text.py:85-101) with the language
-    dispatch of configuration.py:105-121 folded in."""
+    dispatch of configuration.py:105-121 folded in.
+
+    Results are memoized by (content, language): article boilerplate
+    (nav/footer strings, repeated paragraph leads) recurs across nodes
+    and pages, and the scorer re-asks for the same strings thousands of
+    times per batch. Callers treat WordStats as immutable (the only
+    consumer reads .stop_word_count), so sharing cached instances is
+    safe. CPython caches str hashes, so repeat keys are O(1)."""
+    return _stopword_stats_cached(content, language)
+
+
+@lru_cache(maxsize=8192)
+def _stopword_stats_cached(content: str, language: str) -> WordStats:
     if not content:
         return WordStats()
     lang_key = "ar" if language == "fa" else language

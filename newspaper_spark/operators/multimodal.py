@@ -2,10 +2,13 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode/resize/frame-sample run as Arrow-batched ``mapInPandas`` stages.
-The decode kernels themselves are STUBBED (no image/audio libs in this
-container — clearly marked below); everything Spark-side — schema,
-batch iteration, partitioning, error channeling — is real and tested
-with a deterministic fake decoder.
+``real_decode=True`` parses REAL containers with pure-stdlib decoders —
+PPM (P6), uncompressed BMP, and PNG (zlib inflate + full scanline
+unfiltering) — and surfaces every other format as a per-row ValueError
+in the error column: that error path is exactly where a PIL/opencv
+decoder would plug in on a cluster that has them (this container does
+not). ``real_decode=False`` keeps the deterministic md5 fake used by
+the SQL-oracled plumbing checks.
 """
 from __future__ import annotations
 
@@ -129,6 +132,75 @@ def _decode_bmp(payload: bytes):
     return (w, h, 1, _raster_feature(raster))
 
 
+def _decode_png(payload: bytes):
+    """PNG decoder on stdlib zlib alone: IHDR geometry, concatenated
+    IDAT inflate, full scanline unfiltering (None/Sub/Up/Average/Paeth)
+    for 8-bit gray/RGB(+alpha). Interlaced or sub-byte-depth variants
+    raise (the PIL plug-in slot)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos = 8
+    width = height = None
+    channels = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bitd, colort, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bitd != 8 or interlace != 0 or colort not in (0, 2, 4, 6):
+                raise ValueError("unsupported PNG variant")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}[colort]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + CRC
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _y in range(height):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + stride])
+        p += stride
+        if f == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        out += line
+        prev = line
+    return (width, height, 1, _raster_feature(bytes(out)))
+
+
 def _decode_image(payload: bytes, real_decode: bool = False):
     """Image decode. real_decode=True parses REAL containers with the
     pure-stdlib decoders above (PPM/P6 and uncompressed BMP — the
@@ -145,6 +217,8 @@ def _decode_image(payload: bytes, real_decode: bool = False):
             return _decode_ppm(payload)
         if payload and payload[:2] == b"BM":
             return _decode_bmp(payload)
+        if payload and payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png(payload)
         raise ValueError("unsupported image format (PIL/opencv absent)")
     import hashlib
 

@@ -646,3 +646,71 @@ def test_sentence_features_on_punctuated_text():
         ) / 4.0
     # the title words hit sentence 1 ('spark') and 2/3 ('query'/'stages')
     assert feats[0]["title_score"] > 0
+
+
+def test_png_decoder_real():
+    """zlib-only PNG decode: IHDR geometry + full unfiltering. Built
+    against a PNG assembled by hand with every filter type."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from newspaper_spark.operators.multimodal import _decode_image
+
+    w, h, ch = 4, 5, 3  # RGB
+    rows = [bytes((x * 7 + y * 31 + c) & 0xFF for x in range(w) for c in range(ch))
+            for y in range(h)]
+
+    # filter each scanline with types 0..4 (one per row)
+    stride = w * ch
+    filtered = bytearray()
+    prev = bytes(stride)
+    for y, line in enumerate(rows):
+        f = y % 5
+        filtered.append(f)
+        if f == 0:
+            filtered += line
+        elif f == 1:
+            filtered += bytes((line[x] - (line[x - ch] if x >= ch else 0)) & 0xFF
+                              for x in range(stride))
+        elif f == 2:
+            filtered += bytes((line[x] - prev[x]) & 0xFF for x in range(stride))
+        elif f == 3:
+            filtered += bytes(
+                (line[x] - (((line[x - ch] if x >= ch else 0) + prev[x]) >> 1)) & 0xFF
+                for x in range(stride))
+        else:  # Paeth
+            out = bytearray()
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((line[x] - pred) & 0xFF)
+            filtered += out
+        prev = line
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+           + chunk(b"IEND", b""))
+
+    wd, hd, nf, feat = _decode_image(png, real_decode=True)
+    assert (wd, hd, nf) == (w, h, 1)
+    # unfiltered raster must equal the original pixel bytes exactly
+    raster = b"".join(rows)
+    from newspaper_spark.operators.multimodal import _raster_feature
+
+    assert feat == _raster_feature(raster)
+
+    # interlaced / 16-bit variants must raise (honest plug-in slot)
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)))
+    with pytest.raises(ValueError):
+        _decode_image(bad, real_decode=True)
