@@ -5,8 +5,11 @@ the training-data operators); ``oracle_sql()`` gives the DuckDB-
 equivalent ANSI SQL for every operator. Every hash in the dedup /
 similarity family is md5-derived precisely so the oracle can
 reconstruct it bit-for-bit (minhash affine rehashes, simhash bit
-votes, LSH hyperplanes, the media fake-decoder dims). The single
-rows-only entry is nlp_summary (procedural sentence scoring). The
+votes, LSH hyperplanes, the media fake-decoder dims, the quantized
+k-means centroid sums). EVERY query has an exact oracle — round 3
+closed the last rows-only entry (nlp_summary: the corpus provably
+yields one sentence per article, and nlp_sentence_scores hash-checks
+the scoring math itself on sentence-rich derived text). The
 extraction kernel itself IS oracle-checked because the synthetic page
 generator (newspaper_spark/sources/transcripts.py) makes its output
 reconstructable in SQL.
@@ -602,16 +605,18 @@ def q_nlp_sentence_scores(spark, sf_dir):
     semantics: title/length/position/sbs/dbs features + blended total +
     most_common(5) selection), exercised on a sentence-RICH derivation
     of the corpus: every word initcap'd, a period inserted after each
-    12-word run whose last word has ≥2 chars (so the splitter's
-    single-letter / lowercase-next guards never reject a boundary and
-    the oracle can reconstruct the split relationally). The feature
+    12-word run whose last word has ≥5 chars — longer than every entry
+    in the splitter's abbreviation list (max 4 chars), so NONE of the
+    kernel's boundary guards (abbreviation, single-letter,
+    lowercase-next) can ever reject an inserted boundary, on ANY
+    corpus, and the oracle reconstructs the split relationally. The feature
     math is IEEE-identical on both sides — the oracle folds the sbs/dbs
     sums left-to-right exactly as the Python kernel does."""
     from newspaper_spark.operators.nlp_ops import sentence_features_udf
 
     d = _docs(spark, sf_dir)
     derived = F.regexp_replace(
-        F.initcap(F.col("text")), r"((?:[^ ]+ ){11}[^ ][^ ]+) ", "$1. "
+        F.initcap(F.col("text")), r"((?:[^ ]+ ){11}[^ ]{5,}) ", "$1. "
     )
     title = F.concat(
         F.lit("Document number "),
@@ -1354,11 +1359,13 @@ def _nlp_summary_oracle() -> str:
 def _nlp_sentence_scores_oracle() -> str:
     """Exact oracle for q_nlp_sentence_scores.
 
-    Reconstructs the derived sentence-rich text (initcap + guarded
-    period insertion), the splitter's output (every '. ' is a boundary
-    by construction — the regex never inserts a period after a 1-char
-    word, so the kernel's abbreviation/single-letter guards never fire
-    — and initcap makes every next-char uppercase), then the kernel's
+    Reconstructs the derived sentence-rich text (initcap mirrored
+    EXACTLY — upper first char + lower rest, Spark initcap semantics —
+    plus guarded period insertion), the splitter's output (every '. '
+    is a boundary by construction: the regex only inserts a period
+    after a ≥5-char word, longer than every abbreviation in the
+    kernel's list, so the abbreviation/single-letter guards can never
+    fire and initcap makes every next-char uppercase), then the kernel's
     per-sentence feature math with IEEE-identical operation order:
     list_reduce folds the sbs/dbs accumulations left-to-right exactly
     like the Python loops (adding 0.0 for non-keyword tokens is exact),
@@ -1371,8 +1378,8 @@ def _nlp_sentence_scores_oracle() -> str:
             SELECT doc_id, text,
                    regexp_replace(
                      array_to_string(list_transform(string_split(text, ' '),
-                         w -> upper(substring(w, 1, 1)) || substring(w, 2)), ' '),
-                     '((?:[^ ]+ ){{11}}[^ ][^ ]+) ', '\\1. ', 'g') AS derived
+                         w -> upper(substring(w, 1, 1)) || lower(substring(w, 2))), ' '),
+                     '((?:[^ ]+ ){{11}}[^ ]{{5,}}) ', '\\1. ', 'g') AS derived
             FROM documents
         ), kwfreq AS (
             SELECT doc_id, w, count(*) AS freq, any_value(num_words) AS num_words

@@ -99,8 +99,11 @@ def _decode_ppm(payload: bytes):
     if not m:
         raise ValueError("bad PPM header")
     w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
-    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
-        raise ValueError("bad PPM dimensions")
+    # maxval > 255 means TWO bytes per sample (big-endian) per the spec;
+    # the one-byte reader below would silently mis-decode those, so
+    # reject them into the error channel instead
+    if w <= 0 or h <= 0 or not 0 < maxval < 256:
+        raise ValueError("bad or unsupported PPM dimensions/maxval")
     need = w * h * 3
     raster = payload[m.end() : m.end() + need]
     if len(raster) < need:
@@ -129,7 +132,17 @@ def _decode_bmp(payload: bytes):
     raster = payload[off : off + need]
     if len(raster) < need:
         raise ValueError("truncated BMP raster")
-    return (w, h, 1, _raster_feature(raster))
+    # normalize to top-down pixel bytes WITHOUT the 4-byte row padding,
+    # so band features are comparable with the PPM/PNG paths (BI_RGB
+    # with positive height is stored bottom-up; padding bytes would
+    # otherwise bias every band mean toward 0)
+    data_bytes = w * bpp // 8
+    top_down = struct.unpack_from("<i", payload, 22)[0] < 0
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    pixels = b"".join(
+        raster[y * row_bytes : y * row_bytes + data_bytes] for y in rows
+    )
+    return (w, h, 1, _raster_feature(pixels))
 
 
 def _decode_png(payload: bytes):
@@ -150,9 +163,15 @@ def _decode_png(payload: bytes):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
+        # declared length past the payload end = truncation; keep every
+        # malformed-media failure on the documented ValueError channel
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
         if ctype == b"IHDR":
+            if length < 13:
+                raise ValueError("truncated PNG IHDR")
             width, height, bitd, colort, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
+                ">IIBBBBB", data[:13]
             )
             if bitd != 8 or interlace != 0 or colort not in (0, 2, 4, 6):
                 raise ValueError("unsupported PNG variant")
@@ -164,7 +183,10 @@ def _decode_png(payload: bytes):
         pos += 12 + length  # length + type + data + CRC
     if width is None or not idat:
         raise ValueError("truncated PNG")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
     stride = width * channels
     if len(raw) < height * (stride + 1):
         raise ValueError("truncated PNG raster")

@@ -66,16 +66,28 @@ def cosine_udf():
 
     def _cos_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
         n = len(va)
-        out = np.zeros(n, dtype=np.float64)
-        # fast path: stack the (overwhelmingly common) uniform-dim rows
-        # into ONE numpy batch; ragged/null rows fall back per-row
+        # NULL parity with cosine_col: a NULL vector makes the
+        # `denom > 0` condition null → falsy → otherwise(0.0); a LENGTH
+        # MISMATCH keeps a real denom but zip_with pads with null →
+        # null dot → NULL result (desc-sorts LAST in the top-k
+        # windows); empty arrays have denom 0 → 0.0
+        out = [None] * n
         good, arrs_a, arrs_b = [], [], []
         for i, (a, b) in enumerate(zip(va, vb)):
-            if a is not None and b is not None and len(a) == len(b) > 0:
-                good.append(i)
-                arrs_a.append(np.asarray(a, dtype=np.float64))
-                arrs_b.append(np.asarray(b, dtype=np.float64))
+            if a is None or b is None:
+                out[i] = 0.0
+                continue
+            if len(a) != len(b):
+                continue  # stays None
+            if len(a) == 0:
+                out[i] = 0.0
+                continue
+            good.append(i)
+            arrs_a.append(np.asarray(a, dtype=np.float64))
+            arrs_b.append(np.asarray(b, dtype=np.float64))
         if good:
+            # fast path: stack the (overwhelmingly common) uniform-dim
+            # rows into ONE numpy batch; ragged rows go one-by-one
             lens = np.array([len(a) for a in arrs_a])
             dim0 = np.bincount(lens).argmax()
             uni = [j for j, L in enumerate(lens) if L == dim0]
@@ -84,12 +96,12 @@ def cosine_udf():
                 gb = np.stack([arrs_b[j] for j in uni])
                 res = _pairwise(ga, gb)
                 for j, v in zip(uni, res):
-                    out[good[j]] = v
+                    out[good[j]] = float(v)
             for j, L in enumerate(lens):
                 if L != dim0:
                     res = _pairwise(arrs_a[j][None, :], arrs_b[j][None, :])
-                    out[good[j]] = res[0]
-        return pd.Series(out, dtype="float64")
+                    out[good[j]] = float(res[0])
+        return pd.Series(out, dtype="object")
 
     return F.pandas_udf(_cos_batch, "double")
 

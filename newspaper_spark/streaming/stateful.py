@@ -60,8 +60,12 @@ def make_session_fn(gap_minutes: int = 30):
                     start_s, last_s, n = t, t, 1
                 else:
                     if start_s is None:
-                        start_s = t
-                    last_s = t
+                        start_s = last_s = t
+                    else:
+                        # cross-batch out-of-order event: joins the
+                        # session but never moves its bounds backward
+                        start_s = min(start_s, t)
+                        last_s = max(last_s, t)
                     n += 1
             if last_s is not None:
                 state.update((start_s, last_s, n))
@@ -122,8 +126,16 @@ def make_event_time_session_fn(gap_minutes: int = 30):
                     start_s, last_s, n = t, t, 1
                 else:
                     if start_s is None:
-                        start_s = t
-                    last_s = t
+                        start_s = last_s = t
+                    else:
+                        # ts_list is sorted only WITHIN a batch: a
+                        # late-but-within-watermark event from a later
+                        # batch can carry t < last_s — it joins the
+                        # session but must not move its end (or start)
+                        # backward, or the timeout would fire before
+                        # true last_event + gap
+                        start_s = min(start_s, t)
+                        last_s = max(last_s, t)
                     n += 1
             if last_s is not None:
                 state.update((start_s, last_s, n))

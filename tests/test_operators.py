@@ -714,3 +714,126 @@ def test_png_decoder_real():
            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)))
     with pytest.raises(ValueError):
         _decode_image(bad, real_decode=True)
+
+
+def test_cosine_udf_parity_with_hof(spark):
+    """cosine_udf must reproduce cosine_col exactly, including the
+    degenerate semantics: NULL vector → 0.0 (null condition is falsy →
+    otherwise), length mismatch → NULL, empty/zero-norm → 0.0."""
+    from newspaper_spark.operators.similarity import cosine_col, cosine_udf
+
+    rows = [
+        (1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),     # normal
+        (2, [1.0, 0.0], [0.0, 1.0]),               # orthogonal
+        (3, None, [1.0, 2.0]),                     # null side
+        (4, [1.0, 2.0, 3.0], [1.0, 2.0]),          # length mismatch
+        (5, [0.0, 0.0], [1.0, 1.0]),               # zero norm
+        (6, [0.12, -7.5, 3.25], [9.0, 0.5, -2.0]), # negative cosine
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, a array<double>, b array<double>"
+    )
+    got = {
+        r.id: (r.hof, r.udf)
+        for r in df.select(
+            "id",
+            cosine_col(F.col("a"), F.col("b")).alias("hof"),
+            cosine_udf()(F.col("a"), F.col("b")).alias("udf"),
+        ).collect()
+    }
+    for i, (hof, udf) in got.items():
+        assert hof == udf, f"id {i}: hof={hof} udf={udf}"
+
+
+def test_corpus_purity_invariant():
+    """The nlp_sentence_scores / nlp_summary oracles exploit corpus
+    properties (letters+space only, no sentence terminators). Fail
+    LOUDLY here if the driver ever regenerates testdata differently,
+    before the correctness gate turns red without explanation."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n_bad = duckdb.sql(
+            "SELECT count(*) FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet') "
+            "WHERE NOT regexp_full_match(text, '[a-z ]+')"
+        ).fetchone()[0]
+        assert n_bad == 0, f"{sf}: {n_bad} docs break the [a-z ]+ charset invariant"
+
+
+def test_ppm_rejects_two_byte_maxval():
+    import pytest
+
+    from newspaper_spark.operators.multimodal import _decode_image
+
+    payload = b"P6\n2 1\n65535\n" + bytes(12)
+    with pytest.raises(ValueError):
+        _decode_image(payload, real_decode=True)
+
+
+def test_bmp_features_exclude_padding_and_flip_rows():
+    """Band features must come from top-down pixel bytes without the
+    4-byte row padding, so BMP features are comparable to PPM/PNG."""
+    import struct
+
+    from newspaper_spark.operators.multimodal import _decode_image, _raster_feature
+
+    w, h, bpp = 3, 2, 24
+    row = (w * bpp // 8 + 3) & ~3  # 12 (9 data + 3 pad)
+    top = bytes(range(100, 109))
+    bottom = bytes(range(9))
+    # bottom-up storage: file carries bottom row first, pad bytes 0xEE
+    raster = bottom + b"\xee" * 3 + top + b"\xee" * 3
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(raster), 0, 0, 0, 0)
+    )
+    _, _, _, feat = _decode_image(header + raster, real_decode=True)
+    assert feat == _raster_feature(top + bottom)
+
+
+def test_stateful_sessionize_late_event_never_regresses_bounds():
+    """A cross-batch out-of-order event inside an open session must not
+    move session_end (or start) backward — the timeout is computed from
+    last_s and would otherwise fire early, splitting a real session."""
+    from newspaper_spark.streaming.stateful import make_event_time_session_fn
+    import pandas as pd
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    fn = make_event_time_session_fn(gap_minutes=30)
+    st = FakeState()
+    t0 = 1_700_000_000
+    # batch 1: events at t0 and t0+1800 (same session, 30-min gap edge)
+    list(fn((1,), [pd.DataFrame({"ts": pd.to_datetime([t0, t0 + 1500], unit="s")})], st))
+    assert st.get == (t0, t0 + 1500, 2)
+    # batch 2: a LATE event at t0+600 — joins the session, bounds keep
+    list(fn((1,), [pd.DataFrame({"ts": pd.to_datetime([t0 + 600], unit="s")})], st))
+    start_s, last_s, n = st.get
+    assert (start_s, last_s, n) == (t0, t0 + 1500, 3)
+    assert st.timeout_ms >= (t0 + 1500 + 1800) * 1000
