@@ -44,6 +44,9 @@ def find_by_tag(root, tag=None, attr=None, value=None, use_regex=False):
         node = pop()
         children = node._children
         if children:
+            # NOTE: the [::-1] slice beats extend(reversed(...)) here —
+            # slice+extend is two C memcpys, the iterator pays per-item
+            # dispatch (measured on the 300-page kernel bench)
             push(children[::-1])
         t = node.tag
         if t.__class__ is not str:
@@ -84,6 +87,9 @@ def find_attr_contains_multi(root, specs) -> list:
         node = pop()
         children = node._children
         if children:
+            # NOTE: the [::-1] slice beats extend(reversed(...)) here —
+            # slice+extend is two C memcpys, the iterator pays per-item
+            # dispatch (measured on the 300-page kernel bench)
             push(children[::-1])
         if node.tag.__class__ is not str:
             continue
@@ -113,6 +119,9 @@ def find_by_tags(root, tags) -> list:
         node = pop()
         children = node._children
         if children:
+            # NOTE: the [::-1] slice beats extend(reversed(...)) here —
+            # slice+extend is two C memcpys, the iterator pays per-item
+            # dispatch (measured on the 300-page kernel bench)
             push(children[::-1])
         if node is root:
             continue
@@ -135,6 +144,9 @@ def find_attr_regex(root, attr: str, pattern: str) -> list:
         node = pop()
         children = node._children
         if children:
+            # NOTE: the [::-1] slice beats extend(reversed(...)) here —
+            # slice+extend is two C memcpys, the iterator pays per-item
+            # dispatch (measured on the 300-page kernel bench)
             push(children[::-1])
         if node.tag.__class__ is not str:
             continue

@@ -80,3 +80,19 @@ def test_charset_detector_never_crashes_on_random_bytes():
             raw = bytes(rng.randrange(256) for _ in range(n))
             out = decode_html_bytes(raw)
             assert isinstance(out, str)
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_real_decoder_error_contract(payload):
+    """real_decode on arbitrary bytes either decodes or raises
+    ValueError — NEVER struct.error / zlib.error / IndexError — so the
+    mapInPandas error column always gets the documented channel."""
+    from newspaper_spark.operators.multimodal import _decode_image
+
+    for prefix in (b"", b"P6\n", b"BM", b"\x89PNG\r\n\x1a\n"):
+        try:
+            w, h, nf, feat = _decode_image(prefix + payload, real_decode=True)
+            assert w > 0 and h > 0 and nf == 1 and len(feat) == 8
+        except ValueError:
+            pass
