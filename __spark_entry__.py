@@ -265,6 +265,39 @@ def q_minhash_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language stratified sampling: keep iff
+    md5-hash(doc_id)/2^32 < rate[lang] — reproducible, repartition-
+    stable, single map-side filter (no per-stratum count jobs), and
+    bit-reconstructable in SQL."""
+    from newspaper_spark.operators.sampling import sample_stratified
+
+    d = _docs(spark, sf_dir)
+    rates = {"en": 0.5, "zh": 0.25, "es": 0.25, "de": 0.25, "fr": 0.25}
+    return sample_stratified(
+        d.select("doc_id", "lang"), "lang", rates, key_col="doc_id"
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components over the minhash-LSH
+    pair graph (min-label propagation, driver loop = one O(1) aggregate
+    per round), every document assigned its cluster's min-id
+    representative + cluster size; singletons rep=self. The step a real
+    dedup pipeline runs after pair generation to pick keepers."""
+    from newspaper_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    d = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(d, num_hashes=8, bands=4)
+    nodes = d.select(F.col("doc_id").alias("id"))
+    comp = connected_components(pairs, nodes=nodes)
+    sizes = comp.groupBy("rep").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "rep").select("id", "rep", "cluster_size")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from newspaper_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
@@ -827,6 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords_topk": q_keywords_topk,
         "domain_counters": q_domain_counters,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "sample_stratified": q_sample_stratified,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1024,6 +1059,15 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "minhash_pairs": _minhash_oracle(),
+        "dedup_clusters": _dedup_clusters_oracle(),
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substring(md5(doc_id::VARCHAR || ':' || 'sample'), 1, 8))::BIGINT
+                  / 4294967296.0
+                  < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25
+                              WHEN 'es' THEN 0.25 WHEN 'de' THEN 0.25
+                              WHEN 'fr' THEN 0.25 ELSE 0.0 END
+        """,
         "simhash": _simhash_oracle(),
         "simhash_near_dups": _simhash_near_dups_oracle(max_hamming=8),
         "ann_lsh": _ann_lsh_oracle(),
@@ -1618,6 +1662,35 @@ def _minhash_oracle() -> str:
         FROM banded l JOIN banded r
           ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
         ORDER BY id_a, id_b
+    """
+
+
+def _dedup_clusters_oracle() -> str:
+    """Connected components recomputed engine-independently: recursive
+    transitive closure over the same minhash pair graph, component rep
+    = min reachable id (identical to min-label propagation's fixpoint),
+    plus component sizes."""
+    toks_recursive = _TOKS_CTE.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    return f"""{toks_recursive}{_minhash_cte_tail()}
+        , prs AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM prs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM prs
+        ), reach(src, dst) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+        ), comp AS (
+            SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src
+        )
+        SELECT c.id, c.rep, s.cluster_size
+        FROM comp c
+        JOIN (SELECT rep, count(*) AS cluster_size FROM comp GROUP BY rep) s
+          USING (rep)
     """
 
 

@@ -410,3 +410,71 @@ def simhash_near_dups(
     return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Near-duplicate CLUSTERING: connected components over a pair
+    relation, returning (id, rep) with rep = the component's minimum
+    id — the step every dedup pipeline runs after pair generation to
+    pick one representative per duplicate cluster.
+
+    Algorithm: distributed min-label propagation ("hash-to-min"). Each
+    node starts labeled with itself; every round each node adopts the
+    minimum label in its closed neighborhood; the driver loop stops
+    when a round changes nothing (one O(1) aggregate per round — model
+    state, not data). Rounds needed = graph diameter, and near-dup
+    graphs are unions of small dense cliques (diameter ~1-3), so this
+    converges in 2-4 rounds; ``max_iterations`` is a runaway guard for
+    pathological chain graphs. Each round is one self-join on 8-byte
+    ids + one groupBy min — no vertex ever carries its edge list, so
+    the shuffle stays O(edges) per round at any scale.
+
+    ``nodes`` (optional, one ``id`` column) adds isolated vertices as
+    singleton components (rep = self). The result is exact and
+    engine-independent — the DuckDB oracle recomputes it as min
+    reachable id via a recursive-CTE transitive closure.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    ).persist()
+    labels = edges.select(F.col("src").alias("id")).distinct()
+    if nodes is not None:
+        labels = labels.union(nodes.select(F.col("id"))).distinct()
+    labels = labels.withColumn("rep", F.col("id")).persist()
+    labels.count()  # materialize before the loop
+    for _ in range(max_iterations):
+        # min label over the closed neighborhood: own label ∪ labels
+        # reached over one edge hop
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("rep").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("rep"), F.coalesce("nmin", "rep")).alias("rep"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", "rep")

@@ -837,3 +837,40 @@ def test_stateful_sessionize_late_event_never_regresses_bounds():
     start_s, last_s, n = st.get
     assert (start_s, last_s, n) == (t0, t0 + 1500, 3)
     assert st.timeout_ms >= (t0 + 1500 + 1800) * 1000
+
+
+def test_connected_components(spark):
+    """Min-label propagation over a pair graph: chains, cliques, and
+    singletons all land on their component's min id."""
+    from newspaper_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4} as a CHAIN (worst diameter), clique {10,11,12}
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 99]],
+                                  "id long")
+    got = {r.id: r.rep for r in connected_components(pairs, nodes=nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_stratified_sample_deterministic(spark):
+    """Hash-based sampling: reproducible across runs and repartitioning,
+    rate roughly honored per stratum, zero-rate strata dropped."""
+    from newspaper_spark.operators.sampling import sample_stratified
+
+    rows = [(i, "en" if i % 2 == 0 else ("de" if i % 4 == 1 else "xx"))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 0.5, "de": 0.2}
+    s1 = {r.doc_id for r in sample_stratified(df, "lang", rates, "doc_id").collect()}
+    s2 = {r.doc_id for r in
+          sample_stratified(df.repartition(13), "lang", rates, "doc_id").collect()}
+    assert s1 == s2, "sample must be repartition-stable"
+    langs = dict(rows)
+    en = sum(1 for i in s1 if langs[i] == "en")
+    de = sum(1 for i in s1 if langs[i] == "de")
+    assert not any(langs[i] == "xx" for i in s1), "default rate 0 must drop"
+    assert 60 <= en <= 140   # 200 en rows @ 0.5
+    assert 5 <= de <= 45     # 100 de rows @ 0.2
