@@ -351,8 +351,10 @@ def kmeans_train(
     model-state pattern, O(model) not O(data). Quantized sums make the
     result independent of partition/combine order, so the trained
     centroids are reproducible run-to-run AND reconstructable in
-    ANSI SQL (no float sum-order divergence). Empty cells keep their
-    previous centroid. Spark analog of faiss-style IVF training; the
+    ANSI SQL (no float sum-order divergence). Overflow headroom under
+    ANSI mode: |component| ≤ ~1 quantizes to ≤ 2^20, so even 10^12
+    rows in ONE cell sums to ~10^18 < int64 max. Empty cells keep
+    their previous centroid. Spark analog of faiss-style IVF training; the
     reference has no trainer (its analog is sklearn-side).
     """
     cents = hyperplanes(dim, n_cells)
