@@ -448,8 +448,13 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct()
     if nodes is not None:
         labels = labels.union(nodes.select(F.col("id"))).distinct()
-    labels = labels.withColumn("rep", F.col("id")).persist()
-    labels.count()  # materialize before the loop
+    # localCheckpoint per round TRUNCATES the logical plan: with plain
+    # persist() each round's plan still nests every previous round's,
+    # and join-heavy iterative lineage blows up the driver (analysis
+    # cost grows superlinearly — observed OOM at ~8 rounds). This is
+    # the standard pattern for iterative graph algorithms on Spark.
+    labels = labels.withColumn("rep", F.col("id")).localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
         # min label over the closed neighborhood: own label ∪ labels
         # reached over one edge hop
@@ -464,7 +469,7 @@ def connected_components(
                 "id",
                 F.least(F.col("rep"), F.coalesce("nmin", "rep")).alias("rep"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -472,9 +477,18 @@ def connected_components(
             .filter(F.col("n.rep") != F.col("o.rep"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # partially propagated labels are silently WRONG — fail loudly
+        # (a component with diameter > max_iterations means the input
+        # is a pathological chain, not a near-dup clique union)
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} rounds — raise max_iterations for "
+            "high-diameter graphs"
+        )
     return labels.select("id", "rep")

@@ -874,3 +874,20 @@ def test_stratified_sample_deterministic(spark):
     assert not any(langs[i] == "xx" for i in s1), "default rate 0 must drop"
     assert 60 <= en <= 140   # 200 en rows @ 0.5
     assert 5 <= de <= 45     # 100 de rows @ 0.2
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Hitting max_iterations without a fixpoint must raise, never
+    return partially propagated (silently wrong) labels."""
+    import pytest
+
+    from newspaper_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=1)
+    # and with enough rounds the same chain resolves to min-id 0
+    got = {r.id: r.rep for r in connected_components(chain).collect()}
+    assert set(got.values()) == {0}
