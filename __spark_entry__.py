@@ -431,6 +431,39 @@ def q_quality(spark, sf_dir):
     )
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (operators/pii.py). The synthetic corpus carries no
+    PII, so a deterministic email / IPv4 / phone suffix derived from
+    doc_id is appended first — the scrub and the counts then exercise
+    every pattern on every row. Counts are taken on the (augmented)
+    original text; scrub order is email → IPv4 → phone."""
+    from newspaper_spark.operators.pii import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" or +1 (555) 010-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return pii_scrub(d.select("doc_id", aug.alias("text")))
+
+
+def q_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (textstats.
+    repetition_stats): TTR, duplicate-bigram fraction, top-bigram
+    coverage."""
+    from newspaper_spark.operators.textstats import repetition_stats
+
+    d = _docs(spark, sf_dir)
+    return repetition_stats(d.select("doc_id", "text"))
+
+
 def q_fingerprint(spark, sf_dir):
     from newspaper_spark.operators.textstats import doc_fingerprint_col
 
@@ -872,6 +905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "bpe_tokens": q_bpe_tokens,
         "quality": q_quality,
+        "pii_scrub": q_pii_scrub,
+        "repetition": q_repetition,
         "fingerprint": q_fingerprint,
         "winnow": q_winnow,
         "contamination": q_contamination,
@@ -1214,6 +1249,84 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1.0 ELSE 0.5 END)
                    ) / 4.0, 6) AS quality
             FROM t
+        """,
+        "pii_scrub": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' Contact user' || doc_id::VARCHAR
+                            || '@example.com via 10.0.'
+                            || (doc_id % 256)::VARCHAR || '.'
+                            || ((doc_id * 7) % 256)::VARCHAR
+                            || ' or +1 (555) 010-'
+                            || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
+                     '\\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed_text,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+                   len(regexp_extract_all(text,
+                     '([0-9]{1,3}\\.){3}[0-9]{1,3}'))::BIGINT AS n_ips,
+                   len(regexp_extract_all(text,
+                     '\\+?[0-9][0-9 ()-]{6,}[0-9]'))::BIGINT AS n_phones
+            FROM aug
+        """,
+        "repetition": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm
+                FROM documents
+            ), base AS (
+                SELECT doc_id,
+                       string_split(norm, ' ') AS t,
+                       length(norm)::BIGINT AS nlen,
+                       len(string_split(norm, ' '))::BIGINT AS ntok,
+                       len(list_distinct(string_split(norm, ' ')))::BIGINT AS ndis
+                FROM n
+            ), bg AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1])) AS gram
+                FROM base WHERE ntok >= 2
+            ), bgc AS (
+                SELECT doc_id, gram, count(*)::BIGINT AS cnt
+                FROM bg GROUP BY doc_id, gram
+            ), perdoc AS (
+                SELECT doc_id,
+                       sum(cnt)::BIGINT AS total_bg,
+                       sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::BIGINT AS dup_bg
+                FROM bgc GROUP BY doc_id
+            ), top AS (
+                SELECT doc_id, gram AS top_bigram, cnt AS top_cnt,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY cnt DESC, gram ASC) AS rn
+                FROM bgc
+            )
+            SELECT base.doc_id,
+                   base.ntok AS n_tokens,
+                   base.ndis AS n_distinct_tokens,
+                   floor((CASE WHEN base.ntok > 0
+                               THEN base.ndis::DOUBLE / base.ntok
+                               ELSE 0.0 END)::DOUBLE * 1000000.0 + 0.5)
+                     / 1000000.0 AS ttr,
+                   floor((CASE WHEN coalesce(p.total_bg, 0) > 0
+                               THEN p.dup_bg::DOUBLE / p.total_bg
+                               ELSE 0.0 END)::DOUBLE * 1000000.0 + 0.5)
+                     / 1000000.0 AS dup_bigram_frac,
+                   coalesce(t.top_bigram, '') AS top_bigram,
+                   floor((CASE WHEN t.top_cnt IS NOT NULL AND base.nlen > 0
+                               THEN (t.top_cnt * length(t.top_bigram))::DOUBLE / base.nlen
+                               ELSE 0.0 END)::DOUBLE * 1000000.0 + 0.5)
+                     / 1000000.0 AS top_bigram_frac
+            FROM base
+            LEFT JOIN perdoc p USING (doc_id)
+            LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
         """,
         "fingerprint": """
             SELECT doc_id,

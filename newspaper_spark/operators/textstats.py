@@ -177,6 +177,105 @@ def winnowing_fingerprints(
     return minima.select("id", F.col("mh").alias("fingerprint")).distinct()
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals, per doc:
+
+    * ``n_tokens`` / ``n_distinct_tokens`` / ``ttr`` — type-token ratio
+      (low TTR ⇒ templated or looping text)
+    * ``dup_bigram_frac`` — fraction of word-bigram occurrences whose
+      bigram occurs more than once in the document
+    * ``top_bigram`` / ``top_bigram_frac`` — the most frequent bigram
+      (ties broken lexicographically) and the fraction of normalized
+      characters its occurrences cover
+
+    These are the "repetitious text" filters of the Gopher/MassiveText
+    quality pipeline (Rae et al. 2021, §A1.1), the n=2 member of their
+    duplicate-n-gram family. Relational shape: bigrams are exploded
+    rows, counted with a hash aggregate, topped with one row_number
+    window — every shuffle is keyed by ``id_col`` (uniform), so the
+    plan is a straight scale-out at 100 TB. The distinct-token count
+    stays a pure Column (``array_distinct``), no extra shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), WS_CLASS + "+", " ")
+    )
+    toks = F.split(norm, " ")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("t"),
+        F.length(norm).cast("long").alias("nlen"),
+        F.size(toks).cast("long").alias("ntok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("ndis"),
+    )
+    bigrams = base.select(
+        "id",
+        F.explode(
+            F.when(
+                F.col("ntok") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), (F.col("ntok") - 1).cast("int")),
+                    lambda i: F.concat(
+                        F.element_at("t", i), F.lit(" "), F.element_at("t", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    bgc = bigrams.groupBy("id", "gram").agg(F.count("*").cast("long").alias("cnt"))
+    per_doc = bgc.groupBy("id").agg(
+        F.sum("cnt").alias("total_bg"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_bg"),
+    ).withColumnRenamed("id", "pid")
+    top = (
+        bgc.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id").alias("tid"),
+            F.col("gram").alias("top_bigram"),
+            F.col("cnt").alias("top_cnt"),
+        )
+    )
+
+    def round6(x):
+        # portable HALF_UP at 6dp — identical spelling on the DuckDB side
+        return F.floor(x * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return (
+        base.join(per_doc, F.col("id") == F.col("pid"), "left")
+        .join(top, F.col("id") == F.col("tid"), "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("ntok").alias("n_tokens"),
+            F.col("ndis").alias("n_distinct_tokens"),
+            round6(
+                F.when(F.col("ntok") > 0, F.col("ndis") / F.col("ntok")).otherwise(0.0)
+            ).alias("ttr"),
+            round6(
+                F.when(
+                    F.coalesce(F.col("total_bg"), F.lit(0)) > 0,
+                    F.col("dup_bg") / F.col("total_bg"),
+                ).otherwise(0.0)
+            ).alias("dup_bigram_frac"),
+            F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+            round6(
+                F.when(
+                    F.col("top_cnt").isNotNull() & (F.col("nlen") > 0),
+                    (F.col("top_cnt") * F.length("top_bigram")) / F.col("nlen"),
+                ).otherwise(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.withColumns(

@@ -891,3 +891,67 @@ def test_connected_components_nonconvergence_raises(spark):
     # and with enough rounds the same chain resolves to min-id 0
     got = {r.id: r.rep for r in connected_components(chain).collect()}
     assert set(got.values()) == {0}
+
+
+def test_pii_scrub_patterns(spark):
+    """Email/IPv4/phone redaction with fixed scrub order and
+    counts on the original text."""
+    from newspaper_spark.operators.pii import pii_scrub
+
+    rows = [
+        (1, "mail me at jo.doe+x@news-site.co.uk or 192.168.1.200 now"),
+        (2, "call +1 (555) 010-4242 after 2024"),
+        (3, "nothing sensitive here, year 2014, v1.2"),
+        (4, "two mails: a@b.io c_d%e@f.org; ip 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+
+    r1 = got[1]
+    assert r1.scrubbed_text == "mail me at <EMAIL> or <IP> now"
+    assert (r1.n_emails, r1.n_ips, r1.n_phones) == (1, 1, 0)
+
+    r2 = got[2]
+    assert r2.scrubbed_text == "call <PHONE> after 2024"
+    assert (r2.n_emails, r2.n_ips, r2.n_phones) == (0, 0, 1)
+
+    r3 = got[3]
+    assert r3.scrubbed_text == rows[2][1]          # untouched
+    assert (r3.n_emails, r3.n_ips, r3.n_phones) == (0, 0, 0)
+
+    r4 = got[4]
+    assert r4.scrubbed_text == "two mails: <EMAIL> <EMAIL>; ip <IP>"
+    assert (r4.n_emails, r4.n_ips, r4.n_phones) == (2, 1, 0)
+
+
+def test_repetition_stats_hand_computed(spark):
+    from newspaper_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),     # bigrams: ab, ba, ab, bc
+            (2, "Solo"),          # single token: no bigrams
+            (3, "x y"),           # one bigram, no dups
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+
+    r1 = got[1]
+    assert (r1.n_tokens, r1.n_distinct_tokens) == (5, 3)
+    assert r1.ttr == 0.6
+    assert r1.dup_bigram_frac == 0.5               # 2 of 4 occurrences dup
+    assert r1.top_bigram == "a b"
+    assert r1.top_bigram_frac == round(2 * 3 / 9, 6)
+
+    r2 = got[2]
+    assert (r2.n_tokens, r2.n_distinct_tokens) == (1, 1)
+    assert r2.ttr == 1.0
+    assert r2.dup_bigram_frac == 0.0
+    assert r2.top_bigram == ""                     # lowercased norm, no bigram
+    assert r2.top_bigram_frac == 0.0
+
+    r3 = got[3]
+    assert r3.dup_bigram_frac == 0.0
+    assert r3.top_bigram == "x y"
+    assert r3.top_bigram_frac == 1.0
