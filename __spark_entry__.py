@@ -470,6 +470,16 @@ def q_repetition(spark, sf_dir):
     return repetition_stats(d.select("doc_id", "text"))
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-LM quality score (textstats.unigram_logprob): mean
+    unigram log10-probability of each doc under the corpus's own
+    token distribution."""
+    from newspaper_spark.operators.textstats import unigram_logprob
+
+    d = _docs(spark, sf_dir)
+    return unigram_logprob(d.select("doc_id", "text"))
+
+
 def q_fingerprint(spark, sf_dir):
     from newspaper_spark.operators.textstats import doc_fingerprint_col
 
@@ -913,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
+        "unigram_logprob": q_unigram_logprob,
         "fingerprint": q_fingerprint,
         "winnow": q_winnow,
         "contamination": q_contamination,
@@ -1333,6 +1344,31 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             LEFT JOIN perdoc p USING (doc_id)
             LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "unigram_logprob": """
+            WITH n AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(t) AS tok FROM n
+            ), dt AS (
+                SELECT doc_id, tok, count(*)::BIGINT AS k
+                FROM tok GROUP BY doc_id, tok
+            ), vocab AS (
+                SELECT tok, sum(k)::BIGINT AS cnt FROM dt GROUP BY tok
+            ), tot AS (
+                SELECT sum(cnt)::BIGINT AS n_corpus FROM vocab
+            ), lp AS (
+                SELECT tok, log10(cnt::DOUBLE / n_corpus) AS logp
+                FROM vocab, tot
+            )
+            SELECT dt.doc_id,
+                   sum(dt.k)::BIGINT AS n_tokens,
+                   floor((sum(dt.k * lp.logp) / sum(dt.k))::DOUBLE * 1000000.0 + 0.5)
+                     / 1000000.0 AS mean_logprob
+            FROM dt JOIN lp USING (tok)
+            GROUP BY dt.doc_id
         """,
         "fingerprint": """
             SELECT doc_id,

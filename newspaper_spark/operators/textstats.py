@@ -276,6 +276,57 @@ def repetition_stats(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: the mean unigram
+    log10-probability of a document under the corpus's own token
+    distribution (Wenzek et al. 2020 filter by KenLM perplexity; the
+    unigram LM is its exact-arithmetic, SQL-reconstructable analog).
+    Documents far below the corpus mean are gibberish / boilerplate;
+    far above are degenerate repetition.
+
+    Two relational passes, both scale-safe:
+    1. vocabulary: explode tokens → groupBy token (vocab-sized result,
+       map-side combined; the token shuffle carries (token, count)
+       pairs only);
+    2. scoring: per-(doc, token) counts joined against the BROADCAST
+       vocabulary — never a wide shuffle of text — then one groupBy doc.
+
+    The per-doc sum runs over distinct tokens (≤ vocab size), matching
+    the small-sum + 6dp-round regime text_entropy already proved
+    engine-portable; the final round is the portable
+    floor(x·1e6 + 0.5)/1e6 spelled identically in the oracle.
+    """
+    tok_rows = df.select(
+        F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("tok")
+    )
+    doc_tok = tok_rows.groupBy("id", "tok").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    vocab = doc_tok.groupBy("tok").agg(F.sum("k").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_corpus"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", F.log10(F.col("cnt") / F.col("n_corpus")).alias("logp")
+    )
+    scored = doc_tok.join(F.broadcast(logp), "tok")
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum("k").alias("n_tok"),
+            F.sum(F.col("k") * F.col("logp")).alias("s"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_tok").alias("n_tokens"),
+            (
+                F.floor((F.col("s") / F.col("n_tok")) * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0)
+            ).alias("mean_logprob"),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.withColumns(

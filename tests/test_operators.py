@@ -955,3 +955,24 @@ def test_repetition_stats_hand_computed(spark):
     assert r3.dup_bigram_frac == 0.0
     assert r3.top_bigram == "x y"
     assert r3.top_bigram_frac == 1.0
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from newspaper_spark.operators.textstats import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+
+    # vocab: a:2 b:2 c:1, N=5
+    def r6(x):
+        return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+    lp = {t: math.log10(c / 5.0) for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    assert got[1].n_tokens == 3
+    assert got[1].mean_logprob == r6((2 * lp["a"] + lp["b"]) / 3)
+    assert got[2].n_tokens == 2
+    assert got[2].mean_logprob == r6((lp["b"] + lp["c"]) / 2)
