@@ -303,7 +303,11 @@ def unigram_logprob(
     )
     doc_tok = tok_rows.groupBy("id", "tok").agg(
         F.count("*").cast("long").alias("k")
-    )
+    ).persist()
+    # persist is load-bearing: doc_tok feeds the probe side AND the
+    # vocabulary AND (via vocab) the corpus total, and the runtime
+    # broadcasts defeat ReuseExchange — unpersisted, the plan scans and
+    # explodes the whole corpus three times (verified via explain).
     vocab = doc_tok.groupBy("tok").agg(F.sum("k").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n_corpus"))
     logp = vocab.crossJoin(F.broadcast(total)).select(
