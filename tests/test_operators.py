@@ -976,3 +976,60 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[1].mean_logprob == r6((2 * lp["a"] + lp["b"]) / 3)
     assert got[2].n_tokens == 2
     assert got[2].mean_logprob == r6((lp["b"] + lp["c"]) / 2)
+
+
+def test_pii_scrub_cross_engine_parity(spark):
+    """Spark (Java regex) vs DuckDB (RE2) on adversarial codepoints —
+    the bpe_tokens round-2 driver failure was exactly this divergence
+    class, invisible on the plain-ASCII synthetic corpus."""
+    import duckdb
+
+    from newspaper_spark.operators.pii import (
+        EMAIL_RX,
+        IPV4_RX,
+        PHONE_RX,
+        pii_scrub,
+    )
+
+    nasty = [
+        "plain a@b.co text",
+        "vt\x0bsep a@b.co\x0btail",                    # \x0B: Java \s has it, RE2 \s doesn't
+        "nbsp a@b.co end",                   # U+00A0 must NOT be word/space-class
+        "line sep 10.1.2.3 para",            # unicode line separators
+        "arabic digits ٠١٢ not [0-9]",  # ٠١٢ must not match [0-9]
+        "full-width ＠ not at: user＠example.com",     # U+FF20 is not '@'
+        "combining émail a@b.co",
+        "+44 020 7946 0958 and +1 (555) 010-9999",
+        "v1.2.3.4 release",                            # version string matches IPv4 shape (recall-first)
+        "trailing dot a@b.co.",
+        "emoji 😀 a@b.co 😀 10.0.0.1",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(nasty)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(nasty)))
+        + ") v(doc_id, text)",
+        nasty,
+    )
+    oracle = con.execute(
+        f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '{EMAIL_RX}', '<EMAIL>', 'g'),
+                 '{IPV4_RX}', '<IP>', 'g'),
+                 '{PHONE_RX}', '<PHONE>', 'g') AS scrubbed,
+               len(regexp_extract_all(text, '{EMAIL_RX}')) AS n_emails,
+               len(regexp_extract_all(text, '{IPV4_RX}')) AS n_ips,
+               len(regexp_extract_all(text, '{PHONE_RX}')) AS n_phones
+        FROM t
+        """
+    ).fetchall()
+    for doc_id, scrubbed, n_e, n_i, n_p in oracle:
+        g = got[doc_id]
+        assert g.scrubbed_text == scrubbed, f"doc {doc_id}: {g.scrubbed_text!r} != {scrubbed!r}"
+        assert (g.n_emails, g.n_ips, g.n_phones) == (n_e, n_i, n_p), f"doc {doc_id}"
