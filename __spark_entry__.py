@@ -470,6 +470,30 @@ def q_repetition(spark, sf_dir):
     return repetition_stats(d.select("doc_id", "text"))
 
 
+#: shared boilerplate tail for the span-dedup driver query — the
+#: synthetic corpus has no cross-document sentence repetition, so a
+#: realistic newsletter tail is appended to EVERY doc; C4 span dedup
+#: must then strip it everywhere except the canonical (min doc_id)
+#: occurrence. Mirrored verbatim in the oracle SQL.
+_BOILERPLATE_TAIL = (
+    ". Subscribe to our newsletter"
+    ". Read more stories here"
+    ". Terms of service apply"
+)
+
+
+def q_span_dedup(spark, sf_dir):
+    """C4-style duplicate three-sentence-span removal
+    (operators/span_dedup.py) over the boilerplate-augmented corpus."""
+    from newspaper_spark.operators.span_dedup import span_dedup
+
+    d = _docs(spark, sf_dir)
+    aug = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_BOILERPLATE_TAIL)).alias("text")
+    )
+    return span_dedup(aug, span=3)
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Corpus-LM quality score (textstats.unigram_logprob): mean
     unigram log10-probability of each doc under the corpus's own
@@ -924,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
         "unigram_logprob": q_unigram_logprob,
+        "span_dedup": q_span_dedup,
         "fingerprint": q_fingerprint,
         "winnow": q_winnow,
         "contamination": q_contamination,
@@ -1344,6 +1369,61 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             LEFT JOIN perdoc p USING (doc_id)
             LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "span_dedup": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || '{_BOILERPLATE_TAIL}' AS text
+                FROM documents
+            ), l AS (
+                SELECT doc_id, string_split(text, '.') AS parts FROM aug
+            ), raw AS (
+                SELECT doc_id, i AS p, trim(parts[i]) AS sent
+                FROM l, unnest(range(1, len(parts) + 1)) AS r(i)
+                WHERE trim(parts[i]) <> ''
+            ), sent AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY p) AS seq,
+                       sent
+                FROM raw
+            ), spans0 AS (
+                SELECT doc_id, seq,
+                       md5(sent
+                           || chr(31) || lead(sent, 1) OVER w
+                           || chr(31) || lead(sent, 2) OVER w) AS h,
+                       (lead(sent, 2) OVER w IS NOT NULL) AS is_full
+                FROM sent WINDOW w AS (PARTITION BY doc_id ORDER BY seq)
+            ), spans AS (
+                SELECT doc_id, seq, h FROM spans0 WHERE is_full
+            ), marked AS (
+                SELECT doc_id, seq,
+                       count(*) OVER (PARTITION BY h) AS n_occ,
+                       row_number() OVER (PARTITION BY h
+                                          ORDER BY doc_id, seq) AS rk
+                FROM spans
+            ), removed AS (
+                SELECT DISTINCT doc_id, u.s AS seq
+                FROM marked, unnest([seq, seq + 1, seq + 2]) AS u(s)
+                WHERE n_occ > 1 AND rk > 1
+            ), kept AS (
+                SELECT s.doc_id, s.seq, s.sent
+                FROM sent s
+                WHERE NOT EXISTS (SELECT 1 FROM removed r
+                                  WHERE r.doc_id = s.doc_id AND r.seq = s.seq)
+            ), ka AS (
+                SELECT doc_id,
+                       string_agg(sent, '. ' ORDER BY seq) AS cleaned_text,
+                       count(*)::BIGINT AS n_kept
+                FROM kept GROUP BY doc_id
+            ), tot AS (
+                SELECT doc_id, count(*)::BIGINT AS n_sentences
+                FROM sent GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(k.cleaned_text, '') AS cleaned_text,
+                   t.n_sentences,
+                   (t.n_sentences - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+            FROM tot t LEFT JOIN ka k USING (doc_id)
         """,
         "unigram_logprob": """
             WITH n AS (

@@ -1,0 +1,111 @@
+"""C4-style duplicate-span removal (Raffel et al. 2020, §2.2): any
+span of ``span`` consecutive sentences that occurs more than once in
+the corpus is removed from every document except one canonical
+occurrence. This is the classic cross-document boilerplate killer
+("Subscribe to our newsletter…" tails), complementing the whole-doc
+dedup family in operators/dedup.py.
+
+Fully relational — the corpus-wide span table is the algorithm's core
+and its cost: sentences are exploded rows, spans come from two ``lead``
+windows over the per-doc sentence order, duplicate detection is a
+window count over the span hash, and removal is an anti-join. Every
+shuffle is keyed by doc id or by the 32-hex span hash (uniform), text
+never travels as a join key, so the plan is the scale-out shape C4's
+own implementation uses. Canonicality is deterministic: the occurrence
+with the smallest (doc_id, position) wins, so output is reproducible
+and SQL-reconstructable.
+
+The reference engine has no corpus-level pass (newspaper3k is
+per-article); this is a beyond-reference LLM-pipeline operator.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+#: unit separator — joins the sentences of a span before hashing, so
+#: ("a b", "c") never collides with ("a", "b c")
+_US = "\x1f"
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 3,
+) -> DataFrame:
+    """Returns (id, cleaned_text, n_sentences, n_removed) per document.
+
+    Sentences are period-delimited, trimmed, empties dropped, then
+    renumbered consecutively (``seq``) so span membership is contiguous
+    even when the raw split produced empty segments. A sentence is
+    removed when ANY duplicated span occurrence covering it is not the
+    canonical (minimal (doc_id, seq)) occurrence of its span hash —
+    exactly C4's "keep one" rule under a deterministic tie-break.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    raw = base.select(
+        "id", F.posexplode(F.split("t", r"\.")).alias("p", "sent0")
+    ).select("id", "p", F.trim("sent0").alias("sent")).filter(F.col("sent") != "")
+    wdoc = W.partitionBy("id").orderBy("p")
+    sent = raw.select(
+        "id", F.row_number().over(wdoc).alias("seq"), "sent"
+    )
+    # spans of `span` consecutive sentences (same window spec as the
+    # renumbering → Catalyst reuses one exchange+sort for all leads)
+    wseq = W.partitionBy("id").orderBy("seq")
+    parts = [F.col("sent")] + [
+        F.lead("sent", k).over(wseq) for k in range(1, span)
+    ]
+    spans = (
+        sent.select(
+            "id",
+            "seq",
+            F.md5(F.concat_ws(_US, *parts)).alias("h"),
+            parts[-1].isNotNull().alias("full"),
+        )
+        .filter("full")
+        .drop("full")
+    )
+    wh = W.partitionBy("h")
+    whrank = W.partitionBy("h").orderBy("id", "seq")
+    marked = spans.select(
+        "id",
+        "seq",
+        F.count("*").over(wh).alias("n_occ"),
+        F.row_number().over(whrank).alias("rk"),
+    )
+    removed = (
+        marked.filter((F.col("n_occ") > 1) & (F.col("rk") > 1))
+        .select(
+            "id",
+            F.explode(
+                F.array(*[F.col("seq") + k for k in range(span)])
+            ).alias("seq"),
+        )
+        .distinct()
+    )
+    kept = sent.join(removed, ["id", "seq"], "left_anti")
+    kept_agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "sent"))),
+                lambda s: s["sent"],
+            ),
+            ". ",
+        ).alias("cleaned_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = sent.groupBy("id").agg(F.count("*").alias("n_sentences"))
+    return (
+        totals.join(kept_agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.col("n_sentences").cast("long").alias("n_sentences"),
+            (F.col("n_sentences") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -1033,3 +1033,36 @@ def test_pii_scrub_cross_engine_parity(spark):
         g = got[doc_id]
         assert g.scrubbed_text == scrubbed, f"doc {doc_id}: {g.scrubbed_text!r} != {scrubbed!r}"
         assert (g.n_emails, g.n_ips, g.n_phones) == (n_e, n_i, n_p), f"doc {doc_id}"
+
+
+def test_span_dedup_c4_semantics(spark):
+    """Repeated 3-sentence spans are removed everywhere except the
+    canonical (min doc_id, seq) occurrence — cross-doc AND within-doc."""
+    from newspaper_spark.operators.span_dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "A one. B two. C three. D four"),
+            (2, "Z zed. B two. C three. D four"),   # shares (B,C,D) with doc 1
+            (3, "P. Q. R. P. Q. R"),                # internal repeat
+            (4, "Solo sentence"),                   # < span sentences
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in span_dedup(df, span=3).collect()}
+
+    r1 = got[1]   # canonical owner of (B,C,D): untouched
+    assert r1.cleaned_text == "A one. B two. C three. D four"
+    assert (r1.n_sentences, r1.n_removed) == (4, 0)
+
+    r2 = got[2]   # loses the duplicated span, keeps its own lead
+    assert r2.cleaned_text == "Z zed"
+    assert (r2.n_sentences, r2.n_removed) == (4, 3)
+
+    r3 = got[3]   # second (P,Q,R) occurrence removed, first kept
+    assert r3.cleaned_text == "P. Q. R"
+    assert (r3.n_sentences, r3.n_removed) == (6, 3)
+
+    r4 = got[4]   # too short for any span: untouched
+    assert r4.cleaned_text == "Solo sentence"
+    assert (r4.n_sentences, r4.n_removed) == (1, 0)
