@@ -370,7 +370,13 @@ def simhash_near_dups(
     n_chunks = max_hamming + 1
     if n_chunks > 32:
         raise ValueError("max_hamming too large for 64-bit pigeonhole blocking")
-    sh = simhash_table(df, id_col, text_col)
+    # persist is load-bearing (same pattern as the LSH signature tables):
+    # the chunk table self-joins, and an AQE runtime broadcast defeats
+    # ReuseExchange — unpersisted, the shingle explode + 64-slot vote
+    # aggregate (the job's most expensive stage) executes twice.
+    # Measured at sf0.1: 3.45 s → 2.52 s interleaved medians, identical
+    # output. Spark evicts LRU after the query completes.
+    sh = simhash_table(df, id_col, text_col).persist()
     def chunk_val(off: int, width: int):
         # a full-width chunk (max_hamming=0) needs no mask — and
         # (1 << 64) - 1 would overflow BIGINT anyway
