@@ -494,6 +494,30 @@ def q_span_dedup(spark, sf_dir):
     return span_dedup(aug, span=3)
 
 
+def q_c4_filters(spark, sf_dir):
+    """C4 page-level heuristic filters (operators/filters.py). The
+    synthetic corpus triggers none of the content rules, so rule-
+    triggering suffixes are injected on deterministic doc_id slices
+    (every 7th gets lorem ipsum, every 11th a curly brace, every 13th
+    a javascript mention, every 5th a 5-sentence tail) — mirrored
+    verbatim in the oracle so every rule path carries both outcomes."""
+    from newspaper_spark.operators.filters import c4_filters
+
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" {")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" enable JavaScript")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(". One. Two. Three. Four. Five.")
+        ).otherwise(F.lit("")),
+    )
+    return c4_filters(d.select("doc_id", aug.alias("text")))
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Corpus-LM quality score (textstats.unigram_logprob): mean
     unigram log10-probability of each doc under the corpus's own
@@ -948,6 +972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
         "unigram_logprob": q_unigram_logprob,
+        "c4_filters": q_c4_filters,
         "span_dedup": q_span_dedup,
         "fingerprint": q_fingerprint,
         "winnow": q_winnow,
@@ -1369,6 +1394,34 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             LEFT JOIN perdoc p USING (doc_id)
             LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "c4_filters": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum' ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0 THEN ' {' ELSE '' END
+                       || CASE WHEN doc_id % 13 = 0 THEN ' enable JavaScript' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN '. One. Two. Three. Four. Five.' ELSE '' END
+                         AS text
+                FROM documents
+            ), f AS (
+                SELECT doc_id,
+                       contains(text, '{') AS has_curly,
+                       contains(lower(text), 'lorem ipsum') AS has_lorem,
+                       contains(lower(text), 'javascript') AS has_javascript,
+                       len(list_filter(string_split(text, '.'),
+                           s -> trim(s) <> ''))::BIGINT AS n_sentences,
+                       len(string_split(trim(regexp_replace(lower(text),
+                           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '))::BIGINT AS n_words
+                FROM aug
+            )
+            SELECT doc_id, has_curly, has_lorem, has_javascript,
+                   n_sentences, (n_sentences >= 5) AS enough_sentences,
+                   n_words, (n_words >= 3) AS enough_words,
+                   (NOT has_curly AND NOT has_lorem AND NOT has_javascript
+                    AND n_sentences >= 5 AND n_words >= 3) AS keep
+            FROM f
         """,
         "span_dedup": f"""
             WITH aug AS (

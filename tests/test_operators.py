@@ -1066,3 +1066,26 @@ def test_span_dedup_c4_semantics(spark):
     r4 = got[4]   # too short for any span: untouched
     assert r4.cleaned_text == "Solo sentence"
     assert (r4.n_sentences, r4.n_removed) == (1, 0)
+
+
+def test_c4_filters_rules(spark):
+    from newspaper_spark.operators.filters import c4_filters
+
+    df = spark.createDataFrame(
+        [
+            (1, "Good one. Two here. Three more. Four now. And five words done."),
+            (2, "Code sample { return 0; }. Two. Three. Four. Five."),
+            (3, "Please enable JavaScript to view. Two. Three. Four. Five."),
+            (4, "Lorem Ipsum dolor sit. Two. Three. Four. Five."),
+            (5, "Too. Few. Sentences."),
+            (6, "ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in c4_filters(df).collect()}
+    assert got[1].keep and got[1].n_sentences == 5
+    assert got[2].has_curly and not got[2].keep
+    assert got[3].has_javascript and not got[3].keep
+    assert got[4].has_lorem and not got[4].keep
+    assert not got[5].enough_sentences and not got[5].keep
+    assert not got[6].enough_words and not got[6].keep
