@@ -494,6 +494,33 @@ def q_span_dedup(spark, sf_dir):
     return span_dedup(aug, span=3)
 
 
+#: unicode suffixes for the normalization driver query (the corpus is
+#: pure ASCII): doc_id % 4 picks one — 0: decomposed e+◌́ (composes),
+#:  1: vertical tab + DEL (controls, stripped), 2: Hangul jamo pair
+#: (composes to 가), 3: already-NFC text (no-op path). Spark CASE and
+#: oracle CASE carry the SAME literals.
+_NFC_SUFFIXES = [
+    " caf\u0065\u0301",   # decomposed e + combining acute: composes to \u00e9
+    " x\x0by\x7fz",        # VT + DEL: stripped by CONTROL_CLASS
+    " \u1100\u1161",       # Hangul jamo pair: composes to U+AC00
+    " caf\u00e9",           # already NFC: the no-op path
+]
+
+
+def q_normalize_text(spark, sf_dir):
+    """NFC normalization + control stripping (operators/normalize.py);
+    oracle via DuckDB nfc_normalize (verified identical to Python
+    unicodedata on composition exclusions / Hangul / reordering)."""
+    from newspaper_spark.operators.normalize import normalize_text
+
+    d = _docs(spark, sf_dir)
+    sfx = F.when(F.col("doc_id") % 4 == 0, F.lit(_NFC_SUFFIXES[0]))
+    for i in (1, 2, 3):
+        sfx = sfx.when(F.col("doc_id") % 4 == i, F.lit(_NFC_SUFFIXES[i]))
+    aug = F.concat(F.col("text"), sfx)
+    return normalize_text(d.select("doc_id", aug.alias("text")))
+
+
 def q_c4_filters(spark, sf_dir):
     """C4 page-level heuristic filters (operators/filters.py). The
     synthetic corpus triggers none of the content rules, so rule-
@@ -972,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
         "unigram_logprob": q_unigram_logprob,
+        "normalize_text": q_normalize_text,
         "c4_filters": q_c4_filters,
         "span_dedup": q_span_dedup,
         "fingerprint": q_fingerprint,
@@ -1394,6 +1422,31 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             LEFT JOIN perdoc p USING (doc_id)
             LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "normalize_text": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || CASE doc_id % 4
+                         WHEN 0 THEN ' caf' || chr(101) || chr(769)
+                         WHEN 1 THEN ' x' || chr(11) || 'y' || chr(127) || 'z'
+                         WHEN 2 THEN ' ' || chr(4352) || chr(4449)
+                         ELSE ' caf' || chr(233)
+                       END AS text
+                FROM documents
+            ), n AS (
+                SELECT doc_id, text, nfc_normalize(text) AS composed FROM aug
+            ), s AS (
+                SELECT doc_id, text, composed,
+                       regexp_replace(composed,
+                         '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]',
+                         '', 'g') AS stripped
+                FROM n
+            )
+            SELECT doc_id,
+                   stripped AS norm_text,
+                   (stripped <> text) AS changed,
+                   (length(composed) - length(stripped))::BIGINT AS n_controls_removed
+            FROM s
         """,
         "c4_filters": """
             WITH aug AS (

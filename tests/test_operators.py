@@ -1089,3 +1089,25 @@ def test_c4_filters_rules(spark):
     assert got[4].has_lorem and not got[4].keep
     assert not got[5].enough_sentences and not got[5].keep
     assert not got[6].enough_words and not got[6].keep
+
+
+def test_normalize_text_nfc_and_controls(spark):
+    from newspaper_spark.operators.normalize import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "café"),           # NFD -> composes
+            (2, "a\x00b\x0bc\x7fd\x9fe"),     # controls stripped
+            (3, "가"),              # jamo -> syllable
+            (4, "plain"),                     # untouched
+            (5, "tab\tand\nnewline kept"),    # \t \n survive
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert got[1].norm_text == "café" and got[1].changed
+    assert got[1].n_controls_removed == 0
+    assert got[2].norm_text == "abcde" and got[2].n_controls_removed == 4
+    assert got[3].norm_text == "가" and got[3].changed
+    assert not got[4].changed and got[4].n_controls_removed == 0
+    assert got[5].norm_text == "tab\tand\nnewline kept" and not got[5].changed
