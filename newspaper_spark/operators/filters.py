@@ -29,7 +29,9 @@ from .textstats import WS_CLASS
 def c4_filters(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    c = F.col(text_col)
+    # null text behaves like empty text: definite false/0 flags, never
+    # null verdicts
+    c = F.coalesce(F.col(text_col), F.lit(""))
     lower = F.lower(c)
     n_sentences = F.size(
         F.filter(F.split(c, r"\."), lambda s: F.trim(s) != "")

@@ -44,12 +44,14 @@ def normalize_text(
     """(id, norm_text, changed, n_controls_removed) — NFC composition
     followed by control-char removal (composition never produces
     controls, so the order is canonical)."""
-    composed = nfc_udf()(F.col(text_col))
+    # null text behaves like empty text (never null outputs)
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    composed = nfc_udf()(c)
     stripped = F.regexp_replace(composed, CONTROL_CLASS, "")
     return df.select(
         F.col(id_col),
         stripped.alias("norm_text"),
-        (stripped != F.col(text_col)).alias("changed"),
+        (stripped != c).alias("changed"),
         (F.length(composed) - F.length(stripped)).cast("long").alias(
             "n_controls_removed"
         ),

@@ -56,9 +56,11 @@ def pii_scrub(
     """id, scrubbed text, and per-pattern counts (on the original text).
 
     Map-only: no shuffle, no UDF — at 100 TB this runs entirely inside
-    whole-stage codegen at scan speed.
+    whole-stage codegen at scan speed. Null text behaves like empty
+    text (repo-wide convention — see dedup.simhash_table): counts 0,
+    scrubbed '' — never null outputs or dropped rows.
     """
-    c = F.col(text_col)
+    c = F.coalesce(F.col(text_col), F.lit(""))
     return df.select(
         F.col(id_col),
         scrubbed_text_col(c).alias("scrubbed_text"),

@@ -44,7 +44,12 @@ def span_dedup(
     canonical (minimal (doc_id, seq)) occurrence of its span hash —
     exactly C4's "keep one" rule under a deterministic tie-break.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    # coalesce: null/empty text must still yield an output row
+    # (0 sentences, '' cleaned) — explode would silently drop the doc
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
     raw = base.select(
         "id", F.posexplode(F.split("t", r"\.")).alias("p", "sent0")
     ).select("id", "p", F.trim("sent0").alias("sent")).filter(F.col("sent") != "")
@@ -97,14 +102,21 @@ def span_dedup(
         ).alias("cleaned_text"),
         F.count("*").alias("n_kept"),
     )
-    totals = sent.groupBy("id").agg(F.count("*").alias("n_sentences"))
+    # anchor on the INPUT doc set, not on `sent`: a doc with zero
+    # non-empty sentences still gets its (id, '', 0, 0) row
+    totals = base.select("id").join(
+        sent.groupBy("id").agg(F.count("*").alias("n_sentences")), "id", "left"
+    )
     return (
         totals.join(kept_agg, "id", "left")
         .select(
             F.col("id").alias(id_col),
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-            F.col("n_sentences").cast("long").alias("n_sentences"),
-            (F.col("n_sentences") - F.coalesce("n_kept", F.lit(0)))
+            F.coalesce("n_sentences", F.lit(0)).cast("long").alias("n_sentences"),
+            (
+                F.coalesce("n_sentences", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            )
             .cast("long")
             .alias("n_removed"),
         )

@@ -200,8 +200,12 @@ def repetition_stats(
     """
     from pyspark.sql import Window as W
 
+    # null text behaves like empty text (one '' token) — stats stay
+    # defined and no row vanishes
     norm = F.trim(
-        F.regexp_replace(F.lower(F.col(text_col)), WS_CLASS + "+", " ")
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))), WS_CLASS + "+", " "
+        )
     )
     toks = F.split(norm, " ")
     base = df.select(
@@ -298,8 +302,11 @@ def unigram_logprob(
     engine-portable; the final round is the portable
     floor(x·1e6 + 0.5)/1e6 spelled identically in the oracle.
     """
+    # coalesce: explode(null) would silently DROP the document from the
+    # output — null text scores as the one-empty-token document instead
     tok_rows = df.select(
-        F.col(id_col).alias("id"), F.explode(_tokens(F.col(text_col))).alias("tok")
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
     )
     doc_tok = tok_rows.groupBy("id", "tok").agg(
         F.count("*").cast("long").alias("k")

@@ -1111,3 +1111,30 @@ def test_normalize_text_nfc_and_controls(spark):
     assert got[3].norm_text == "가" and got[3].changed
     assert not got[4].changed and got[4].n_controls_removed == 0
     assert got[5].norm_text == "tab\tand\nnewline kept" and not got[5].changed
+
+
+def test_new_operators_null_and_empty_text(spark):
+    """Null text behaves like empty text everywhere: every input doc
+    yields exactly one output row with definite (non-null) values —
+    explode-based plans must not silently drop documents."""
+    from newspaper_spark.operators.filters import c4_filters
+    from newspaper_spark.operators.normalize import normalize_text
+    from newspaper_spark.operators.pii import pii_scrub
+    from newspaper_spark.operators.span_dedup import span_dedup
+    from newspaper_spark.operators.textstats import (
+        repetition_stats,
+        unigram_logprob,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ok text here")], "doc_id long, text string"
+    )
+    for fn in (pii_scrub, repetition_stats, unigram_logprob, span_dedup,
+               c4_filters, normalize_text):
+        rows = fn(df).collect()
+        assert len(rows) == 3, f"{fn.__name__} dropped rows: {len(rows)}"
+        for r in rows:
+            for field, v in r.asDict().items():
+                assert v is not None, f"{fn.__name__} doc {r[0]}: {field} is null"
+    s = {r.doc_id: r for r in span_dedup(df).collect()}
+    assert (s[1].cleaned_text, s[1].n_sentences, s[1].n_removed) == ("", 0, 0)
