@@ -507,6 +507,20 @@ _NFC_SUFFIXES = [
 ]
 
 
+def q_pack_offsets(spark, sf_dir):
+    """GPT-style sequence packing (operators/packing.py): global token
+    offsets by distributed prefix sum over id order, spans of
+    256-token packed sequences."""
+    from newspaper_spark.operators.packing import pack_offsets
+    from newspaper_spark.operators.textstats import token_count_col
+
+    d = _docs(spark, sf_dir)
+    counted = d.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return pack_offsets(counted, seq_len=256)
+
+
 def q_normalize_text(spark, sf_dir):
     """NFC normalization + control stripping (operators/normalize.py);
     oracle via DuckDB nfc_normalize (verified identical to Python
@@ -999,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
         "unigram_logprob": q_unigram_logprob,
+        "pack_offsets": q_pack_offsets,
         "normalize_text": q_normalize_text,
         "c4_filters": q_c4_filters,
         "span_dedup": q_span_dedup,
@@ -1422,6 +1437,27 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             LEFT JOIN perdoc p USING (doc_id)
             LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "pack_offsets": """
+            WITH c AS (
+                SELECT doc_id,
+                       len(string_split(trim(regexp_replace(lower(text),
+                           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '))::BIGINT AS n_tokens
+                FROM documents
+            ), o AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0)::BIGINT AS "offset"
+                FROM c
+            )
+            SELECT doc_id, n_tokens, "offset",
+                   ("offset" // 256)::BIGINT AS start_seq,
+                   ("offset" % 256)::BIGINT AS start_pos,
+                   (CASE WHEN n_tokens > 0
+                         THEN ("offset" + n_tokens - 1) // 256 - "offset" // 256 + 1
+                         ELSE 0 END)::BIGINT AS n_seqs
+            FROM o
         """,
         "normalize_text": """
             WITH aug AS (

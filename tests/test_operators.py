@@ -1138,3 +1138,27 @@ def test_new_operators_null_and_empty_text(spark):
                 assert v is not None, f"{fn.__name__} doc {r[0]}: {field} is null"
     s = {r.doc_id: r for r in span_dedup(df).collect()}
     assert (s[1].cleaned_text, s[1].n_sentences, s[1].n_removed) == ("", 0, 0)
+
+
+def test_pack_offsets_prefix_sum_and_spans(spark):
+    """Distributed prefix sum must equal the sequential one regardless
+    of partitioning, and span math must handle boundary crossings and
+    empty docs."""
+    from newspaper_spark.operators.packing import pack_offsets
+
+    rows = [(i, (i * 37) % 150) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(7)
+    got = {r.doc_id: r for r in pack_offsets(df, seq_len=64, num_partitions=5).collect()}
+    assert len(got) == 200
+
+    off = 0
+    for i, n in rows:
+        r = got[i]
+        assert r.offset == off, f"doc {i}: {r.offset} != {off}"
+        assert r.start_seq == off // 64
+        assert r.start_pos == off % 64
+        if n > 0:
+            assert r.n_seqs == (off + n - 1) // 64 - off // 64 + 1
+        else:
+            assert r.n_seqs == 0
+        off += n
