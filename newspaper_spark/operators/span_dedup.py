@@ -54,9 +54,13 @@ def span_dedup(
         "id", F.posexplode(F.split("t", r"\.")).alias("p", "sent0")
     ).select("id", "p", F.trim("sent0").alias("sent")).filter(F.col("sent") != "")
     wdoc = W.partitionBy("id").orderBy("p")
+    # persist is load-bearing (same rationale as the LSH signature
+    # tables): `sent` feeds the span builder, the keep anti-join AND
+    # the per-doc totals, and runtime broadcasts defeat ReuseExchange —
+    # unpersisted, the sentence explode + renumber window executes 3×.
     sent = raw.select(
         "id", F.row_number().over(wdoc).alias("seq"), "sent"
-    )
+    ).persist()
     # spans of `span` consecutive sentences (same window spec as the
     # renumbering → Catalyst reuses one exchange+sort for all leads)
     wseq = W.partitionBy("id").orderBy("seq")
