@@ -1162,3 +1162,57 @@ def test_pack_offsets_prefix_sum_and_spans(spark):
         else:
             assert r.n_seqs == 0
         off += n
+
+
+def test_span_dedup_matches_python_model(spark):
+    """Operator vs an independent sequential model on random small-
+    alphabet corpora (heavy span collisions, including overlapping and
+    adjacent duplicate spans within one doc)."""
+    import random
+    from collections import defaultdict
+
+    from newspaper_spark.operators.span_dedup import span_dedup
+
+    def model(rows, span=3):
+        sent = {
+            i: [s for s in (x.strip() for x in t.split(".")) if s]
+            for i, t in rows
+        }
+        occ = defaultdict(list)
+        for i in sorted(sent):
+            ss = sent[i]
+            for j in range(len(ss) - span + 1):
+                occ[tuple(ss[j : j + span])].append((i, j))
+        removed = defaultdict(set)
+        for occs in occ.values():
+            if len(occs) > 1:
+                for i, j in occs[1:]:
+                    removed[i].update(range(j, j + span))
+        return {
+            i: (
+                ". ".join(s for k, s in enumerate(ss) if k not in removed[i]),
+                len(ss),
+                len(removed[i] & set(range(len(ss)))),
+            )
+            for i, ss in sent.items()
+        }
+
+    for seed in range(5):
+        rng = random.Random(seed)
+        words = ["aa", "bb", "cc"]
+        rows = [
+            (
+                i,
+                ". ".join(
+                    " ".join(rng.choices(words, k=rng.randint(1, 2)))
+                    for _ in range(rng.randint(0, 8))
+                ),
+            )
+            for i in range(rng.randint(3, 7))
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.cleaned_text, r.n_sentences, r.n_removed)
+            for r in span_dedup(df, span=3).collect()
+        }
+        assert got == model(rows), f"seed {seed}: {got} != {model(rows)}"
