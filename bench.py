@@ -229,6 +229,8 @@ def query_timings(cores: int) -> dict:
         "events_hourly",
         "media_features",
         "winnow",
+        "span_dedup",
+        "unigram_logprob",
         "corpus_prep",
     ]
     qs = E.queries()
