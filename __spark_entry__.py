@@ -1378,13 +1378,13 @@ def oracle_sql() -> dict[str, str]:
                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
                          '<EMAIL>', 'g'),
                        '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IP>', 'g'),
-                     '\\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed_text,
+                     '\\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed_text,
                    len(regexp_extract_all(text,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
                    len(regexp_extract_all(text,
                      '([0-9]{1,3}\\.){3}[0-9]{1,3}'))::BIGINT AS n_ips,
                    len(regexp_extract_all(text,
-                     '\\+?[0-9][0-9 ()-]{6,}[0-9]'))::BIGINT AS n_phones
+                     '\\+?[0-9][0-9 ()-]{7,}[0-9]'))::BIGINT AS n_phones
             FROM aug
         """,
         "repetition": """
@@ -1558,8 +1558,12 @@ def oracle_sql() -> dict[str, str]:
                        count(*)::BIGINT AS n_kept
                 FROM kept GROUP BY doc_id
             ), tot AS (
-                SELECT doc_id, count(*)::BIGINT AS n_sentences
-                FROM sent GROUP BY doc_id
+                -- anchored on aug (ALL docs), not sent: a doc with no
+                -- non-empty sentences must still yield an output row,
+                -- mirroring the operator's null/empty-text semantics
+                SELECT a.doc_id, count(s.sent)::BIGINT AS n_sentences
+                FROM aug a LEFT JOIN sent s USING (doc_id)
+                GROUP BY a.doc_id
             )
             SELECT t.doc_id,
                    coalesce(k.cleaned_text, '') AS cleaned_text,

@@ -375,7 +375,10 @@ def simhash_near_dups(
     # ReuseExchange — unpersisted, the shingle explode + 64-slot vote
     # aggregate (the job's most expensive stage) executes twice.
     # Measured at sf0.1: 3.45 s → 2.52 s interleaved medians, identical
-    # output. Spark evicts LRU after the query completes.
+    # output. Lifecycle: the blocks stay cached until memory pressure
+    # evicts them or the session ends (MEMORY_AND_DISK spills instead
+    # of OOM); sessions running many large operator jobs back-to-back
+    # can spark.catalog.clearCache() between them.
     sh = simhash_table(df, id_col, text_col).persist()
     def chunk_val(off: int, width: int):
         # a full-width chunk (max_hamming=0) needs no mask — and
@@ -483,6 +486,12 @@ def connected_components(
             .filter(F.col("n.rep") != F.col("o.rep"))
             .count()
         )
+        # free the previous round's checkpoint blocks NOW — they are
+        # only GC'd lazily through py4j otherwise, and max_iterations
+        # stale copies of the labels table would pile up in the block
+        # manager. Safe because localCheckpoint is eager: new_labels is
+        # already materialized with truncated lineage.
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             converged = True

@@ -14,16 +14,20 @@ machinery):
 * ``enough_sentences`` — ≥ 5 period-delimited sentences
 * ``enough_words``     — ≥ 3 whitespace tokens
 
-Everything is whole-stage-codegen Column work (contains / split /
-filter-size) — zero shuffles, zero UDFs; at 100 TB this runs at scan
-speed and is exactly reproducible in the SQL oracle.
+All Column work, zero shuffles, zero UDFs — map-only at scan
+granularity. One caveat to the codegen story: the sentence count uses
+one Catalyst higher-order ``filter`` lambda, which is interpreted per
+ELEMENT (see CLAUDE.md) — but its element count is period-segments per
+page (tens), not characters, so the interpreted cost is bounded and
+smaller than an extra regex pass over the full text would be.
+Everything is exactly reproducible in the SQL oracle.
 """
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import WS_CLASS
+from .textstats import token_count_col
 
 
 def c4_filters(
@@ -36,9 +40,9 @@ def c4_filters(
     n_sentences = F.size(
         F.filter(F.split(c, r"\."), lambda s: F.trim(s) != "")
     )
-    n_words = F.size(
-        F.split(F.trim(F.regexp_replace(lower, WS_CLASS + "+", " ")), " ")
-    )
+    # the ONE whitespace-token-count spelling (textstats._tokens) —
+    # never re-spell it, or the oracles drift
+    n_words = token_count_col(c)
     has_curly = c.contains("{")
     has_lorem = lower.contains("lorem ipsum")
     has_javascript = lower.contains("javascript")

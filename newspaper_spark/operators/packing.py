@@ -49,7 +49,15 @@ def pack_offsets(
         .repartitionByRange(num_partitions, "id")
         .sortWithinPartitions("id")
     )
-    with_pid = ordered.withColumn("pid", F.spark_partition_id())
+    # persist is CORRECTNESS-load-bearing, not a perf hint: with_pid
+    # fans into the partition-totals branch and the placement branch,
+    # and spark_partition_id depends on the range shuffle's SAMPLED
+    # boundaries. If exchange reuse were ever defeated (the broadcast
+    # join below is exactly the pattern that defeats it elsewhere in
+    # this repo), the two branches could re-execute the shuffle with
+    # different boundaries and silently corrupt offsets. Persisting
+    # pins one materialization of the partition assignment.
+    with_pid = ordered.withColumn("pid", F.spark_partition_id()).persist()
     part_tot = with_pid.groupBy("pid").agg(F.sum("n").alias("psum"))
     # exclusive prefix over partition totals: #partitions rows — this
     # window IS single-partition, by design, and O(partitions)

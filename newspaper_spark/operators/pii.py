@@ -29,9 +29,10 @@ EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 #: dotted quad (no octet-range check — scrubbing favors recall)
 IPV4_RX = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
 
-#: optional +, then ≥9 chars of digits/space/()- starting and ending on a
-#: digit — long enough to skip years and short counts
-PHONE_RX = r"\+?[0-9][0-9 ()-]{6,}[0-9]"
+#: optional +, then ≥9 chars of digits/space/()- starting and ending on
+#: a digit (1 + {7,} + 1) — long enough to skip years, 8-digit dates
+#: (YYYYMMDD) and short counts
+PHONE_RX = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
 
 EMAIL_TOKEN = "<EMAIL>"
 IP_TOKEN = "<IP>"

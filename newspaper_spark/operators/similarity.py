@@ -466,7 +466,9 @@ def embedding_dedup_pairs(
     # lookups) and AQE's runtime broadcasts defeat ReuseExchange, so an
     # unpersisted plan executes the signature UDF 4×. At 100 TB that is
     # 4× the single most expensive map stage; MEMORY_AND_DISK spills
-    # gracefully and Spark evicts LRU after the query completes.
+    # gracefully. Lifecycle: blocks stay cached until memory pressure
+    # evicts them or the session ends — NOT freed at query completion;
+    # long sessions can spark.catalog.clearCache() between big jobs.
     b = _explode_bands(sigd, "id", bands, band_size)
     l, r = b.alias("l"), b.alias("r")
     cand = (
