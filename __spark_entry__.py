@@ -507,6 +507,15 @@ _NFC_SUFFIXES = [
 ]
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """Corpus-aware TF-IDF top-5 terms per doc (textstats.tfidf_topk);
+    rank order uses the rounded score so the cut is engine-portable."""
+    from newspaper_spark.operators.textstats import tfidf_topk
+
+    d = _docs(spark, sf_dir)
+    return tfidf_topk(d.select("doc_id", "text"), k=5)
+
+
 def q_pack_offsets(spark, sf_dir):
     """GPT-style sequence packing (operators/packing.py): global token
     offsets by distributed prefix sum over id order, spans of
@@ -1013,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
         "unigram_logprob": q_unigram_logprob,
+        "tfidf_topk": q_tfidf_topk,
         "pack_offsets": q_pack_offsets,
         "normalize_text": q_normalize_text,
         "c4_filters": q_c4_filters,
@@ -1437,6 +1447,42 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             LEFT JOIN perdoc p USING (doc_id)
             LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "tfidf_topk": """
+            WITH n AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(t) AS tok FROM n
+            ), dt AS (
+                SELECT doc_id, tok, count(*)::BIGINT AS cnt
+                FROM tok GROUP BY doc_id, tok
+            ), ntok AS (
+                SELECT doc_id, sum(cnt)::BIGINT AS ntok FROM dt GROUP BY doc_id
+            ), dfreq AS (
+                SELECT tok, count(DISTINCT doc_id)::BIGINT AS df
+                FROM dt GROUP BY tok
+            ), nd AS (
+                SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM dt
+            ), scored AS (
+                SELECT dt.doc_id, dt.tok,
+                       floor((dt.cnt::DOUBLE / ntok.ntok)
+                             * log10((nd.n_docs + 1)::DOUBLE / (dfreq.df + 1))
+                             * 1000000.0 + 0.5)::BIGINT AS s6
+                FROM dt
+                JOIN dfreq USING (tok)
+                JOIN ntok USING (doc_id)
+                CROSS JOIN nd
+            ), ranked AS (
+                SELECT doc_id, tok, s6,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY s6 DESC, tok ASC) AS rank
+                FROM scored
+            )
+            SELECT doc_id, rank::BIGINT AS rank, tok AS term,
+                   (s6::DOUBLE / 1000000.0) AS tfidf
+            FROM ranked WHERE rank <= 5
         """,
         "pack_offsets": """
             WITH c AS (

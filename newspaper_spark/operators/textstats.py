@@ -338,6 +338,71 @@ def unigram_logprob(
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF against the corpus itself —
+    the corpus-aware upgrade of the reference's frequency-only keyword
+    ranking (newspaper nlp.py keywords()): terms common across the
+    corpus are discounted by idf = log10((N+1)/(df+1)) (add-one
+    smoothed), tf = occurrences / doc length.
+
+    Same scale shape as unigram_logprob: one explode + per-(doc,term)
+    count (persisted — it feeds both the document-frequency aggregate
+    and the scoring join), a vocab-sized document-frequency table
+    broadcast back, one row_number window per doc. The rank ORDER BY
+    uses the 6dp-floor-ROUNDED score (then term asc): near-tie doubles
+    from engine log10 ulp differences round equal and fall through to
+    the deterministic term tie-break, so the top-k cut is reproducible
+    in the oracle.
+    """
+    from pyspark.sql import Window as W
+
+    tok_rows = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
+    )
+    doc_tok = (
+        tok_rows.groupBy("id", "tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .persist()
+    )
+    ntok = doc_tok.groupBy("id").agg(F.sum("cnt").alias("ntok"))
+    dfreq = doc_tok.groupBy("tok").agg(
+        F.countDistinct("id").cast("long").alias("df")
+    )
+    n_docs = doc_tok.agg(F.countDistinct("id").alias("n_docs"))
+    scored = (
+        doc_tok.join(F.broadcast(dfreq), "tok")
+        .join(ntok.withColumnRenamed("id", "nid"), F.col("id") == F.col("nid"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "tok",
+            F.floor(
+                (F.col("cnt") / F.col("ntok"))
+                * F.log10((F.col("n_docs") + 1) / (F.col("df") + 1))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).alias("s6"),
+        )
+    )
+    w = W.partitionBy("id").orderBy(F.col("s6").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("tok").alias("term"),
+            (F.col("s6") / F.lit(1000000.0)).alias("tfidf"),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.withColumns(

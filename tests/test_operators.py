@@ -1216,3 +1216,34 @@ def test_span_dedup_matches_python_model(spark):
             for r in span_dedup(df, span=3).collect()
         }
         assert got == model(rows), f"seed {seed}: {got} != {model(rows)}"
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    from newspaper_spark.operators.textstats import tfidf_topk
+
+    # 3 docs; "rare" appears only in doc 1, "common" in all three
+    df = spark.createDataFrame(
+        [
+            (1, "common rare common"),
+            (2, "common word word"),
+            (3, "common common other"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_topk(df, k=2).collect()
+    got = {(r.doc_id, r.rank): (r.term, r.tfidf) for r in rows}
+
+    def score(cnt, ntok, df_, n_docs=3):
+        return math.floor(
+            (cnt / ntok) * math.log10((n_docs + 1) / (df_ + 1)) * 1e6 + 0.5
+        ) / 1e6
+
+    # doc 1: rare (1/3, df=1) beats common (2/3, df=3)
+    assert got[(1, 1)] == ("rare", score(1, 3, 1))
+    assert got[(1, 2)] == ("common", score(2, 3, 3))
+    # doc 2: word (2/3, df=1) far ahead
+    assert got[(2, 1)] == ("word", score(2, 3, 1))
+    # every doc has exactly 2 ranked rows and ranks are 1..2
+    assert sorted(k for k in got) == [(d, r) for d in (1, 2, 3) for r in (1, 2)]
