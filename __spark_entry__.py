@@ -507,6 +507,22 @@ _NFC_SUFFIXES = [
 ]
 
 
+def q_source_mix(spark, sf_dir):
+    """Data-mixing allocation (sampling.source_mix): per-source token
+    budgets + sampling rates for a 50% corpus budget, weights derived
+    deterministically from the source index (idx % 3 + 1)."""
+    from newspaper_spark.operators.sampling import source_mix
+    from newspaper_spark.operators.textstats import token_count_col
+
+    d = _docs(spark, sf_dir)
+    counted = d.select(
+        "source",
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        (F.substring("source", 4, 10).cast("long") % 3 + 1).alias("weight"),
+    )
+    return source_mix(counted)
+
+
 def q_tfidf_topk(spark, sf_dir):
     """Corpus-aware TF-IDF top-5 terms per doc (textstats.tfidf_topk);
     rank order uses the rounded score so the cut is engine-portable."""
@@ -1022,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
         "unigram_logprob": q_unigram_logprob,
+        "source_mix": q_source_mix,
         "tfidf_topk": q_tfidf_topk,
         "pack_offsets": q_pack_offsets,
         "normalize_text": q_normalize_text,
@@ -1447,6 +1464,36 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             LEFT JOIN perdoc p USING (doc_id)
             LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "source_mix": """
+            WITH c AS (
+                SELECT source,
+                       len(string_split(trim(regexp_replace(lower(text),
+                           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '))::BIGINT AS n_tokens,
+                       (substring(source, 4)::BIGINT % 3 + 1)::BIGINT AS weight
+                FROM documents
+            ), per AS (
+                SELECT source, count(*)::BIGINT AS n_docs,
+                       sum(n_tokens)::BIGINT AS tokens,
+                       max(weight)::BIGINT AS weight
+                FROM c GROUP BY source
+            ), tot AS (
+                SELECT sum(tokens)::BIGINT AS tot_tokens,
+                       sum(weight)::BIGINT AS tot_weight
+                FROM per
+            ), j AS (
+                SELECT per.*, tot.tot_tokens, tot.tot_weight,
+                       ((tot.tot_tokens * 1) // 2 * weight) // tot.tot_weight AS target
+                FROM per CROSS JOIN tot
+            )
+            SELECT source, n_docs, tokens, weight,
+                   target::BIGINT AS target_tokens,
+                   floor((CASE WHEN tokens > 0
+                               THEN least(1.0::DOUBLE, target::DOUBLE / tokens)
+                               ELSE 0.0 END)::DOUBLE * 1000000.0 + 0.5)
+                     / 1000000.0 AS rate,
+                   least(target, tokens)::BIGINT AS expected_tokens
+            FROM j
         """,
         "tfidf_topk": """
             WITH n AS (

@@ -47,3 +47,56 @@ def sample_stratified(
     for stratum, f in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == stratum, float(f)).otherwise(frac)
     return df.filter(_hash_unit(F.col(key_col).cast("string"), salt) < frac)
+
+
+def source_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    count_col: str = "n_tokens",
+    weight_col: str = "weight",
+    budget_num: int = 1,
+    budget_den: int = 2,
+) -> DataFrame:
+    """Data-mixing allocation (The Pile / DoReMi stage): given per-row
+    token counts and a per-source target weight, compute each source's
+    token budget and the deterministic sampling rate that realizes it.
+
+    budget = total_tokens · budget_num / budget_den (exact integer
+    arithmetic — fractions come in as a rational, never a float), then
+    target_s = budget · w_s / Σw (integer), rate_s = min(1, target_s /
+    tokens_s). Feed ``rate_s`` straight into ``sample_stratified`` for
+    the actual scan-time downsample.
+
+    Scale shape: one groupBy on source (source cardinality is tiny),
+    a broadcast single-row total — O(sources) driver-free math, the
+    corpus is touched exactly once.
+    """
+    def idiv(a, b):
+        # exact integer division for non-negative BIGINTs (numerator
+        # stays < 2^53 after the % reduction, so the double divide is
+        # exact); mirrors // in the oracle
+        return ((a - a % b) / b).cast("long")
+
+    per = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.coalesce(F.col(count_col), F.lit(0))).cast("long").alias("tokens"),
+        F.max(weight_col).cast("long").alias("weight"),
+    )
+    tot = per.agg(
+        F.sum("tokens").alias("tot_tokens"), F.sum("weight").alias("tot_weight")
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    budget = idiv(F.col("tot_tokens") * budget_num, F.lit(budget_den))
+    target = idiv(budget * F.col("weight"), F.col("tot_weight"))
+    rate = F.when(F.col("tokens") > 0, F.least(F.lit(1.0), target / F.col("tokens"))).otherwise(F.lit(0.0))
+    return j.select(
+        "source",
+        "n_docs",
+        "tokens",
+        "weight",
+        target.alias("target_tokens"),
+        (F.floor(rate * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "rate"
+        ),
+        F.least(target, F.col("tokens")).cast("long").alias("expected_tokens"),
+    )

@@ -1247,3 +1247,26 @@ def test_tfidf_topk_hand_computed(spark):
     assert got[(2, 1)] == ("word", score(2, 3, 1))
     # every doc has exactly 2 ranked rows and ranks are 1..2
     assert sorted(k for k in got) == [(d, r) for d in (1, 2, 3) for r in (1, 2)]
+
+
+def test_source_mix_allocation(spark):
+    from newspaper_spark.operators.sampling import source_mix
+
+    # srcA: 1000 tokens w=1, srcB: 200 tokens w=2, srcC: 0 tokens w=1
+    rows = (
+        [("srcA", 100, 1)] * 10
+        + [("srcB", 100, 2)] * 2
+        + [("srcC", 0, 1)]
+    )
+    df = spark.createDataFrame(rows, "source string, n_tokens long, weight long")
+    got = {r.source: r for r in source_mix(df).collect()}
+
+    # budget = 1200 // 2 = 600; tot_weight = 4
+    a = got["srcA"]           # target = 600*1//4 = 150 of 1000 -> rate 0.15
+    assert (a.tokens, a.target_tokens, a.expected_tokens) == (1000, 150, 150)
+    assert a.rate == 0.15
+    b = got["srcB"]           # target = 600*2//4 = 300 > 200 -> capped
+    assert (b.tokens, b.target_tokens, b.expected_tokens) == (200, 300, 200)
+    assert b.rate == 1.0
+    c = got["srcC"]           # empty source: rate 0, nothing expected
+    assert (c.tokens, c.rate, c.expected_tokens) == (0, 0.0, 0)
