@@ -1270,3 +1270,61 @@ def test_source_mix_allocation(spark):
     assert b.rate == 1.0
     c = got["srcC"]           # empty source: rate 0, nothing expected
     assert (c.tokens, c.rate, c.expected_tokens) == (0, 0.0, 0)
+
+
+def test_token_counting_cross_engine_parity(spark):
+    """Spark vs DuckDB on the ws/BPE token-count expressions over
+    adversarial whitespace and unicode — the exact divergence class
+    that made bpe_tokens the round-2 red driver row (Java \\s has
+    \\x0B, RE2 \\s doesn't; engines disagree on odd codepoints in
+    negated classes)."""
+    import duckdb
+
+    from newspaper_spark.operators.textstats import (
+        bpe_ish_token_count_col,
+        token_count_col,
+    )
+    import pyspark.sql.functions as F
+
+    nasty = [
+        "plain words here",
+        "vt\x0bsplit and\ttab",
+        "nbsp glue",                 # U+00A0 is NOT in WS_CLASS
+        "line sep para",        # unicode separators: not ws
+        "zwsp​word",
+        "mixed  \t\n\f\r   runs",
+        "", " ", "\x0b", "😀 emoji 🎉 tokens",
+        "hyphen-ated and under_scored v1.2.3",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(nasty)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_ws, r.n_bpe)
+        for r in df.select(
+            "doc_id",
+            token_count_col(F.col("text")).alias("n_ws"),
+            bpe_ish_token_count_col(F.col("text")).alias("n_bpe"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(nasty)))
+        + ") v(doc_id, text)",
+        nasty,
+    )
+    oracle = con.execute(
+        """
+        SELECT doc_id,
+               len(string_split(trim(regexp_replace(lower(text),
+                   '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')),
+               coalesce(list_sum(list_transform(
+                   regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'),
+                   x -> ceil(length(x) / 4.0)::BIGINT)), 0)::BIGINT
+        FROM t
+        """
+    ).fetchall()
+    for doc_id, n_ws, n_bpe in oracle:
+        assert got[doc_id] == (n_ws, n_bpe), f"doc {doc_id}: {got[doc_id]} != {(n_ws, n_bpe)}"
