@@ -95,3 +95,50 @@ def start_extraction_stream(
         .outputMode("append")
         .start()
     )
+
+
+def dedup_stream(
+    transcripts: DataFrame,
+    watermark_delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication by content fingerprint.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per (md5 of
+    normalized text) among rows whose event times fall within the
+    watermark window of each other, and — unlike a plain streaming
+    dropDuplicates, whose seen-keys state grows forever — EVICTS a
+    key's state once the watermark passes it. That is the only
+    state-bounded exact-dedup shape that survives an unbounded stream:
+    at 10^12 turns the state is O(distinct keys per watermark window),
+    not O(all keys ever seen). Batch analog for the oracle: the
+    dedup_exact groupBy. Works only on streaming DataFrames with an
+    event-time column (``ts``).
+    """
+    from ..operators.dedup import normalized_text
+
+    fp = transcripts.withColumn(
+        "fingerprint", F.md5(normalized_text(F.col("text")))
+    )
+    return fp.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )
+
+
+def start_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark_delay: str = "30 minutes",
+):
+    deduped = dedup_stream(
+        read_transcript_stream(spark, input_dir), watermark_delay
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -52,3 +52,29 @@ def test_entry_smoke(spark):
     ]
     rows = df.limit(5).collect()
     assert len(rows) > 0
+
+
+def test_every_oracle_parses_in_duckdb():
+    """EXPLAIN every oracle_sql() string against empty tables with the
+    driver's schemas — catches SQL syntax/typo drift (a reserved-word
+    alias once cost a red row) without the full value comparison."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'/root/testdata/sf0.001/{t}.parquet') LIMIT 0"
+        )
+    oracles = E.oracle_sql()
+    assert set(oracles) <= set(E.queries())
+    for name, sql in oracles.items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"oracle {name} failed to parse: {e}") from e

@@ -106,3 +106,37 @@ def test_windowed_counts_watermark_drops_late_rows(spark, tmp_path):
     # emitted exactly once, with the on-time count only (late row dropped)
     assert len(first) == 1, first
     assert first[0].n_turns == 3
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicate content within the watermark
+    window is collapsed to one row; state is watermark-bounded."""
+    import pyspark.sql.functions as F
+
+    from newspaper_spark.sources.transcripts import synthetic_transcripts
+    from newspaper_spark.streaming.stream import start_dedup_stream
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = synthetic_transcripts(spark, SF0001).limit(10)
+    # duplicate every row once (same text => same fingerprint), with a
+    # +1 minute ts shift, well inside the 30-minute watermark
+    dup = base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-dup"))
+    )
+    both = base.unionByName(dup)
+    n_unique = base.select(F.md5(F.col("text"))).distinct().count()
+    both.coalesce(2).write.parquet(in_dir)
+
+    q = start_dedup_stream(spark, in_dir, out_dir, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(out_dir)
+    assert out.count() == n_unique, f"{out.count()} != {n_unique}"
+    # one row per fingerprint
+    assert out.select("fingerprint").distinct().count() == n_unique
