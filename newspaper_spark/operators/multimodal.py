@@ -223,12 +223,139 @@ def _decode_png(payload: bytes):
     return (width, height, 1, _raster_feature(bytes(out)))
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW (variable width 3..12 bits, LSB-first, clear/end
+    codes) — pure stdlib."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError("bad GIF LZW code size")
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits:
+        byte_idx = bitpos >> 3
+        chunk = int.from_bytes(data[byte_idx : byte_idx + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("corrupt GIF LZW stream")
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes):
+    """GIF87a/89a decoder on the stdlib alone: logical screen, global/
+    local color table, extension-block skipping, first frame's LZW
+    index stream → palette-mapped RGB. Interlaced frames raise (the
+    PIL plug-in slot, same policy as the PNG variants)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("bad GIF signature")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        size = 2 << (packed & 7)
+        gct = payload[pos : pos + 3 * size]
+        if len(gct) < 3 * size:
+            raise ValueError("truncated GIF palette")
+        pos += 3 * size
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: introducer + label, then sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            _ix, _iy, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            ct = gct
+            if ipacked & 0x80:
+                size = 2 << (ipacked & 7)
+                ct = payload[pos : pos + 3 * size]
+                if len(ct) < 3 * size:
+                    raise ValueError("truncated GIF palette")
+                pos += 3 * size
+            if ct is None:
+                raise ValueError("GIF without color table")
+            if pos >= len(payload):
+                raise ValueError("truncated GIF data")
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                n = payload[pos]
+                block = payload[pos + 1 : pos + 1 + n]
+                if len(block) < n:
+                    raise ValueError("truncated GIF data")
+                data += block
+                pos += 1 + n
+            if pos >= len(payload):
+                raise ValueError("truncated GIF data")
+            pos += 1  # block terminator
+            if iw <= 0 or ih <= 0:
+                raise ValueError("bad GIF frame geometry")
+            idx = _gif_lzw_decode(bytes(data), min_code_size)
+            if len(idx) < iw * ih:
+                raise ValueError("truncated GIF raster")
+            n_colors = len(ct) // 3
+            if any(i >= n_colors for i in idx[: iw * ih]):
+                raise ValueError("GIF index out of palette range")
+            pixels = b"".join(
+                ct[3 * i : 3 * i + 3] for i in idx[: iw * ih]
+            )
+            return (w or iw, h or ih, 1, _raster_feature(pixels))
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError("bad GIF block")
+    raise ValueError("GIF without image data")
+
+
 def _decode_image(payload: bytes, real_decode: bool = False):
     """Image decode. real_decode=True parses REAL containers with the
-    pure-stdlib decoders above (PPM/P6 and uncompressed BMP — the
-    formats expressible without PIL/opencv, which this container lacks;
-    other magic bytes raise ValueError into the error column, the slot
-    where a PIL-backed decoder would plug in).
+    pure-stdlib decoders above (PPM/P6, uncompressed BMP, PNG via zlib,
+    and non-interlaced GIF via the LZW decoder — the formats
+    expressible without PIL/opencv, which this container lacks; other
+    magic bytes raise ValueError into the error column, the slot where
+    a PIL-backed decoder would plug in).
 
     real_decode=False returns the deterministic fake whose dims derive
     from md5(payload) — chosen so the DuckDB oracle reconstructs them
@@ -241,6 +368,8 @@ def _decode_image(payload: bytes, real_decode: bool = False):
             return _decode_bmp(payload)
         if payload and payload[:8] == b"\x89PNG\r\n\x1a\n":
             return _decode_png(payload)
+        if payload and payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _decode_gif(payload)
         raise ValueError("unsupported image format (PIL/opencv absent)")
     import hashlib
 

@@ -1328,3 +1328,73 @@ def test_token_counting_cross_engine_parity(spark):
     ).fetchall()
     for doc_id, n_ws, n_bpe in oracle:
         assert got[doc_id] == (n_ws, n_bpe), f"doc {doc_id}: {got[doc_id]} != {(n_ws, n_bpe)}"
+
+
+def test_gif_decoder_real():
+    """Pure-stdlib GIF decode: hand-assembled GIF89a with a 4-color
+    global palette and a clear-code-per-symbol LZW stream (the classic
+    uncompressed-GIF encoding), checked against the expected
+    palette-mapped raster feature."""
+    import struct
+
+    from newspaper_spark.operators.multimodal import (
+        _decode_image,
+        _raster_feature,
+    )
+
+    w, h = 5, 4
+    palette = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    indices = [(x + y) % 4 for y in range(h) for x in range(w)]
+
+    min_code = 2
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+
+    bits = []
+    def emit(code):
+        for k in range(code_size):
+            bits.append((code >> k) & 1)
+
+    emit(clear)
+    for i in indices:
+        emit(i)
+        emit(clear)          # reset before the table ever grows
+    emit(end)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for k, b in enumerate(bits[i : i + 8]):
+            byte |= b << k
+        data.append(byte)
+
+    gif = bytearray()
+    gif += b"GIF89a"
+    gif += struct.pack("<HH", w, h)
+    gif += bytes([0x80 | 0x01, 0, 0])        # GCT present, 2 bits → 4 colors
+    for r, g, b in palette:
+        gif += bytes([r, g, b])
+    gif += b"\x21\xfe\x05hello\x00"          # comment extension (skipped)
+    gif += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    gif += bytes([min_code])
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        gif += bytes([len(block)]) + block
+    gif += b"\x00\x3b"
+
+    gw, gh, nf, feat = _decode_image(bytes(gif), real_decode=True)
+    assert (gw, gh, nf) == (w, h, 1)
+    expected = b"".join(bytes(palette[i]) for i in indices)
+    assert feat == _raster_feature(expected)
+
+    # interlaced flag must go to the error channel, not misdecode
+    import pytest
+
+    interlaced = bytearray(gif)
+    # image descriptor packed byte: 6 (sig) + 7 (LSD) + 12 (GCT) +
+    # 9 (comment ext: 0x21 0xfe len + 5 payload + terminator) +
+    # 1 (0x2c) + 8 (geometry) = its offset
+    desc_off = 6 + 7 + 12 + 9 + 1 + 8
+    assert gif[desc_off] == 0x00
+    interlaced[desc_off] = 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        _decode_image(bytes(interlaced), real_decode=True)
