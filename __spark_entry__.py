@@ -507,6 +507,57 @@ _NFC_SUFFIXES = [
 ]
 
 
+def q_dedup_report(spark, sf_dir):
+    """Pipeline observability: per-source exact-duplicate statistics
+    (docs, distinct fingerprints, dup docs, dup rate) — the audit
+    table a production dedup job emits next to its output. Duplicates
+    are injected on a deterministic doc_id slice (every 9th doc reuses
+    the text of doc_id - doc_id % 9) so rates are non-trivial."""
+    d = _docs(spark, sf_dir)
+    base = d.select("doc_id", "source", "text").alias("b")
+    canon = d.select(
+        F.col("doc_id").alias("c_id"), F.col("text").alias("c_text")
+    ).alias("c")
+    aug = (
+        base.withColumn("canon_id", F.col("doc_id") - F.col("doc_id") % 9)
+        .join(canon, F.col("canon_id") == F.col("c_id"), "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("doc_id") % 9 != 0, F.col("c_text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    fp = aug.select(
+        "source",
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"[ \t\n\x0B\f\r]+", " "))
+        ).alias("fingerprint"),
+    )
+    per_fp = fp.groupBy("source", "fingerprint").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    return per_fp.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        (
+            F.floor(
+                (
+                    F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1).otherwise(0))
+                    / F.sum("cnt")
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("dup_rate"),
+    )
+
+
 def q_source_mix(spark, sf_dir):
     """Data-mixing allocation (sampling.source_mix): per-source token
     budgets + sampling rates for a 50% corpus budget, weights derived
@@ -1038,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
         "unigram_logprob": q_unigram_logprob,
+        "dedup_report": q_dedup_report,
         "source_mix": q_source_mix,
         "tfidf_topk": q_tfidf_topk,
         "pack_offsets": q_pack_offsets,
@@ -1464,6 +1516,28 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             LEFT JOIN perdoc p USING (doc_id)
             LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "dedup_report": """
+            WITH aug AS (
+                SELECT b.doc_id, b.source,
+                       CASE WHEN b.doc_id % 9 <> 0 THEN c.text ELSE b.text END AS text
+                FROM documents b
+                LEFT JOIN documents c ON c.doc_id = b.doc_id - b.doc_id % 9
+            ), fp AS (
+                SELECT source,
+                       md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fingerprint
+                FROM aug
+            ), per_fp AS (
+                SELECT source, fingerprint, count(*)::BIGINT AS cnt
+                FROM fp GROUP BY source, fingerprint
+            )
+            SELECT source,
+                   sum(cnt)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_distinct,
+                   sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+                   floor((sum(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END)::DOUBLE
+                          / sum(cnt)) * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
+            FROM per_fp GROUP BY source
         """,
         "source_mix": """
             WITH c AS (
