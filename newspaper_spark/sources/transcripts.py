@@ -214,3 +214,31 @@ def synthetic_transcripts(
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_transcripts(
+    spark: SparkSession, path: str, format: str = "parquet"
+) -> DataFrame:
+    """Read a transcripts table from parquet, json (lines), or csv —
+    always with the EXPLICIT transcript schema, never inference: at
+    100 TB, schema inference is an extra full scan, and a drifting
+    inferred type (ts as string, turn_idx as long) silently breaks
+    every downstream window. CSV timestamps must be ISO-8601; both
+    text formats treat missing columns as null rather than failing,
+    matching spark.read's permissive mode. CSV cannot represent the
+    empty-string/null distinction (an unquoted empty field reads as
+    null) — downstream null-as-empty text semantics absorb that.
+    """
+    fmt = format.lower()
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt in ("json", "jsonl"):
+        return spark.read.schema(TRANSCRIPT_SCHEMA).json(path)
+    if fmt == "csv":
+        return (
+            spark.read.schema(TRANSCRIPT_SCHEMA)
+            .option("header", "true")
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+            .csv(path)
+        )
+    raise ValueError(f"unsupported transcripts format: {format}")
