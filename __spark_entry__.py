@@ -507,6 +507,41 @@ _NFC_SUFFIXES = [
 ]
 
 
+def q_media_probe(spark, sf_dir):
+    """Header-only dimension probing (multimodal.probe_media_dims) over
+    REAL container bytes assembled in Column expressions: JPEG (SOI +
+    SOF0 scanned by the marker parser), GIF (logical screen), and a
+    deliberate unknown container exercising the error channel. Dims
+    derive from doc_id, so the oracle reproduces the parse output with
+    pure arithmetic."""
+    from newspaper_spark.operators.multimodal import probe_media_dims
+
+    d = _docs(spark, sf_dir)
+    w = (F.col("doc_id") % 240 + 16).cast("int")
+    h = ((F.col("doc_id") * 3) % 240 + 16).cast("int")
+    hx2 = lambda c: F.lpad(F.hex(c), 2, "0")  # noqa: E731  (values < 256)
+    jpeg_hex = F.concat(
+        F.lit("FFD8FFC0001108"),
+        F.lit("00"), hx2(h), F.lit("00"), hx2(w),
+        F.lit("03011100021100031100FFD9"),
+    )
+    gif_hex = F.concat(
+        F.lit("474946383961"),          # 'GIF89a'
+        hx2(w), F.lit("00"), hx2(h), F.lit("00"),  # little-endian w, h
+        F.lit("000000"),                # packed/bg/aspect, no GCT
+    )
+    payload_hex = (
+        F.when(F.col("doc_id") % 5 == 0, gif_hex)
+        .when(F.col("doc_id") % 7 == 0, F.lit("52494646"))  # 'RIFF' junk
+        .otherwise(jpeg_hex)
+    )
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.unhex(payload_hex).alias("payload"),
+    )
+    return probe_media_dims(media)
+
+
 def q_dedup_report(spark, sf_dir):
     """Pipeline observability: per-source exact-duplicate statistics
     (docs, distinct fingerprints, dup docs, dup rate) — the audit
@@ -1089,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "repetition": q_repetition,
         "unigram_logprob": q_unigram_logprob,
+        "media_probe": q_media_probe,
         "dedup_report": q_dedup_report,
         "source_mix": q_source_mix,
         "tfidf_topk": q_tfidf_topk,
@@ -1516,6 +1552,20 @@ def oracle_sql() -> dict[str, str]:
             FROM base
             LEFT JOIN perdoc p USING (doc_id)
             LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (doc_id)
+        """,
+        "media_probe": """
+            SELECT doc_id::VARCHAR AS media_id,
+                   CASE WHEN doc_id % 5 = 0 THEN 'gif'
+                        WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE 'jpeg' END AS fmt,
+                   CASE WHEN doc_id % 7 = 0 AND doc_id % 5 <> 0 THEN NULL
+                        ELSE (doc_id % 240 + 16)::INT END AS width,
+                   CASE WHEN doc_id % 7 = 0 AND doc_id % 5 <> 0 THEN NULL
+                        ELSE ((doc_id * 3) % 240 + 16)::INT END AS height,
+                   CASE WHEN doc_id % 7 = 0 AND doc_id % 5 <> 0
+                        THEN 'ValueError: unknown image container'
+                        ELSE NULL END AS error
+            FROM documents
         """,
         "dedup_report": """
             WITH aug AS (

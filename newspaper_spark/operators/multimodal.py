@@ -349,6 +349,86 @@ def _decode_gif(payload: bytes):
     raise ValueError("GIF without image data")
 
 
+def _jpeg_dims(p: bytes):
+    """JPEG dimensions from the SOF marker — header-only scan, no
+    entropy decode. Newspaper's image scoring (reference images.py)
+    needs exactly this: width/height, not pixels."""
+    if p[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG signature")
+    i = 2
+    while i + 2 <= len(p):
+        if p[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = p[i + 1]
+        if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m in (0xD9, 0xDA):
+            break
+        if i + 4 > len(p):
+            break
+        seglen = int.from_bytes(p[i + 2 : i + 4], "big")
+        if seglen < 2:
+            raise ValueError("bad JPEG segment length")
+        if m in (0xC0, 0xC1, 0xC2, 0xC3):
+            if i + 9 > len(p):
+                raise ValueError("truncated JPEG SOF")
+            h = int.from_bytes(p[i + 5 : i + 7], "big")
+            w = int.from_bytes(p[i + 7 : i + 9], "big")
+            if w <= 0 or h <= 0:
+                raise ValueError("bad JPEG dimensions")
+            return w, h
+        i += 2 + seglen
+    raise ValueError("JPEG SOF not found")
+
+
+def probe_image_dims(payload: bytes):
+    """(width, height, format) from container headers alone — the
+    cheap path for image SCORING (dims drive the reference's
+    area/ratio math; no raster decode). Covers JPEG (SOF scan) plus
+    the four fully-decodable formats' headers. Unknown magic raises
+    ValueError into the error column."""
+    import struct
+
+    if not payload:
+        raise ValueError("empty payload")
+    if payload[:2] == b"\xff\xd8":
+        w, h = _jpeg_dims(payload)
+        return w, h, "jpeg"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 24:
+            raise ValueError("truncated PNG IHDR")
+        w, h = struct.unpack_from(">II", payload, 16)
+        if w <= 0 or h <= 0:
+            raise ValueError("bad PNG dimensions")
+        return w, h, "png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("truncated GIF header")
+        w, h = struct.unpack_from("<HH", payload, 6)
+        if w <= 0 or h <= 0:
+            raise ValueError("bad GIF dimensions")
+        return w, h, "gif"
+    if payload[:2] == b"BM":
+        if len(payload) < 26:
+            raise ValueError("truncated BMP header")
+        w, h = struct.unpack_from("<ii", payload, 18)
+        if w <= 0 or h == 0:
+            raise ValueError("bad BMP dimensions")
+        return w, abs(h), "bmp"
+    if payload[:2] == b"P6":
+        import re
+
+        m = re.match(rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        if not m:
+            raise ValueError("bad PPM header")
+        w, h = int(m.group(1)), int(m.group(2))
+        if w <= 0 or h <= 0:
+            raise ValueError("bad PPM dimensions")
+        return w, h, "ppm"
+    raise ValueError("unknown image container")
+
+
 def _decode_image(payload: bytes, real_decode: bool = False):
     """Image decode. real_decode=True parses REAL containers with the
     pure-stdlib decoders above (PPM/P6, uncompressed BMP, PNG via zlib,
@@ -498,4 +578,42 @@ def attach_video(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit("video").alias("kind"),
         payload.alias("payload"),
         n_frames.alias("n_frames"),
+    )
+
+
+def probe_media_dims(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """mapInPandas stage: binary payload → (format, width, height) from
+    container HEADERS only (probe_image_dims) — the cheap scoring path
+    when pixels aren't needed. Same per-row error-column fault policy
+    as extract_media_features."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, widths, heights, errs = [], [], [], []
+            for payload in pdf["payload"].values:
+                try:
+                    w, h, fmt = probe_image_dims(payload)
+                    fmts.append(fmt)
+                    widths.append(w)
+                    heights.append(h)
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001
+                    fmts.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "fmt": fmts,
+                    "width": widths,
+                    "height": heights,
+                    "error": errs,
+                }
+            )
+
+    pruned = df.select(F.col(id_col), "payload")
+    return pruned.mapInPandas(
+        op,
+        "media_id string, fmt string, width int, height int, error string",
     )

@@ -1398,3 +1398,40 @@ def test_gif_decoder_real():
     interlaced[desc_off] = 0x40
     with pytest.raises(ValueError, match="interlaced"):
         _decode_image(bytes(interlaced), real_decode=True)
+
+
+def test_probe_image_dims_headers():
+    """Header-only dims for all five containers + JFIF segment walking
+    + the documented error channel."""
+    import struct
+
+    import pytest
+
+    from newspaper_spark.operators.multimodal import probe_image_dims
+
+    def jpeg(w, h, with_app0=False):
+        sof = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+               + struct.pack(">HH", h, w) + b"\x03"
+               + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00")
+        app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+                if with_app0 else b"")
+        return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+    assert probe_image_dims(jpeg(640, 480)) == (640, 480, "jpeg")
+    assert probe_image_dims(jpeg(31, 77, with_app0=True)) == (31, 77, "jpeg")
+    assert probe_image_dims(
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">IIBBBBB", 12, 7, 8, 2, 0, 0, 0) + bytes(4)
+    ) == (12, 7, "png")
+    assert probe_image_dims(
+        b"GIF87a" + struct.pack("<HH", 300, 200) + bytes(3)
+    ) == (300, 200, "gif")
+    bmp = bytearray(54)
+    bmp[:2] = b"BM"
+    struct.pack_into("<ii", bmp, 18, 10, -20)       # top-down height
+    assert probe_image_dims(bytes(bmp)) == (10, 20, "bmp")
+    assert probe_image_dims(b"P6\n# c\n9 5\n255\n") == (9, 5, "ppm")
+
+    for bad in (b"", b"RIFF....", b"\xff\xd8\xff\xd9", b"\xff\xd8\x00\x00"):
+        with pytest.raises(ValueError):
+            probe_image_dims(bad)
