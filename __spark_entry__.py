@@ -564,11 +564,13 @@ def q_dedup_report(spark, sf_dir):
             .alias("text"),
         )
     )
+    from newspaper_spark.operators.dedup import normalized_text
+
     fp = aug.select(
         "source",
-        F.md5(
-            F.trim(F.regexp_replace(F.lower("text"), r"[ \t\n\x0B\f\r]+", " "))
-        ).alias("fingerprint"),
+        # the SAME canonical fingerprint the dedup operator produces —
+        # the audit table must never drift from what it audits
+        F.md5(normalized_text(F.col("text"))).alias("fingerprint"),
     )
     per_fp = fp.groupBy("source", "fingerprint").agg(
         F.count("*").cast("long").alias("cnt")

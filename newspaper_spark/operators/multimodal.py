@@ -359,6 +359,11 @@ def _jpeg_dims(p: bytes):
     while i + 2 <= len(p):
         if p[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # legal 0xFF fill bytes may pad before any marker (spec B.1.1.2)
+        while i + 1 < len(p) and p[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > len(p):
+            break
         m = p[i + 1]
         if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
             i += 2
@@ -419,7 +424,12 @@ def probe_image_dims(payload: bytes):
     if payload[:2] == b"P6":
         import re
 
-        m = re.match(rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload)
+        # the decoder's explicit whitespace class, NOT \s: the probe and
+        # _decode_ppm must never disagree about the same payload
+        m = re.match(
+            rb"P6[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*(\d+)[ \t\r\n]+(\d+)[ \t\r\n]+(\d+)[ \t\r\n]",
+            payload,
+        )
         if not m:
             raise ValueError("bad PPM header")
         w, h = int(m.group(1)), int(m.group(2))
@@ -604,7 +614,7 @@ def probe_media_dims(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                     errs.append(f"{type(e).__name__}: {e}")
             yield pd.DataFrame(
                 {
-                    "media_id": pdf[id_col].values,
+                    id_col: pdf[id_col].values,
                     "fmt": fmts,
                     "width": widths,
                     "height": heights,
@@ -615,5 +625,5 @@ def probe_media_dims(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     pruned = df.select(F.col(id_col), "payload")
     return pruned.mapInPandas(
         op,
-        "media_id string, fmt string, width int, height int, error string",
+        f"{id_col} string, fmt string, width int, height int, error string",
     )

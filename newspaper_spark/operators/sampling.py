@@ -71,6 +71,9 @@ def source_mix(
     a broadcast single-row total — O(sources) driver-free math, the
     corpus is touched exactly once.
     """
+    if budget_den <= 0:
+        raise ValueError("budget_den must be positive")
+
     def idiv(a, b):
         # exact integer division for non-negative BIGINTs (numerator
         # stays < 2^53 after the % reduction, so the double divide is
@@ -87,7 +90,12 @@ def source_mix(
     )
     j = per.crossJoin(F.broadcast(tot))
     budget = idiv(F.col("tot_tokens") * budget_num, F.lit(budget_den))
-    target = idiv(budget * F.col("weight"), F.col("tot_weight"))
+    # tot_weight = 0 (all-zero weights) must yield zero targets, not an
+    # ANSI REMAINDER_BY_ZERO executor crash
+    target = F.when(
+        F.col("tot_weight") > 0,
+        idiv(budget * F.col("weight"), F.col("tot_weight")),
+    ).otherwise(F.lit(0).cast("long"))
     rate = F.when(F.col("tokens") > 0, F.least(F.lit(1.0), target / F.col("tokens"))).otherwise(F.lit(0.0))
     return j.select(
         "source",

@@ -239,6 +239,10 @@ def read_transcripts(
             spark.read.schema(TRANSCRIPT_SCHEMA)
             .option("header", "true")
             .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+            # multiLine: transcript text routinely contains newlines —
+            # without it, permissive mode silently SPLITS such records
+            # into corrupt rows (quoted newlines span lines on disk)
+            .option("multiLine", "true")
             .csv(path)
         )
     raise ValueError(f"unsupported transcripts format: {format}")

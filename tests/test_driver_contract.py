@@ -69,7 +69,7 @@ def test_every_oracle_parses_in_duckdb():
     ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
-            f"'/root/testdata/sf0.001/{t}.parquet') LIMIT 0"
+            f"'{SF0001}/{t}.parquet') LIMIT 0"
         )
     oracles = E.oracle_sql()
     assert set(oracles) <= set(E.queries())

@@ -1435,3 +1435,54 @@ def test_probe_image_dims_headers():
     for bad in (b"", b"RIFF....", b"\xff\xd8\xff\xd9", b"\xff\xd8\x00\x00"):
         with pytest.raises(ValueError):
             probe_image_dims(bad)
+
+
+def test_review_fix_regressions(spark, tmp_path):
+    """Round-3 second-review fixes: CSV newline records, zero-weight
+    source_mix, JPEG fill bytes, probe/decoder PPM agreement."""
+    import struct
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from newspaper_spark.operators.multimodal import (
+        _decode_ppm,
+        probe_image_dims,
+    )
+    from newspaper_spark.operators.sampling import source_mix
+    from newspaper_spark.sources.transcripts import read_transcripts
+
+    # CSV: embedded newline must round-trip as ONE record
+    rows = [("c1", 0, "user", "line one\nline two", "", None)]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    d = str(tmp_path / "csv")
+    t.write.option("header", "true").csv(d)
+    back = read_transcripts(spark, d, "csv").collect()
+    assert len(back) == 1 and back[0].text == "line one\nline two"
+
+    # source_mix: all-zero weights -> zero targets, no ANSI crash
+    z = spark.createDataFrame(
+        [("a", 10, 0), ("b", 5, 0)], "source string, n_tokens long, weight long"
+    )
+    out = {r.source: r for r in source_mix(z).collect()}
+    assert all(r.target_tokens == 0 and r.rate == 0.0 for r in out.values())
+    with pytest.raises(ValueError, match="budget_den"):
+        source_mix(z, budget_den=0)
+
+    # JPEG: 0xFF fill byte before SOF is legal
+    sof = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+           + struct.pack(">HH", 7, 9) + b"\x03"
+           + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00")
+    assert probe_image_dims(b"\xff\xd8\xff" + sof + b"\xff\xd9") == (9, 7, "jpeg")
+
+    # probe and decoder must agree on PPM header strictness (\x0c is
+    # NOT PPM whitespace)
+    bad = b"P6\x0c9 5 255\n" + bytes(9 * 5 * 3)
+    with pytest.raises(ValueError):
+        probe_image_dims(bad)
+    with pytest.raises(ValueError):
+        _decode_ppm(bad)
