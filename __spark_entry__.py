@@ -1093,23 +1093,29 @@ def q_corpus_prep(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate: the external driver hash-verifies only the FIRST
+    # 50 entries.  Round-4 rotation (VERDICT r3 "Next round" #1): the 11 entries
+    # the round-3 driver never sampled — above all nlp_summary (hash-red in
+    # r1-r2, never driver-green) and nlp_sentence_scores (new in r3) — lead the
+    # dict; 11 long-stable veterans (driver-green in r3's artifact) rotate to
+    # the tail.  Every entry stays covered by scripts/verify_oracle.py locally.
     return {
-        "transcripts": q_transcripts,
+        "nlp_summary": q_nlp_summary,
+        "nlp_sentence_scores": q_nlp_sentence_scores,
+        "text_entropy": q_text_entropy,
+        "nlp_keywords": q_nlp_keywords,
+        "prepare_url": q_prepare_url,
+        "array_ops": q_array_ops,
+        "conversation_text": q_conversation_text,
+        "link_hash": q_link_hash,
+        "dedup_url": q_dedup_url,
+        "pdf_skip": q_pdf_skip,
+        "corpus_prep": q_corpus_prep,
         "extract_fulltext": q_extract_fulltext,
         "extract_title": q_extract_title,
         "extract_meta": q_extract_meta,
-        "stopword_count": q_stopword_count,
-        "inner_trim": q_inner_trim,
-        "valid_url": q_valid_url,
-        "url_filetype": q_url_filetype,
-        "is_media_news": q_is_media_news,
-        "is_valid_body": q_is_valid_body,
-        "truncations": q_truncations,
         "dedup_exact": q_dedup_exact,
-        "anti_join_seen": q_anti_join_seen,
-        "limit_per_source": q_limit_per_source,
         "keywords_topk": q_keywords_topk,
-        "domain_counters": q_domain_counters,
         "minhash_pairs": q_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "sample_stratified": q_sample_stratified,
@@ -1144,17 +1150,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize": q_media_resize,
         "frame_sample": q_frame_sample,
         "image_score": q_image_score,
-        "text_entropy": q_text_entropy,
-        "nlp_keywords": q_nlp_keywords,
-        "nlp_summary": q_nlp_summary,
-        "nlp_sentence_scores": q_nlp_sentence_scores,
-        "prepare_url": q_prepare_url,
-        "array_ops": q_array_ops,
-        "conversation_text": q_conversation_text,
-        "link_hash": q_link_hash,
-        "dedup_url": q_dedup_url,
-        "pdf_skip": q_pdf_skip,
-        "corpus_prep": q_corpus_prep,
+        # --- tail: driver-green in CORRECTNESS_r03.json, rotated out of the
+        # --- 50-row sample this round (still checked by verify_oracle.py).
+        "transcripts": q_transcripts,
+        "stopword_count": q_stopword_count,
+        "inner_trim": q_inner_trim,
+        "valid_url": q_valid_url,
+        "url_filetype": q_url_filetype,
+        "is_media_news": q_is_media_news,
+        "is_valid_body": q_is_valid_body,
+        "truncations": q_truncations,
+        "anti_join_seen": q_anti_join_seen,
+        "limit_per_source": q_limit_per_source,
+        "domain_counters": q_domain_counters,
     }
 
 
