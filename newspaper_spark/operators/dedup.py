@@ -30,12 +30,48 @@ Jaccard threshold knee.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+log = logging.getLogger(__name__)
+
 #: 2^31 − 1 (Mersenne prime) — modulus for the affine rehash family.
 MERSENNE31 = 2147483647
+
+
+def _cap_collision_groups(
+    blocked: DataFrame, key_cols: list[str], max_group_size: int, op_name: str
+) -> DataFrame:
+    """Drop blocking-key groups with more than ``max_group_size`` members
+    before a pair-generating self-join — standard LSH practice.
+
+    A group of m colliding rows emits m(m−1)/2 candidate pairs, so one
+    mega-group (typically an EXACT-duplicate cluster that should have
+    been collapsed by ``dedup_exact`` first) can dominate the whole job.
+    Skipping is logged, never silent: the count/anti-join adds one cheap
+    aggregate over the (persisted) blocked table, keyed by the same
+    uniform blocking keys as the join itself.
+    """
+    sizes = blocked.groupBy(*key_cols).agg(F.count("*").alias("n_members"))
+    big = sizes.filter(F.col("n_members") > max_group_size)
+    # count() is O(distinct oversized keys) driver-side — model state,
+    # not data — and is what lets us LOG the skip instead of silently
+    # truncating recall
+    stats = big.agg(
+        F.count("*").alias("groups"), F.sum("n_members").alias("rows")
+    ).first()
+    if stats["groups"]:
+        log.warning(
+            "%s: skipping %d collision group(s) (%d rows) larger than "
+            "max_group_size=%d — run dedup_exact first; exact-duplicate "
+            "clusters make candidate volume quadratic in cluster size",
+            op_name, stats["groups"], stats["rows"], max_group_size,
+        )
+    # oversized keys are few (they were just counted) → AQE broadcasts
+    # the anti-join side at runtime
+    return blocked.join(big.select(*key_cols), key_cols, "left_anti")
 
 
 def normalized_text(c):
@@ -162,12 +198,22 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    max_group_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
 
     rows/band = num_hashes/bands. Pair generation = self equi-join on
     (band, signature): both sides shuffle-partition on the band key, so
-    work is proportional to true collisions."""
+    work is proportional to true collisions.
+
+    PRECONDITION at scale: run ``dedup_exact`` first (as q_corpus_prep
+    does). m byte-identical documents collide in EVERY band and emit
+    m(m−1)/2 candidate pairs per band — candidate volume is quadratic
+    in exact-duplicate cluster size, and web crawl is rife with exact
+    dups. ``max_group_size`` is the belt-and-braces guard: collision
+    groups larger than it are skipped WITH a logged warning (see
+    ``_cap_collision_groups``). Default ``None`` preserves exhaustive
+    candidate generation for pre-deduped input."""
     rows_per_band = num_hashes // bands
     # persist: the band self-join reads the signature subplan on BOTH
     # sides, and AQE's runtime broadcast defeats ReuseExchange — without
@@ -190,6 +236,10 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("id", "bs.band", "bs.sig")
+    if max_group_size is not None:
+        banded = _cap_collision_groups(
+            banded, ["band", "sig"], max_group_size, "minhash_lsh_pairs"
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -359,6 +409,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_group_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ k.
 
@@ -366,7 +417,13 @@ def simhash_near_dups(
     chunks — any pair within distance k has at least one chunk with
     zero differing bits, so the per-chunk equi-join has full recall at
     the configured radius (never all-pairs). Join keys are uniform hash
-    chunks, so no skew."""
+    chunks, so no skew from the hash itself.
+
+    PRECONDITION at scale: run ``dedup_exact`` first (as q_corpus_prep
+    does) — m byte-identical documents share all chunks and emit
+    m(m−1)/2 pairs per chunk. ``max_group_size`` skips (with a logged
+    warning) any (chunk, val) collision group above the cap; default
+    ``None`` keeps exhaustive generation for pre-deduped input."""
     n_chunks = max_hamming + 1
     if n_chunks > 32:
         raise ValueError("max_hamming too large for 64-bit pigeonhole blocking")
@@ -399,6 +456,10 @@ def simhash_near_dups(
             )
         ).alias("cv"),
     ).select("id", "sim", "cv.chunk", "cv.val")
+    if max_group_size is not None:
+        chunks = _cap_collision_groups(
+            chunks, ["chunk", "val"], max_group_size, "simhash_near_dups"
+        )
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(

@@ -8,7 +8,9 @@ dedup family in operators/dedup.py.
 Fully relational — the corpus-wide span table is the algorithm's core
 and its cost: sentences are exploded rows, spans come from two ``lead``
 windows over the per-doc sentence order, duplicate detection is a
-window count over the span hash, and removal is an anti-join. Every
+map-side-combinable ``groupBy(span_hash)`` aggregate (count + minimal
+(doc, position) canonical pick) joined back, and removal is an
+anti-join. Every
 shuffle is keyed by doc id or by the 32-hex span hash (uniform), text
 never travels as a join key, so the plan is the scale-out shape C4's
 own implementation uses. Canonicality is deterministic: the occurrence
@@ -77,16 +79,27 @@ def span_dedup(
         .filter("full")
         .drop("full")
     )
-    wh = W.partitionBy("h")
-    whrank = W.partitionBy("h").orderBy("id", "seq")
-    marked = spans.select(
-        "id",
-        "seq",
-        F.count("*").over(wh).alias("n_occ"),
-        F.row_number().over(whrank).alias("rk"),
-    )
+    # Duplicate detection + canonical pick via groupBy, NOT a window over
+    # the span hash: `W.partitionBy("h")` funnels every occurrence of one
+    # span hash into a single task, and the exact spans this operator
+    # targets ("Subscribe to our newsletter…") occur millions of times in
+    # a web corpus — one hot VALUE is one hot reducer.  count + min(struct)
+    # are both map-side partially aggregated, so the hot key arrives at
+    # its reducer as a handful of partial rows; the join-back replicates
+    # the one aggregate row across however many map tasks hold the hot
+    # span (and AQE's skew-join split covers the residual join skew).
+    # min(struct(id, seq)) is lexicographic — identical to the previous
+    # row_number().over(orderBy("id","seq")) == 1 canonical pick.
+    dup_spans = spans.groupBy("h").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct("id", "seq")).alias("canon"),
+    ).filter(F.col("n_occ") > 1)
     removed = (
-        marked.filter((F.col("n_occ") > 1) & (F.col("rk") > 1))
+        spans.join(dup_spans, "h")
+        .filter(
+            (F.col("id") != F.col("canon.id"))
+            | (F.col("seq") != F.col("canon.seq"))
+        )
         .select(
             "id",
             F.explode(

@@ -37,6 +37,56 @@ def test_minhash_finds_near_dups(spark, docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_lsh_group_size_cap_on_exact_dup_cluster(spark, caplog):
+    """1k byte-identical docs would emit ~500k pairs per band without
+    the cap; with max_group_size the mega-group is skipped (logged, not
+    silent) while normal-sized collision groups still pair."""
+    import logging
+
+    from newspaper_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_dups,
+    )
+
+    boiler = "identical boilerplate page repeated across the whole crawl"
+    rows = [(i, boiler) for i in range(1_000)] + [
+        (2_001, "the quick brown fox jumps over the lazy dog again and again"),
+        (2_002, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    with caplog.at_level(logging.WARNING, "newspaper_spark.operators.dedup"):
+        mh = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(
+                df, num_hashes=8, bands=4, max_group_size=100
+            ).collect()
+        }
+    assert mh == {(2_001, 2_002)}  # mega-cluster skipped, small pair kept
+    assert any("minhash_lsh_pairs: skipping" in r.message for r in caplog.records)
+
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, "newspaper_spark.operators.dedup"):
+        sh = {
+            (r.id_a, r.id_b)
+            for r in simhash_near_dups(
+                df, max_hamming=3, max_group_size=100
+            ).collect()
+        }
+    assert sh == {(2_001, 2_002)}
+    assert any("simhash_near_dups: skipping" in r.message for r in caplog.records)
+
+    # cap high enough to bind nothing → exhaustive behavior, no warning
+    caplog.clear()
+    small = spark.createDataFrame(rows[-4:], "doc_id int, text string")
+    with caplog.at_level(logging.WARNING, "newspaper_spark.operators.dedup"):
+        uncapped = minhash_lsh_pairs(
+            small, num_hashes=8, bands=4, max_group_size=10_000
+        ).collect()
+    assert (2_001, 2_002) in {(r.id_a, r.id_b) for r in uncapped}
+    assert not caplog.records
+
+
 def test_ngram_jaccard_verification(spark, docs):
     from newspaper_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
@@ -1066,6 +1116,30 @@ def test_span_dedup_c4_semantics(spark):
     r4 = got[4]   # too short for any span: untouched
     assert r4.cleaned_text == "Solo sentence"
     assert (r4.n_sentences, r4.n_removed) == (1, 0)
+
+
+def test_span_dedup_hot_span_key(spark):
+    """10^4 occurrences of ONE boilerplate span (the newsletter-tail
+    shape): the groupBy(h) + join-back plan must produce the exact
+    keep-one-canonical result.  With the old W.partitionBy(span_hash)
+    window this key was a single hot reducer; now it arrives at its
+    reducer as map-side partial aggregates."""
+    from newspaper_spark.operators.span_dedup import span_dedup
+
+    tail = "Subscribe now. Follow us. All rights reserved"
+    rows = [(i, f"Body {i} here. {tail}") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+    out = span_dedup(df, span=3).collect()
+    got = {r.doc_id: r for r in out}
+    assert len(got) == 10_000
+    # doc 0 is canonical: keeps everything
+    assert got[0].cleaned_text == f"Body 0 here. {tail}"
+    assert got[0].n_removed == 0
+    # every other doc loses exactly the 3-sentence boilerplate tail
+    for i in (1, 17, 9_999):
+        assert got[i].cleaned_text == f"Body {i} here"
+        assert (got[i].n_sentences, got[i].n_removed) == (4, 3)
+    assert sum(r.n_removed for r in out) == 3 * 9_999
 
 
 def test_c4_filters_rules(spark):
