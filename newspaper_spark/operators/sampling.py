@@ -16,9 +16,13 @@ from pyspark.sql import functions as F
 #: hash → uniform [0, 1): first 8 md5 hex chars as a 32-bit integer.
 #: DuckDB mirror: ('0x' || substring(md5(key || ':' || salt), 1, 8))::BIGINT
 #: / 4294967296.0
+#: F.concat (NOT concat_ws): a NULL key must yield a NULL hash so the
+#: `< fraction` filter drops the row — exactly what the oracle's
+#: NULL-propagating `||` does. concat_ws would silently hash just the
+#: salt and KEEP every null-keyed row, diverging from the oracle.
 def _hash_unit(key_col, salt: str):
     h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", key_col, F.lit(salt))), 1, 8), 16, 10
+        F.substring(F.md5(F.concat(key_col, F.lit(":" + salt))), 1, 8), 16, 10
     ).cast("long")
     return h / F.lit(float(1 << 32))
 
@@ -75,10 +79,14 @@ def source_mix(
         raise ValueError("budget_den must be positive")
 
     def idiv(a, b):
-        # exact integer division for non-negative BIGINTs (numerator
-        # stays < 2^53 after the % reduction, so the double divide is
-        # exact); mirrors // in the oracle
-        return ((a - a % b) / b).cast("long")
+        # exact integer division for non-negative values, computed in
+        # DECIMAL(38,0) space: (a - a%b) is an exact multiple of b that
+        # can approach 2^63 (a double round-trip could be off by ±1
+        # beyond 2^53, and a pre-division BIGINT product can ANSI-
+        # overflow), so the quotient is formed as an integral decimal
+        # and the long cast is exact; mirrors // in the oracle
+        ad = a.cast("decimal(38,0)")
+        return ((ad - ad % b) / b).cast("long")
 
     per = df.groupBy(F.col(source_col).alias("source")).agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -89,12 +97,16 @@ def source_mix(
         F.sum("tokens").alias("tot_tokens"), F.sum("weight").alias("tot_weight")
     )
     j = per.crossJoin(F.broadcast(tot))
-    budget = idiv(F.col("tot_tokens") * budget_num, F.lit(budget_den))
+    # cast BEFORE the product so tot_tokens·budget_num can't ANSI-
+    # overflow BIGINT on its way into idiv
+    budget = idiv(
+        F.col("tot_tokens").cast("decimal(38,0)") * budget_num, F.lit(budget_den)
+    )
     # tot_weight = 0 (all-zero weights) must yield zero targets, not an
     # ANSI REMAINDER_BY_ZERO executor crash
     target = F.when(
         F.col("tot_weight") > 0,
-        idiv(budget * F.col("weight"), F.col("tot_weight")),
+        idiv(budget.cast("decimal(38,0)") * F.col("weight"), F.col("tot_weight")),
     ).otherwise(F.lit(0).cast("long"))
     rate = F.when(F.col("tokens") > 0, F.least(F.lit(1.0), target / F.col("tokens"))).otherwise(F.lit(0.0))
     return j.select(

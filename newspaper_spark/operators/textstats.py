@@ -187,8 +187,15 @@ def repetition_stats(
     * ``dup_bigram_frac`` — fraction of word-bigram occurrences whose
       bigram occurs more than once in the document
     * ``top_bigram`` / ``top_bigram_frac`` — the most frequent bigram
-      (ties broken lexicographically) and the fraction of normalized
-      characters its occurrences cover
+      (ties broken lexicographically) and an OVERLAP-WEIGHTED character
+      ratio: occurrence_count · len(bigram) / len(normalized_text).
+      Overlapping occurrences double-count the shared middle token, so
+      the ratio can exceed 1.0 on degenerate loops ("a a a a" → 9/7) —
+      this matches Gopher's duplicate-n-gram "fraction of characters
+      contained within" convention (Rae et al. 2021, §A1.1), which is
+      likewise occurrence-weighted, and the DuckDB oracle computes the
+      identical quantity. It is a repetition SCORE, not a coverage
+      fraction.
 
     These are the "repetitious text" filters of the Gopher/MassiveText
     quality pipeline (Rae et al. 2021, §A1.1), the n=2 member of their

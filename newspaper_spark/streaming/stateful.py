@@ -168,9 +168,22 @@ def streaming_sessionize_event_time(
     watermark delay (they cannot reopen closed sessions), and sessions
     close via EventTimeTimeout when the watermark passes
     last_event + gap — deterministic under replay, unlike the
-    processing-time variant."""
+    processing-time variant.
+
+    Requires ``watermark_minutes <= gap_minutes``: the session fn's
+    backward bound-stretch (start = min(start, t)) is only correct when
+    every late in-watermark event is within one gap of the open
+    session's start — a larger watermark would let a late event earlier
+    than start − gap silently merge two true sessions into one."""
     from pyspark.sql import functions as F
 
+    if watermark_minutes > gap_minutes:
+        raise ValueError(
+            f"watermark_minutes ({watermark_minutes}) must be <= "
+            f"gap_minutes ({gap_minutes}): a late in-watermark event more "
+            "than one gap before the session start would merge two true "
+            "sessions (state holds only one open session per user)"
+        )
     prepared = events.select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     ).withWatermark("ts", f"{watermark_minutes} minutes")

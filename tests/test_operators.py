@@ -926,6 +926,20 @@ def test_stratified_sample_deterministic(spark):
     assert 5 <= de <= 45     # 100 de rows @ 0.2
 
 
+def test_sampling_null_key_drops_row(spark):
+    """NULL sampling keys must hash to NULL and be DROPPED — matching
+    the DuckDB oracle's NULL-propagating `||` — not silently hash just
+    the salt and keep every null-keyed row."""
+    from newspaper_spark.operators.sampling import sample_fraction
+
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(50)] + [(None,), (None,)], "k string"
+    )
+    kept = sample_fraction(df, 1.0, "k").collect()
+    assert len(kept) == 50
+    assert all(r.k is not None for r in kept)
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """Hitting max_iterations without a fixpoint must raise, never
     return partially propagated (silently wrong) labels."""
