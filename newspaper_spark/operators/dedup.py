@@ -35,6 +35,9 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from newspaper_spark import cache
+
+
 log = logging.getLogger(__name__)
 
 #: 2^31 − 1 (Mersenne prime) — modulus for the affine rehash family.
@@ -219,7 +222,9 @@ def minhash_lsh_pairs(
     # sides, and AQE's runtime broadcast defeats ReuseExchange — without
     # this the shingle explode + rehash aggregate (the expensive map
     # stage) executes twice
-    sig = minhash_table(df, id_col, text_col, num_hashes, shingle_n).persist()
+    sig = cache.track(
+        minhash_table(df, id_col, text_col, num_hashes, shingle_n).persist()
+    )
 
     def band_sig(b: int):
         part = F.slice("mh", b * rows_per_band + 1, rows_per_band)
@@ -435,8 +440,9 @@ def simhash_near_dups(
     # output. Lifecycle: the blocks stay cached until memory pressure
     # evicts them or the session ends (MEMORY_AND_DISK spills instead
     # of OOM); sessions running many large operator jobs back-to-back
-    # can spark.catalog.clearCache() between them.
-    sh = simhash_table(df, id_col, text_col).persist()
+    # release them via newspaper_spark.cache.release()/tracking_scope()
+    # after consuming the output.
+    sh = cache.track(simhash_table(df, id_col, text_col).persist())
     def chunk_val(off: int, width: int):
         # a full-width chunk (max_hamming=0) needs no mask — and
         # (1 << 64) - 1 would overflow BIGINT anyway

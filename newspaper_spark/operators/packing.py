@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from newspaper_spark import cache
+
+
 
 def pack_offsets(
     df: DataFrame,
@@ -57,7 +60,9 @@ def pack_offsets(
     # this repo), the two branches could re-execute the shuffle with
     # different boundaries and silently corrupt offsets. Persisting
     # pins one materialization of the partition assignment.
-    with_pid = ordered.withColumn("pid", F.spark_partition_id()).persist()
+    with_pid = cache.track(
+        ordered.withColumn("pid", F.spark_partition_id()).persist()
+    )
     part_tot = with_pid.groupBy("pid").agg(F.sum("n").alias("psum"))
     # exclusive prefix over partition totals: #partitions rows — this
     # window IS single-partition, by design, and O(partitions)

@@ -25,6 +25,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from newspaper_spark import cache
+
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -456,11 +459,13 @@ def embedding_dedup_pairs(
     assert n_planes % bands == 0, "n_planes must divide into bands"
     band_size = n_planes // bands
     planes = hyperplanes(dim, n_planes)
-    sigd = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        signature_udf(planes)(F.col(vec_col)).alias("sig"),
-    ).persist()
+    sigd = cache.track(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            signature_udf(planes)(F.col(vec_col)).alias("sig"),
+        ).persist()
+    )
     # persist is load-bearing, not a cache hint: sigd fans out into 4
     # plan branches (both sides of the banded self-join + both vector
     # lookups) and AQE's runtime broadcasts defeat ReuseExchange, so an
@@ -468,7 +473,8 @@ def embedding_dedup_pairs(
     # 4× the single most expensive map stage; MEMORY_AND_DISK spills
     # gracefully. Lifecycle: blocks stay cached until memory pressure
     # evicts them or the session ends — NOT freed at query completion;
-    # long sessions can spark.catalog.clearCache() between big jobs.
+    # long sessions release them via newspaper_spark.cache.release()
+    # (or tracking_scope()) after consuming the output.
     b = _explode_bands(sigd, "id", bands, band_size)
     l, r = b.alias("l"), b.alias("r")
     cand = (

@@ -26,6 +26,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from newspaper_spark import cache
+
+
 #: unit separator — joins the sentences of a span before hashing, so
 #: ("a b", "c") never collides with ("a", "b c")
 _US = "\x1f"
@@ -60,9 +63,9 @@ def span_dedup(
     # tables): `sent` feeds the span builder, the keep anti-join AND
     # the per-doc totals, and runtime broadcasts defeat ReuseExchange —
     # unpersisted, the sentence explode + renumber window executes 3×.
-    sent = raw.select(
-        "id", F.row_number().over(wdoc).alias("seq"), "sent"
-    ).persist()
+    sent = cache.track(
+        raw.select("id", F.row_number().over(wdoc).alias("seq"), "sent").persist()
+    )
     # spans of `span` consecutive sentences (same window spec as the
     # renumbering → Catalyst reuses one exchange+sort for all leads)
     wseq = W.partitionBy("id").orderBy("seq")

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from newspaper_spark import cache
+
 # small high-frequency marker lists per language (public knowledge,
 # intentionally tiny: this is an n-gram/marker heuristic, not a model).
 # Space-delimited languages match whole tokens; scriptio-continua
@@ -315,9 +317,11 @@ def unigram_logprob(
         F.col(id_col).alias("id"),
         F.explode(_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
     )
-    doc_tok = tok_rows.groupBy("id", "tok").agg(
-        F.count("*").cast("long").alias("k")
-    ).persist()
+    doc_tok = cache.track(
+        tok_rows.groupBy("id", "tok")
+        .agg(F.count("*").cast("long").alias("k"))
+        .persist()
+    )
     # persist is load-bearing: doc_tok feeds the probe side AND the
     # vocabulary AND (via vocab) the corpus total, and the runtime
     # broadcasts defeat ReuseExchange — unpersisted, the plan scans and
@@ -368,11 +372,12 @@ def tfidf_topk(
     """
     from pyspark.sql import Window as W
 
+
     tok_rows = df.select(
         F.col(id_col).alias("id"),
         F.explode(_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
     )
-    doc_tok = (
+    doc_tok = cache.track(
         tok_rows.groupBy("id", "tok")
         .agg(F.count("*").cast("long").alias("cnt"))
         .persist()
