@@ -1067,6 +1067,54 @@ def q_media_decode_real(spark, sf_dir):
     )
 
 
+def q_media_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode end-to-end: Column-assembled 16×16
+    grayscale JPEGs (four DC-only 8×8 blocks, byte-aligned custom
+    Huffman codes, DRI=1 restarts — multimodal.jpeg_dc_gray_payload_col)
+    run through the full pure-stdlib Huffman+IDCT decoder; with the
+    all-ones quant table each block decodes to exactly
+    128 + (d+4)//8, so the oracle reconstructs every feature band with
+    integer arithmetic. Closes the reference's pixel-math gap for JPEG
+    (reference images.py:49-74 scores need pixels, not just dims)."""
+    from newspaper_spark.operators.multimodal import (
+        extract_media_features,
+        jpeg_dc_gray_payload_col,
+    )
+
+    d = _docs(spark, sf_dir)
+
+    def dcol(k):
+        # block DC diff in [128, 254] with d % 8 != 4 (exact half-up
+        # rounding + no 0xFF entropy byte) — mirrored in the oracle
+        m0 = (F.col("doc_id") * 7 + F.lit(k * 31)) % 111
+        q7 = F.floor(m0 / 7).cast("long")
+        r = m0 % 7
+        r2 = r + F.when(r >= 4, F.lit(1)).otherwise(F.lit(0))
+        return (F.lit(128) + 8 * q7 + r2).cast("int")
+
+    payload = jpeg_dc_gray_payload_col(dcol(0), dcol(1), dcol(2), dcol(3))
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+    out = extract_media_features(media, real_decode=True)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        "error",
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
 def q_corpus_prep(spark, sf_dir):
     """End-to-end training-data prep over documents: exact-dedup (keep
     min-id representative) → language-ID → quality score → token count
@@ -1111,6 +1159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": q_dedup_url,
         "pdf_skip": q_pdf_skip,
         "corpus_prep": q_corpus_prep,
+        "media_decode_jpeg": q_media_decode_jpeg,  # new in r4: never sampled
         "extract_fulltext": q_extract_fulltext,
         "extract_title": q_extract_title,
         "extract_meta": q_extract_meta,
@@ -1345,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": _embedding_dedup_oracle(),
         "media_features": _MEDIA_FEATURES_ORACLE,
         "media_decode_real": _media_decode_real_oracle(),
+        "media_decode_jpeg": _media_decode_jpeg_oracle(),
         "media_resize": """
             WITH d AS (
                 SELECT md5(text) AS media_id,
@@ -2181,6 +2231,53 @@ def _media_decode_real_oracle() -> str:
                NULL::VARCHAR AS error,
                {feat_sql}
         FROM p
+    """
+
+
+def _media_decode_jpeg_oracle() -> str:
+    """Exact oracle for the baseline-JPEG decode: the payload is the
+    fixed DC-only 16×16 container, so decoded block pixel =
+    128 + (d_k+4)//8 with d_k = 128 + 8·(m0//7) + r2, m0 =
+    (doc_id·7 + k·31) % 111, r2 = m0%7 (+1 if ≥ 4). Band i of the
+    8-band feature covers two raster rows: bands 0-3 average blocks
+    0,1; bands 4-7 average blocks 2,3. Feature doubles go through the
+    same float32 cast as Spark's array<float> schema (::REAL)."""
+    from newspaper_spark.operators.multimodal import _JPEG_DC_HEADER_HEX
+
+    n_bytes = len(_JPEG_DC_HEADER_HEX) // 2 + 4 * 3 + 3 * 2 + 2
+    d_exprs = []
+    for k in range(4):
+        d_exprs.append(
+            f"128 + 8 * (((doc_id * 7 + {k * 31}) % 111) // 7) + "
+            f"((doc_id * 7 + {k * 31}) % 111) % 7 + "
+            f"CASE WHEN ((doc_id * 7 + {k * 31}) % 111) % 7 >= 4 "
+            f"THEN 1 ELSE 0 END AS d{k}"
+        )
+    feats = []
+    for i in range(8):
+        a, b = (0, 1) if i < 4 else (2, 3)
+        feats.append(
+            f"round((((16 * (p{a} + p{b})) / 8160.0)::REAL)::DOUBLE, 6) AS f{i}"
+        )
+    feat_sql = ",\n               ".join(feats)
+    return f"""
+        WITH d AS (
+            SELECT doc_id, {', '.join(d_exprs)} FROM documents
+        ), px AS (
+            SELECT doc_id,
+                   128 + (d0 + 4) // 8 AS p0,
+                   128 + (d1 + 4) // 8 AS p1,
+                   128 + (d2 + 4) // 8 AS p2,
+                   128 + (d3 + 4) // 8 AS p3
+            FROM d
+        )
+        SELECT doc_id::VARCHAR AS media_id,
+               'image' AS kind,
+               {n_bytes}::BIGINT AS n_bytes,
+               16 AS width, 16 AS height, 1 AS n_frames,
+               NULL::VARCHAR AS error,
+               {feat_sql}
+        FROM px
     """
 
 

@@ -3,12 +3,14 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode/resize/frame-sample run as Arrow-batched ``mapInPandas`` stages.
 ``real_decode=True`` parses REAL containers with pure-stdlib decoders —
-PPM (P6), uncompressed BMP, and PNG (zlib inflate + full scanline
-unfiltering) — and surfaces every other format as a per-row ValueError
-in the error column: that error path is exactly where a PIL/opencv
-decoder would plug in on a cluster that has them (this container does
-not). ``real_decode=False`` keeps the deterministic md5 fake used by
-the SQL-oracled plumbing checks.
+PPM (P6), uncompressed BMP, PNG (zlib inflate + full scanline
+unfiltering), non-interlaced GIF (variable-width LZW), and baseline
+sequential JPEG (Huffman + dequant + IDCT + YCbCr) — and surfaces
+every other variant as a per-row ValueError in the error column: that
+error path is exactly where a PIL/opencv decoder would plug in on a
+cluster that has them (this container does not). ``real_decode=False``
+keeps the deterministic md5 fake used by the SQL-oracled plumbing
+checks.
 """
 from __future__ import annotations
 
@@ -349,6 +351,372 @@ def _decode_gif(payload: bytes):
     raise ValueError("GIF without image data")
 
 
+#: Column-assemblable baseline JPEG (the media_decode_jpeg oracle
+#: shape): 16×16 grayscale, four 8×8 DC-only blocks. The custom DHT
+#: gives BOTH the DC category-8 code and the AC EOB code a single
+#: 8-bit all-zero codeword, so each MCU's entropy data is exactly
+#: three bytes (00, diff, 00) and — with DRI=1 restart markers between
+#: MCUs — the whole scan is byte-aligned and expressible as hex
+#: concatenation in Spark Column space. Quant table is all-ones, so
+#: decoded pixel = 128 + (d+4)//8 per block (d = the DC diff byte,
+#: restricted to [128,254] with d % 8 != 4: positive category-8 diffs
+#: are their own 8 bits, 0xFF never appears, and the half-up IDCT
+#: rounding never lands on an exact .5 tie).
+JPEG_DC_W = JPEG_DC_H = 16
+
+_JPEG_DC_COUNTS_HEX = "00" * 7 + "01" + "00" * 8  # one code of length 8
+_JPEG_DC_HEADER_HEX = (
+    "FFD8"
+    + "FFDB004300" + "01" * 64                       # DQT: 8-bit, all ones
+    + "FFC0000B08" + "0010" + "0010" + "01011100"    # SOF0 16×16 gray 1×1
+    + "FFC40014" + "00" + _JPEG_DC_COUNTS_HEX + "08"  # DHT DC: {cat 8}
+    + "FFC40014" + "10" + _JPEG_DC_COUNTS_HEX + "00"  # DHT AC: {EOB}
+    + "FFDD00040001"                                  # DRI: Ri = 1
+    + "FFDA0008010100003F00"                          # SOS
+)
+
+
+def jpeg_dc_gray_payload_hex(d0: str, d1: str, d2: str, d3: str) -> str:
+    """Hex string of the full 16×16 DC-only JPEG for 4 two-hex-digit
+    block diffs (Python-side twin of jpeg_dc_gray_payload_col)."""
+    units = []
+    for k, d in enumerate((d0, d1, d2, d3)):
+        units.append("00" + d + "00")
+        if k < 3:
+            units.append(f"FFD{k}")
+    return _JPEG_DC_HEADER_HEX + "".join(units) + "FFD9"
+
+
+def jpeg_dc_gray_payload_col(d0, d1, d2, d3):
+    """Binary Column: the same JPEG assembled from 4 int Columns in
+    [128, 254] (callers must keep d % 8 != 4 — see the block comment)."""
+    hx2 = lambda c: F.lpad(F.hex(c), 2, "0")  # noqa: E731
+    parts = [F.lit(_JPEG_DC_HEADER_HEX)]
+    for k, d in enumerate((d0, d1, d2, d3)):
+        parts.append(F.concat(F.lit("00"), hx2(d), F.lit("00")))
+        if k < 3:
+            parts.append(F.lit(f"FFD{k}"))
+    parts.append(F.lit("FFD9"))
+    return F.unhex(F.concat(*parts))
+
+
+#: JPEG zig-zag scan order: zigzag index -> natural (row-major) index.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _idct_table():
+    """A[u][x] = C(u)·cos((2x+1)uπ/16)/2, so the 2-D inverse DCT is
+    f(x,y) = Σ_u Σ_v A[u][x]·A[v][y]·S(v,u) (ITU T.81 A.3.3)."""
+    import math
+
+    return [
+        [
+            (math.sqrt(0.5) if u == 0 else 1.0)
+            * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            / 2.0
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+
+_IDCT_A = _idct_table()
+
+
+class _JpegHuffTable:
+    """Canonical JPEG Huffman table (T.81 Annex C): decode walks the
+    (min_code, max_code, val_index) triples per code length."""
+
+    def __init__(self, counts, symbols):
+        self.min_code = [0] * 17
+        self.max_code = [-1] * 17
+        self.val_ptr = [0] * 17
+        code, k = 0, 0
+        for length in range(1, 17):
+            n = counts[length - 1]
+            self.val_ptr[length] = k
+            self.min_code[length] = code
+            self.max_code[length] = code + n - 1 if n else -1
+            code = (code + n) << 1
+            k += n
+        self.symbols = symbols
+
+    def decode(self, br):
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            if self.max_code[length] >= 0 and code <= self.max_code[length]:
+                return self.symbols[
+                    self.val_ptr[length] + code - self.min_code[length]
+                ]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    stuffing; restart markers pause the stream (consumed by the MCU
+    loop via expect_restart)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.i = pos
+        self.cur = 0
+        self.nbits = 0
+        self.marker = None  # pending RSTn / EOI marker byte
+
+    def _load_byte(self):
+        if self.marker is not None:
+            raise ValueError("JPEG entropy data ended at marker")
+        if self.i >= len(self.d):
+            raise ValueError("truncated JPEG entropy data")
+        b = self.d[self.i]
+        self.i += 1
+        if b == 0xFF:
+            if self.i >= len(self.d):
+                raise ValueError("truncated JPEG entropy data")
+            nxt = self.d[self.i]
+            if nxt == 0x00:  # stuffed literal 0xFF
+                self.i += 1
+            else:  # a real marker terminates entropy data here
+                self.marker = nxt
+                self.i += 1
+                raise ValueError("JPEG entropy data ended at marker")
+        self.cur = (self.cur << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._load_byte()
+        self.nbits -= 1
+        return (self.cur >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def expect_restart(self):
+        """Byte-align, consume one RSTn marker (pending or in-stream)."""
+        self.nbits = 0  # discard padding bits to the byte boundary
+        if self.marker is None:
+            # marker not yet hit while bit-reading: it must be next
+            if self.i + 1 < len(self.d) and self.d[self.i] == 0xFF:
+                self.marker = self.d[self.i + 1]
+                self.i += 2
+        m = self.marker
+        if m is None or not 0xD0 <= m <= 0xD7:
+            raise ValueError("expected JPEG restart marker")
+        self.marker = None
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DIFF/coefficient sign extension (T.81 F.2.2.1 EXTEND)."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _decode_jpeg(payload: bytes):
+    """Baseline sequential JPEG decoder — pure stdlib (T.81: DQT/DHT
+    parse, canonical Huffman entropy decode with 0xFF00 stuffing and
+    DRI restart intervals, dequantize + de-zigzag, separable float
+    IDCT with half-up rounding, chroma upsample by replication,
+    YCbCr→RGB per JFIF). Grayscale (1 component) and interleaved
+    YCbCr (3 components, any H/V in {1,2}) are supported; progressive
+    (SOF2), arithmetic coding, 12-bit precision, and non-interleaved
+    multi-component scans raise ValueError into the error column (the
+    PIL plug-in slot). Closes the reference parity gap for pixel math
+    on web JPEGs (reference images.py:49-74 needs pixels for entropy/
+    histogram scoring).
+    """
+    import math
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG signature")
+    qt = {}          # Tq -> [64] natural-order ints
+    huff_dc = {}     # Th -> _JpegHuffTable
+    huff_ac = {}
+    w = h = None
+    comps = []       # (comp_id, H, V, Tq)
+    restart_interval = 0
+    i = 2
+    scan = None
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = payload[i + 1]
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            break
+        seglen = struct.unpack_from(">H", payload, i + 2)[0]
+        if seglen < 2 or i + 2 + seglen > len(payload):
+            raise ValueError("bad JPEG segment length")
+        seg = payload[i + 4 : i + 2 + seglen]
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization unsupported")
+                vals = seg[p + 1 : p + 65]
+                if len(vals) < 64:
+                    raise ValueError("truncated DQT")
+                tbl = [0] * 64
+                for z in range(64):
+                    tbl[_JPEG_ZIGZAG[z]] = vals[z]
+                qt[tq] = tbl
+                p += 65
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p + 17 <= len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                counts = list(seg[p + 1 : p + 17])
+                n = sum(counts)
+                symbols = list(seg[p + 17 : p + 17 + n])
+                if len(symbols) < n:
+                    raise ValueError("truncated DHT")
+                (huff_dc if tc == 0 else huff_ac)[th] = _JpegHuffTable(
+                    counts, symbols
+                )
+                p += 17 + n
+        elif m in (0xC0, 0xC1):  # SOF0/1: baseline / extended sequential
+            if seg[0] != 8:
+                raise ValueError("non-8-bit JPEG precision unsupported")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nf = seg[5]
+            if w <= 0 or h <= 0 or nf not in (1, 3):
+                raise ValueError("unsupported JPEG geometry")
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                hs, vs = hv >> 4, hv & 0xF
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError("unsupported JPEG sampling factors")
+                comps.append((cid, hs, vs, tq))
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                   0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic) "
+                             "unsupported")
+        elif m == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            if ns != len(comps):
+                raise ValueError("non-interleaved JPEG scan unsupported")
+            scan = {}
+            for s in range(ns):
+                cid, tdta = seg[1 + 2 * s : 3 + 2 * s]
+                scan[cid] = (tdta >> 4, tdta & 0xF)
+            i = i + 2 + seglen
+            break
+        i += 2 + seglen
+    if scan is None or w is None:
+        raise ValueError("JPEG scan not found")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for cid, hs, vs, tq in comps:
+        planes.append([[0] * (mcux * hs * 8) for _ in range(mcuy * vs * 8)])
+
+    br = _JpegBitReader(payload, i)
+    pred = [0] * len(comps)
+    A = _IDCT_A
+    floor = math.floor
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                br.expect_restart()
+                pred = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                td, ta = scan[cid]
+                if td not in huff_dc or ta not in huff_ac or tq not in qt:
+                    raise ValueError("JPEG references undefined table")
+                dct, act, q = huff_dc[td], huff_ac[ta], qt[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        # -- entropy-decode one 8×8 block
+                        t = dct.decode(br)
+                        diff = _jpeg_extend(br.receive(t), t) if t else 0
+                        pred[ci] += diff
+                        coef = [0] * 64
+                        coef[0] = pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = act.decode(br)
+                            r, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            nat = _JPEG_ZIGZAG[k]
+                            coef[nat] = (
+                                _jpeg_extend(br.receive(size), size) * q[nat]
+                            )
+                            k += 1
+                        # -- separable IDCT: rows then columns
+                        tmp = [0.0] * 64
+                        for y in range(8):
+                            row = coef[8 * y : 8 * y + 8]
+                            if any(row):
+                                for x in range(8):
+                                    tmp[8 * y + x] = sum(
+                                        A[u][x] * row[u] for u in range(8)
+                                    )
+                        plane = planes[ci]
+                        py0 = (my * vs + by) * 8
+                        px0 = (mx * hs + bx) * 8
+                        for x in range(8):
+                            col = [tmp[8 * y + x] for y in range(8)]
+                            for y in range(8):
+                                v = floor(
+                                    sum(A[u][y] * col[u] for u in range(8))
+                                    + 128.5
+                                )
+                                plane[py0 + y][px0 + x] = (
+                                    0 if v < 0 else (255 if v > 255 else v)
+                                )
+            n_mcu += 1
+
+    if len(comps) == 1:
+        plane = planes[0]
+        raster = bytes(plane[y][x] for y in range(h) for x in range(w))
+        return (w, h, 1, _raster_feature(raster))
+    # upsample chroma by replication, then JFIF YCbCr → RGB
+    out = bytearray()
+    yp, cbp, crp = planes
+    (_, yh, yv, _), (_, bh, bv, _), (_, rh, rv, _) = comps
+    for y in range(h):
+        for x in range(w):
+            Y = yp[y * yv // vmax][x * yh // hmax]
+            Cb = cbp[y * bv // vmax][x * bh // hmax] - 128
+            Cr = crp[y * rv // vmax][x * rh // hmax] - 128
+            for val in (
+                Y + 1.402 * Cr,
+                Y - 0.344136 * Cb - 0.714136 * Cr,
+                Y + 1.772 * Cb,
+            ):
+                v = floor(val + 0.5)
+                out.append(0 if v < 0 else (255 if v > 255 else v))
+    return (w, h, 1, _raster_feature(bytes(out)))
+
+
 def _jpeg_dims(p: bytes):
     """JPEG dimensions from the SOF marker — header-only scan, no
     entropy decode. Newspaper's image scoring (reference images.py)
@@ -442,10 +810,11 @@ def probe_image_dims(payload: bytes):
 def _decode_image(payload: bytes, real_decode: bool = False):
     """Image decode. real_decode=True parses REAL containers with the
     pure-stdlib decoders above (PPM/P6, uncompressed BMP, PNG via zlib,
-    and non-interlaced GIF via the LZW decoder — the formats
-    expressible without PIL/opencv, which this container lacks; other
-    magic bytes raise ValueError into the error column, the slot where
-    a PIL-backed decoder would plug in).
+    non-interlaced GIF via the LZW decoder, and baseline sequential
+    JPEG via the full Huffman+IDCT decoder — the formats expressible
+    without PIL/opencv, which this container lacks; other magic bytes
+    and non-baseline variants raise ValueError into the error column,
+    the slot where a PIL-backed decoder would plug in).
 
     real_decode=False returns the deterministic fake whose dims derive
     from md5(payload) — chosen so the DuckDB oracle reconstructs them
@@ -460,6 +829,8 @@ def _decode_image(payload: bytes, real_decode: bool = False):
             return _decode_png(payload)
         if payload and payload[:6] in (b"GIF87a", b"GIF89a"):
             return _decode_gif(payload)
+        if payload and payload[:2] == b"\xff\xd8":
+            return _decode_jpeg(payload)
         raise ValueError("unsupported image format (PIL/opencv absent)")
     import hashlib
 
