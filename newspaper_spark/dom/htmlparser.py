@@ -74,6 +74,14 @@ _REPEAT = frozenset(
     "tr td th thead tbody tfoot caption colgroup".split()
 )
 
+#: per-tag stop set, precomputed: _autoclose runs for EVERY start tag
+#: that can close something (every <p> on a real page), and building
+#: the _SCOPE_STOP | extra union there was a measurable allocation in
+#: the parse profile.
+_STOP_FOR = {
+    _tag: _SCOPE_STOP | _SCOPE_EXTRA.get(_tag, frozenset()) for _tag in CLOSES
+}
+
 # contexts whose whitespace-only character data is structural, not text
 _WS_SKIP = frozenset(
     "html head table thead tbody tfoot tr ul ol dl select optgroup "
@@ -125,7 +133,7 @@ class _TreeBuilder(HTMLParser):
         closers = CLOSES.get(tag)
         if not closers:
             return
-        stop = _SCOPE_STOP | _SCOPE_EXTRA.get(tag, frozenset())
+        stop = _STOP_FOR[tag]
         while True:
             popped = False
             for i in range(len(self.stack) - 1, -1, -1):
