@@ -1115,6 +1115,20 @@ def q_media_decode_jpeg(spark, sf_dir):
     )
 
 
+def q_dsir(spark, sf_dir):
+    """DSIR importance-resampling scores (operators/dsir.py, Xie et
+    al. 2023): hashed unigram+bigram bag-of-buckets log-ratio of a
+    deterministic target slice (doc_id % 10 == 0, the "high-quality
+    exemplar" stand-in) against the whole corpus. The oracle replays
+    the identical md5-bucket hashing, add-one smoothing, and single
+    log10-of-exact-integer-ratio arithmetic."""
+    from newspaper_spark.operators.dsir import dsir_scores
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 10 == 0)
+    return dsir_scores(d, target, n_buckets=1024)
+
+
 def q_corpus_prep(spark, sf_dir):
     """End-to-end training-data prep over documents: exact-dedup (keep
     min-id representative) → language-ID → quality score → token count
@@ -1160,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_skip": q_pdf_skip,
         "corpus_prep": q_corpus_prep,
         "media_decode_jpeg": q_media_decode_jpeg,  # new in r4: never sampled
+        "dsir": q_dsir,  # new in r4: never sampled
         "extract_fulltext": q_extract_fulltext,
         "extract_title": q_extract_title,
         "extract_meta": q_extract_meta,
@@ -1847,6 +1862,45 @@ def oracle_sql() -> dict[str, str]:
                    t.n_sentences,
                    (t.n_sentences - coalesce(k.n_kept, 0))::BIGINT AS n_removed
             FROM tot t LEFT JOIN ka k USING (doc_id)
+        """,
+        "dsir": """
+            WITH n AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_concat(t,
+                           CASE WHEN len(t) >= 2
+                                THEN list_transform(generate_series(1, len(t) - 1),
+                                                    i -> t[i] || ' ' || t[i + 1])
+                                ELSE []::VARCHAR[] END)) AS gram
+                FROM n
+            ), bk AS (
+                SELECT doc_id,
+                       ('0x' || substring(md5(gram), 1, 15))::BIGINT % 1024 AS b
+                FROM g
+            ), fr AS (
+                SELECT doc_id, b, count(*)::BIGINT AS k FROM bk GROUP BY doc_id, b
+            ), cr AS (
+                SELECT b, sum(k)::BIGINT AS c_r FROM fr GROUP BY b
+            ), ct AS (
+                SELECT b, sum(k)::BIGINT AS c_t FROM fr WHERE doc_id % 10 = 0 GROUP BY b
+            ), nr AS (
+                SELECT sum(c_r)::BIGINT AS n_r FROM cr
+            ), nt AS (
+                SELECT coalesce(sum(c_t), 0)::BIGINT AS n_t FROM ct
+            ), lr AS (
+                SELECT cr.b,
+                       log10(((coalesce(ct.c_t, 0) + 1)::DOUBLE * (n_r + 1024)::DOUBLE)
+                             / ((cr.c_r + 1)::DOUBLE * (n_t + 1024)::DOUBLE)) AS lr
+                FROM cr LEFT JOIN ct USING (b), nr, nt
+            )
+            SELECT fr.doc_id,
+                   sum(fr.k)::BIGINT AS n_feats,
+                   floor(sum(fr.k * lr.lr) * 1000000.0 + 0.5) / 1000000.0 AS dsir_logratio
+            FROM fr JOIN lr USING (b)
+            GROUP BY fr.doc_id
         """,
         "unigram_logprob": """
             WITH n AS (

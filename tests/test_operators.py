@@ -1132,6 +1132,30 @@ def test_span_dedup_c4_semantics(spark):
     assert (r4.n_sentences, r4.n_removed) == (1, 0)
 
 
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    """DSIR (Xie et al. 2023): documents sharing the target corpus's
+    n-gram profile get higher importance log-ratios than off-profile
+    documents; every raw doc gets a row; null text survives."""
+    from newspaper_spark.operators.dsir import dsir_scores
+
+    science = "quantum physics experiment measures particle spin states"
+    sports = "football team wins the championship game on penalties"
+    rows = (
+        [(i, science + f" run {i}") for i in range(0, 40, 10)]   # targets
+        + [(i, science + f" trial {i}") for i in (3, 7, 13)]     # on-profile
+        + [(i, sports + f" match {i}") for i in (5, 9, 11)]      # off-profile
+        + [(99, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") % 10 == 0)
+    got = {r.doc_id: r for r in dsir_scores(df, target, n_buckets=512).collect()}
+    assert set(got) == {r[0] for r in rows}
+    on = [got[i].dsir_logratio for i in (3, 7, 13)]
+    off = [got[i].dsir_logratio for i in (5, 9, 11)]
+    assert min(on) > max(off), (on, off)
+    assert got[99].n_feats == 1  # null text = one empty-token feature
+
+
 def test_span_dedup_hot_span_key(spark):
     """10^4 occurrences of ONE boilerplate span (the newsletter-tail
     shape): the groupBy(h) + join-back plan must produce the exact
