@@ -238,6 +238,8 @@ def query_timings(cores: int) -> dict:
         "winnow",
         "span_dedup",
         "unigram_logprob",
+        "media_decode_jpeg",
+        "dsir",
         "corpus_prep",
     ]
     qs = E.queries()

@@ -521,6 +521,18 @@ def _jpeg_extend(v: int, t: int) -> int:
 
 
 def _decode_jpeg(payload: bytes):
+    """Error-contract wrapper: malformed streams surface as ValueError
+    (the documented error-column channel), never IndexError /
+    struct.error from short reads inside the marker parser."""
+    import struct
+
+    try:
+        return _decode_jpeg_inner(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated/malformed JPEG stream: {e}") from e
+
+
+def _decode_jpeg_inner(payload: bytes):
     """Baseline sequential JPEG decoder — pure stdlib (T.81: DQT/DHT
     parse, canonical Huffman entropy decode with 0xFF00 stuffing and
     DRI restart intervals, dequantize + de-zigzag, separable float
@@ -593,6 +605,12 @@ def _decode_jpeg(payload: bytes):
             nf = seg[5]
             if w <= 0 or h <= 0 or nf not in (1, 3):
                 raise ValueError("unsupported JPEG geometry")
+            # resource guard: the plane buffers allocate w·h up front;
+            # a crafted SOF can declare 65535² (4G pixels). Real web
+            # images sit far below 16M pixels — larger goes to the
+            # error column (the PIL plug-in slot on a real cluster).
+            if w * h > (1 << 24):
+                raise ValueError("JPEG too large for the pure-Python decoder")
             comps = []
             for c in range(nf):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]

@@ -90,7 +90,8 @@ def test_real_decoder_error_contract(payload):
     mapInPandas error column always gets the documented channel."""
     from newspaper_spark.operators.multimodal import _decode_image
 
-    for prefix in (b"", b"P6\n", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a"):
+    for prefix in (b"", b"P6\n", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a",
+                   b"GIF87a", b"\xff\xd8", b"\xff\xd8\xff\xdb"):
         try:
             w, h, nf, feat = _decode_image(prefix + payload, real_decode=True)
             assert w > 0 and h > 0 and nf == 1 and len(feat) == 8
