@@ -520,13 +520,118 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _jpeg_parse_dqt(seg: bytes, qt: dict) -> None:
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0xF
+        if pq != 0:
+            raise ValueError("16-bit quantization unsupported")
+        vals = seg[p + 1 : p + 65]
+        if len(vals) < 64:
+            raise ValueError("truncated DQT")
+        tbl = [0] * 64
+        for z in range(64):
+            tbl[_JPEG_ZIGZAG[z]] = vals[z]
+        qt[tq] = tbl
+        p += 65
+
+
+def _jpeg_parse_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    p = 0
+    while p + 17 <= len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 0xF
+        counts = list(seg[p + 1 : p + 17])
+        n = sum(counts)
+        symbols = list(seg[p + 17 : p + 17 + n])
+        if len(symbols) < n:
+            raise ValueError("truncated DHT")
+        (huff_dc if tc == 0 else huff_ac)[th] = _JpegHuffTable(counts, symbols)
+        p += 17 + n
+
+
+def _jpeg_idct_block(coef, plane, px0: int, py0: int) -> None:
+    """Separable float IDCT of one DEQUANTIZED 8×8 block into ``plane``
+    at (px0, py0), with the level shift and half-up rounding the
+    media_decode_jpeg oracle reproduces exactly."""
+    import math
+
+    A = _IDCT_A
+    floor = math.floor
+    tmp = [0.0] * 64
+    for y in range(8):
+        row = coef[8 * y : 8 * y + 8]
+        if any(row):
+            for x in range(8):
+                tmp[8 * y + x] = sum(A[u][x] * row[u] for u in range(8))
+    for x in range(8):
+        col = [tmp[8 * y + x] for y in range(8)]
+        for y in range(8):
+            v = floor(sum(A[u][y] * col[u] for u in range(8)) + 128.5)
+            plane[py0 + y][px0 + x] = 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _jpeg_planes_to_result(planes, comps, w: int, h: int, hmax: int, vmax: int):
+    """Crop/upsample decoded component planes to the final raster +
+    8-band feature (grayscale pass-through or JFIF YCbCr→RGB)."""
+    import math
+
+    floor = math.floor
+    if len(comps) == 1:
+        plane = planes[0]
+        raster = bytes(plane[y][x] for y in range(h) for x in range(w))
+        return (w, h, 1, _raster_feature(raster))
+    out = bytearray()
+    yp, cbp, crp = planes
+    (_, yh, yv, _), (_, bh, bv, _), (_, rh, rv, _) = comps
+    for y in range(h):
+        for x in range(w):
+            Y = yp[y * yv // vmax][x * yh // hmax]
+            Cb = cbp[y * bv // vmax][x * bh // hmax] - 128
+            Cr = crp[y * rv // vmax][x * rh // hmax] - 128
+            for val in (
+                Y + 1.402 * Cr,
+                Y - 0.344136 * Cb - 0.714136 * Cr,
+                Y + 1.772 * Cb,
+            ):
+                v = floor(val + 0.5)
+                out.append(0 if v < 0 else (255 if v > 255 else v))
+    return (w, h, 1, _raster_feature(bytes(out)))
+
+
+def _jpeg_sof_marker(p: bytes):
+    """First SOFn marker byte (0xC0..0xCF except DHT/JPG/DAC), or None."""
+    if p[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEG signature")
+    i = 2
+    while i + 4 <= len(p):
+        if p[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = p[i + 1]
+        if m == 0x01 or m == 0xD8 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m in (0xD9, 0xDA):
+            break
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            return m
+        seglen = int.from_bytes(p[i + 2 : i + 4], "big")
+        if seglen < 2:
+            raise ValueError("bad JPEG segment length")
+        i += 2 + seglen
+    return None
+
+
 def _decode_jpeg(payload: bytes):
-    """Error-contract wrapper: malformed streams surface as ValueError
-    (the documented error-column channel), never IndexError /
-    struct.error from short reads inside the marker parser."""
+    """Error-contract wrapper + SOF dispatch: baseline/extended
+    sequential (SOF0/1) take the streaming path, progressive (SOF2)
+    the multi-scan coefficient-accumulation path. Malformed streams
+    surface as ValueError (the documented error-column channel), never
+    IndexError / struct.error from short reads inside the parsers."""
     import struct
 
     try:
+        if _jpeg_sof_marker(payload) == 0xC2:
+            return _decode_jpeg_progressive(payload)
         return _decode_jpeg_inner(payload)
     except (IndexError, struct.error) as e:
         raise ValueError(f"truncated/malformed JPEG stream: {e}") from e
@@ -572,32 +677,9 @@ def _decode_jpeg_inner(payload: bytes):
             raise ValueError("bad JPEG segment length")
         seg = payload[i + 4 : i + 2 + seglen]
         if m == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise ValueError("16-bit quantization unsupported")
-                vals = seg[p + 1 : p + 65]
-                if len(vals) < 64:
-                    raise ValueError("truncated DQT")
-                tbl = [0] * 64
-                for z in range(64):
-                    tbl[_JPEG_ZIGZAG[z]] = vals[z]
-                qt[tq] = tbl
-                p += 65
+            _jpeg_parse_dqt(seg, qt)
         elif m == 0xC4:  # DHT
-            p = 0
-            while p + 17 <= len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0xF
-                counts = list(seg[p + 1 : p + 17])
-                n = sum(counts)
-                symbols = list(seg[p + 17 : p + 17 + n])
-                if len(symbols) < n:
-                    raise ValueError("truncated DHT")
-                (huff_dc if tc == 0 else huff_ac)[th] = _JpegHuffTable(
-                    counts, symbols
-                )
-                p += 17 + n
+            _jpeg_parse_dht(seg, huff_dc, huff_ac)
         elif m in (0xC0, 0xC1):  # SOF0/1: baseline / extended sequential
             if seg[0] != 8:
                 raise ValueError("non-8-bit JPEG precision unsupported")
@@ -650,8 +732,6 @@ def _decode_jpeg_inner(payload: bytes):
 
     br = _JpegBitReader(payload, i)
     pred = [0] * len(comps)
-    A = _IDCT_A
-    floor = math.floor
     n_mcu = 0
     for my in range(mcuy):
         for mx in range(mcux):
@@ -688,51 +768,281 @@ def _decode_jpeg_inner(payload: bytes):
                                 _jpeg_extend(br.receive(size), size) * q[nat]
                             )
                             k += 1
-                        # -- separable IDCT: rows then columns
-                        tmp = [0.0] * 64
-                        for y in range(8):
-                            row = coef[8 * y : 8 * y + 8]
-                            if any(row):
-                                for x in range(8):
-                                    tmp[8 * y + x] = sum(
-                                        A[u][x] * row[u] for u in range(8)
-                                    )
-                        plane = planes[ci]
-                        py0 = (my * vs + by) * 8
-                        px0 = (mx * hs + bx) * 8
-                        for x in range(8):
-                            col = [tmp[8 * y + x] for y in range(8)]
-                            for y in range(8):
-                                v = floor(
-                                    sum(A[u][y] * col[u] for u in range(8))
-                                    + 128.5
-                                )
-                                plane[py0 + y][px0 + x] = (
-                                    0 if v < 0 else (255 if v > 255 else v)
-                                )
+                        _jpeg_idct_block(
+                            coef,
+                            planes[ci],
+                            (mx * hs + bx) * 8,
+                            (my * vs + by) * 8,
+                        )
             n_mcu += 1
 
-    if len(comps) == 1:
-        plane = planes[0]
-        raster = bytes(plane[y][x] for y in range(h) for x in range(w))
-        return (w, h, 1, _raster_feature(raster))
-    # upsample chroma by replication, then JFIF YCbCr → RGB
-    out = bytearray()
-    yp, cbp, crp = planes
-    (_, yh, yv, _), (_, bh, bv, _), (_, rh, rv, _) = comps
-    for y in range(h):
-        for x in range(w):
-            Y = yp[y * yv // vmax][x * yh // hmax]
-            Cb = cbp[y * bv // vmax][x * bh // hmax] - 128
-            Cr = crp[y * rv // vmax][x * rh // hmax] - 128
-            for val in (
-                Y + 1.402 * Cr,
-                Y - 0.344136 * Cb - 0.714136 * Cr,
-                Y + 1.772 * Cb,
-            ):
-                v = floor(val + 0.5)
-                out.append(0 if v < 0 else (255 if v > 255 else v))
-    return (w, h, 1, _raster_feature(bytes(out)))
+    return _jpeg_planes_to_result(planes, comps, w, h, hmax, vmax)
+
+
+def _decode_jpeg_progressive(payload: bytes):
+    """Progressive JPEG decoder (T.81 Annex G, Huffman): the dominant
+    variant on the modern web. Coefficients accumulate across scans —
+    DC first/refinement (interleaved or single-component), AC spectral
+    bands with successive approximation and EOB-run coding, AC
+    refinement with correction bits (G.1.2.3) — then one dequantize +
+    IDCT + upsample + color-convert pass identical to the baseline
+    path (same _jpeg_idct_block/_jpeg_planes_to_result helpers, so
+    baseline and progressive encodings of the same coefficients decode
+    to the SAME bytes; the round-trip tests assert exactly that).
+    Arithmetic coding and 12-bit precision stay on the error channel.
+    """
+    import struct
+
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    w = h = None
+    comps: list = []
+    dri = 0
+    coef: list = []      # per comp: [by][bx] -> [64] natural-order ints
+    grid: list = []      # per comp: (wb_full, hb_full, wb_data, hb_data)
+    hmax = vmax = 1
+    i = 2
+    while i + 2 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        m = payload[i + 1]
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            break
+        seglen = struct.unpack_from(">H", payload, i + 2)[0]
+        if seglen < 2 or i + 2 + seglen > len(payload):
+            raise ValueError("bad JPEG segment length")
+        seg = payload[i + 4 : i + 2 + seglen]
+        if m == 0xDB:
+            _jpeg_parse_dqt(seg, qt)
+        elif m == 0xC4:
+            _jpeg_parse_dht(seg, huff_dc, huff_ac)
+        elif m == 0xC2:
+            if seg[0] != 8:
+                raise ValueError("non-8-bit JPEG precision unsupported")
+            h, w = struct.unpack_from(">HH", seg, 1)
+            nf = seg[5]
+            if w <= 0 or h <= 0 or nf not in (1, 3):
+                raise ValueError("unsupported JPEG geometry")
+            if w * h > (1 << 24):
+                raise ValueError("JPEG too large for the pure-Python decoder")
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                hs, vs = hv >> 4, hv & 0xF
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError("unsupported JPEG sampling factors")
+                comps.append((cid, hs, vs, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for cid, hs, vs, tq in comps:
+                wb_full, hb_full = mcux * hs, mcuy * vs
+                # non-interleaved scans cover only the DATA blocks of
+                # the component (ceil(comp_dim/8)), not the MCU padding
+                cw = (w * hs + hmax - 1) // hmax
+                ch = (h * vs + vmax - 1) // vmax
+                grid.append((wb_full, hb_full, (cw + 7) // 8, (ch + 7) // 8))
+                coef.append(
+                    [[[0] * 64 for _ in range(wb_full)] for _ in range(hb_full)]
+                )
+        elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed/unsupported SOF in progressive stream")
+        elif m == 0xDD:
+            dri = struct.unpack_from(">H", seg, 0)[0]
+        elif m == 0xDA:
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
+            i = _jpeg_decode_progressive_scan(
+                payload, i + 2 + seglen, seg, comps, grid, coef,
+                huff_dc, huff_ac, dri,
+            )
+            continue
+        i += 2 + seglen
+    if w is None or not comps:
+        raise ValueError("JPEG scan not found")
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError("JPEG references undefined table")
+        q = qt[tq]
+        wb_full, hb_full, _, _ = grid[ci]
+        plane = [[0] * (wb_full * 8) for _ in range(hb_full * 8)]
+        for by in range(hb_full):
+            for bx in range(wb_full):
+                blk = coef[ci][by][bx]
+                deq = [blk[z] * q[z] for z in range(64)]
+                _jpeg_idct_block(deq, plane, bx * 8, by * 8)
+        planes.append(plane)
+    return _jpeg_planes_to_result(planes, comps, w, h, hmax, vmax)
+
+
+def _jpeg_decode_progressive_scan(
+    payload, data_pos, seg, comps, grid, coef, huff_dc, huff_ac, dri
+):
+    """Entropy-decode ONE progressive scan into the coefficient grids;
+    returns the parse position of the next marker."""
+    ns = seg[0]
+    scomps = []
+    for s in range(ns):
+        cid, tdta = seg[1 + 2 * s : 3 + 2 * s]
+        for ci, c in enumerate(comps):
+            if c[0] == cid:
+                scomps.append((ci, tdta >> 4, tdta & 0xF))
+                break
+        else:
+            raise ValueError("JPEG scan references unknown component")
+    ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    br = _JpegBitReader(payload, data_pos)
+    zz = _JPEG_ZIGZAG
+
+    def correction(blk, idx, p1, m1):
+        if br.read_bit() and (blk[idx] & p1) == 0:
+            blk[idx] += p1 if blk[idx] >= 0 else m1
+
+    if ss == 0:
+        # ---- DC scan (first or refinement); se must be 0
+        if se != 0:
+            raise ValueError("bad progressive DC band")
+        pred = [0] * len(comps)
+        if ns == len(comps) and ns > 1:
+            # interleaved MCU order over the full grids
+            mcux = grid[0][0] // comps[0][1]
+            mcuy = grid[0][1] // comps[0][2]
+            n_mcu = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and n_mcu and n_mcu % dri == 0:
+                        br.expect_restart()
+                        pred = [0] * len(comps)
+                    for ci, td, ta in scomps:
+                        _, hs, vs, _ = comps[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                blk = coef[ci][my * vs + by][mx * hs + bx]
+                                if ah == 0:
+                                    t = huff_dc[td].decode(br)
+                                    pred[ci] += _jpeg_extend(br.receive(t), t) if t else 0
+                                    blk[0] = pred[ci] << al
+                                else:
+                                    blk[0] |= br.read_bit() << al
+                    n_mcu += 1
+        else:
+            # single-component DC scan (or 1-component image): block
+            # raster order over the component's FULL grid (a
+            # 1-component scan of a 1-component image is "interleaved"
+            # per T.81 and covers the padded grid)
+            for ci, td, ta in scomps:
+                wb, hb = grid[ci][0], grid[ci][1]
+                if len(comps) > 1:
+                    wb, hb = grid[ci][2], grid[ci][3]
+                n_mcu = 0
+                for by in range(hb):
+                    for bx in range(wb):
+                        if dri and n_mcu and n_mcu % dri == 0:
+                            br.expect_restart()
+                            pred[ci] = 0
+                        blk = coef[ci][by][bx]
+                        if ah == 0:
+                            t = huff_dc[td].decode(br)
+                            pred[ci] += _jpeg_extend(br.receive(t), t) if t else 0
+                            blk[0] = pred[ci] << al
+                        else:
+                            blk[0] |= br.read_bit() << al
+                        n_mcu += 1
+    else:
+        # ---- AC scan: always single-component, data-block raster order
+        if ns != 1 or se > 63 or ss > se:
+            raise ValueError("bad progressive AC band")
+        ci, td, ta = scomps[0]
+        act = huff_ac.get(ta)
+        if act is None:
+            raise ValueError("JPEG references undefined table")
+        wb, hb = (grid[ci][0], grid[ci][1]) if len(comps) == 1 else (
+            grid[ci][2], grid[ci][3]
+        )
+        p1, m1 = 1 << al, -1 << al
+        eobrun = 0
+        n_mcu = 0
+        for by in range(hb):
+            for bx in range(wb):
+                if dri and n_mcu and n_mcu % dri == 0:
+                    br.expect_restart()
+                    eobrun = 0
+                n_mcu += 1
+                blk = coef[ci][by][bx]
+                if ah == 0:
+                    # ---- AC first scan (G.1.2.2): EOB runs span blocks
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = act.decode(br)
+                        r, size = rs >> 4, rs & 0xF
+                        if size:
+                            k += r
+                            if k > se:
+                                raise ValueError("JPEG AC run overflow")
+                            blk[zz[k]] = (
+                                _jpeg_extend(br.receive(size), size) << al
+                            )
+                        else:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.receive(r)
+                                break
+                            k += 15  # ZRL
+                        k += 1
+                else:
+                    # ---- AC refinement (G.1.2.3): correction bits
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = act.decode(br)
+                            r, size = rs >> 4, rs & 0xF
+                            newval = 0
+                            if size == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.receive(r)
+                                    break
+                            else:
+                                if size != 1:
+                                    raise ValueError(
+                                        "bad refinement magnitude"
+                                    )
+                                newval = p1 if br.read_bit() else m1
+                            while k <= se:
+                                idx = zz[k]
+                                if blk[idx] != 0:
+                                    correction(blk, idx, p1, m1)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                blk[zz[k]] = newval
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            idx = zz[k]
+                            if blk[idx] != 0:
+                                correction(blk, idx, p1, m1)
+                            k += 1
+                        eobrun -= 1
+    # scan ends: discard padding bits; next marker begins at br.i
+    # unless the reader already consumed one
+    return br.i - 2 if br.marker is not None else br.i
 
 
 def _jpeg_dims(p: bytes):

@@ -1605,6 +1605,351 @@ def _encode_jpeg_baseline(comps_data, w, h, quant, subsample=False):
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# coefficient-level JPEG stream builders (test oracles for the decoder):
+# the SAME quantized-coefficient grids rendered as a baseline stream and
+# as a progressive multi-scan stream must decode to identical pixels.
+# ---------------------------------------------------------------------------
+
+_T_DC_SYMS = list(range(12))
+_T_AC_SYMS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [(r << 4) for r in range(1, 15)]  # EOBn codes for progressive runs
+)
+_T_DC_CODES = {sym: (i, 4) for i, sym in enumerate(_T_DC_SYMS)}
+_T_AC_CODES = {sym: (i, 9) for i, sym in enumerate(_T_AC_SYMS)}
+
+
+def _t_huff_segments():
+    import struct
+
+    def seg(tc_th, length, symbols):
+        counts = [0] * 16
+        counts[length - 1] = len(symbols)
+        return (
+            b"\xff\xc4"
+            + struct.pack(">H", 2 + 1 + 16 + len(symbols))
+            + bytes([tc_th])
+            + bytes(counts)
+            + bytes(symbols)
+        )
+
+    return seg(0x00, 4, _T_DC_SYMS) + seg(0x10, 9, _T_AC_SYMS)
+
+
+def _t_bits_to_bytes(bits):
+    while len(bits) % 8:
+        bits.append(1)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for b in bits[i : i + 8]:
+            byte = (byte << 1) | b
+        data.append(byte)
+        if byte == 0xFF:
+            data.append(0x00)
+    return bytes(data)
+
+
+def _t_put(bits, code, n):
+    for k in range(n - 1, -1, -1):
+        bits.append((code >> k) & 1)
+
+
+def _t_coef_grids(planes, samp, quant):
+    """Quantized-coefficient grids from full-res component planes
+    (already subsampled per samp): grids[ci][by][bx] = [64] naturals."""
+    import math
+
+    from newspaper_spark.operators.multimodal import _IDCT_A
+
+    A = _IDCT_A
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    ph = len(planes[0])
+    pw = len(planes[0][0])
+    mcux = (pw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (ph + 8 * vmax - 1) // (8 * vmax)
+    grids = []
+    for ci, plane in enumerate(planes):
+        hs, vs = samp[ci]
+        wb, hb = mcux * hs, mcuy * vs
+        cph = len(plane)
+        cpw = len(plane[0])
+        grid = []
+        for by in range(hb):
+            row = []
+            for bx in range(wb):
+                block = [
+                    plane[min(by * 8 + y, cph - 1)][min(bx * 8 + x, cpw - 1)]
+                    - 128
+                    for y in range(8)
+                    for x in range(8)
+                ]
+                coef = [0] * 64
+                for v in range(8):
+                    for u in range(8):
+                        s = 0.0
+                        for y in range(8):
+                            for x in range(8):
+                                s += A[v][y] * A[u][x] * block[8 * y + x]
+                        q = s / quant[8 * v + u]
+                        coef[8 * v + u] = (
+                            math.floor(q + 0.5)
+                            if q >= 0
+                            else -math.floor(-q + 0.5)
+                        )
+                row.append(coef)
+            grid.append(row)
+        grids.append(grid)
+    return grids, mcux, mcuy
+
+
+def _t_headers(w, h, quant, samp, sof_marker):
+    import struct
+
+    from newspaper_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    nf = len(samp)
+    out = bytearray(b"\xff\xd8")
+    zz_quant = bytes(quant[_JPEG_ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_quant
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([nf])
+    for ci in range(nf):
+        sof += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], 0])
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
+    out += _t_huff_segments()
+    return out
+
+
+def _t_sos(scomp_ids, ss, se, ah, al):
+    import struct
+
+    sos = bytearray([len(scomp_ids)])
+    for cid in scomp_ids:
+        sos += bytes([cid, 0x00])
+    sos += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+
+def _t_emit_val(bits, v, size):
+    _t_put(bits, v if v >= 0 else v + (1 << size) - 1, size)
+
+
+def _t_encode_baseline_from_coefs(grids, samp, w, h, quant):
+    from newspaper_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    bits = []
+    preds = [0] * len(grids)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, grid in enumerate(grids):
+                hs, vs = samp[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = grid[my * vs + by][mx * hs + bx]
+                        diff = coef[0] - preds[ci]
+                        preds[ci] = coef[0]
+                        size = abs(diff).bit_length()
+                        c, n = _T_DC_CODES[size]
+                        _t_put(bits, c, n)
+                        if size:
+                            _t_emit_val(bits, diff, size)
+                        zzv = [coef[_JPEG_ZIGZAG[i]] for i in range(64)]
+                        run = 0
+                        for k in range(1, 64):
+                            v = zzv[k]
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                c, n = _T_AC_CODES[0xF0]
+                                _t_put(bits, c, n)
+                                run -= 16
+                            size = abs(v).bit_length()
+                            c, n = _T_AC_CODES[(run << 4) | size]
+                            _t_put(bits, c, n)
+                            _t_emit_val(bits, v, size)
+                            run = 0
+                        if run:
+                            c, n = _T_AC_CODES[0x00]
+                            _t_put(bits, c, n)
+    return bytes(
+        _t_headers(w, h, quant, samp, b"\xff\xc0")
+        + _t_sos(list(range(1, len(grids) + 1)), 0, 63, 0, 0)
+        + _t_bits_to_bytes(bits)
+        + b"\xff\xd9"
+    )
+
+
+def _t_encode_progressive_from_coefs(grids, samp, w, h, quant):
+    """Multi-scan progressive stream: interleaved DC first (Al=1) +
+    DC refinement, then per-component AC first (Al=1, EOB runs) and
+    AC refinement (Al=0, libjpeg-faithful correction-bit buffering)."""
+    from newspaper_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    nf = len(grids)
+    out = bytearray(_t_headers(w, h, quant, samp, b"\xff\xc2"))
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(nf):
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            yield ci, grids[ci][my * vs + by][mx * hs + bx]
+
+    def comp_blocks(ci):
+        # non-interleaved AC scans cover the component's DATA blocks
+        hs, vs = samp[ci]
+        if nf == 1:
+            wb, hb = mcux * hs, mcuy * vs
+        else:
+            cw = (w * hs + hmax - 1) // hmax
+            ch = (h * vs + vmax - 1) // vmax
+            wb, hb = (cw + 7) // 8, (ch + 7) // 8
+        for by in range(hb):
+            for bx in range(wb):
+                yield grids[ci][by][bx]
+
+    # ---- scan 1: DC first, Al=1 (interleaved over all components)
+    bits = []
+    preds = [0] * nf
+    for ci, coef in mcu_blocks():
+        val = coef[0] >> 1
+        diff = val - preds[ci]
+        preds[ci] = val
+        size = abs(diff).bit_length()
+        c, n = _T_DC_CODES[size]
+        _t_put(bits, c, n)
+        if size:
+            _t_emit_val(bits, diff, size)
+    out += _t_sos(list(range(1, nf + 1)), 0, 0, 0, 1) + _t_bits_to_bytes(bits)
+    # ---- scan 2: DC refinement, Al=0 (raw bits)
+    bits = []
+    for ci, coef in mcu_blocks():
+        bits.append(coef[0] & 1)
+    out += _t_sos(list(range(1, nf + 1)), 0, 0, 1, 0) + _t_bits_to_bytes(bits)
+    # ---- per component: AC first (Al=1) then AC refinement (Al=0)
+    for ci in range(nf):
+        bits = []
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                c, n = _T_AC_CODES[r << 4]
+                _t_put(bits, c, n)
+                if r:
+                    _t_put(bits, eobrun - (1 << r), r)
+                eobrun = 0
+
+        for coef in comp_blocks(ci):
+            zzv = [coef[_JPEG_ZIGZAG[i]] for i in range(64)]
+            tv = [
+                (v >> 1) if v >= 0 else -((-v) >> 1) for v in zzv
+            ]  # point transform: magnitude shift
+            nz = [k for k in range(1, 64) if tv[k] != 0]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for k in range(1, 64):
+                v = tv[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, n = _T_AC_CODES[0xF0]
+                    _t_put(bits, c, n)
+                    run -= 16
+                size = abs(v).bit_length()
+                c, n = _T_AC_CODES[(run << 4) | size]
+                _t_put(bits, c, n)
+                _t_emit_val(bits, v, size)
+                run = 0
+            if nz[-1] < 63:
+                eobrun += 1
+        flush_eob()
+        out += _t_sos([ci + 1], 1, 63, 0, 1) + _t_bits_to_bytes(bits)
+
+        # AC refinement: libjpeg encode_mcu_AC_refine, Ah=1 → Al=0
+        bits = []
+        eobrun = 0
+        be_bits = []
+
+        def flush_eob_refine():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                c, n = _T_AC_CODES[r << 4]
+                _t_put(bits, c, n)
+                if r:
+                    _t_put(bits, eobrun - (1 << r), r)
+                eobrun = 0
+            bits.extend(be_bits)
+            be_bits.clear()
+
+        for coef in comp_blocks(ci):
+            zzv = [coef[_JPEG_ZIGZAG[i]] for i in range(64)]
+            absv = [abs(v) for v in zzv]  # Al = 0: |coef| >> 0
+            eob_k = 0
+            for k in range(1, 64):
+                if absv[k] == 1:
+                    eob_k = k
+            r = 0
+            br_bits = []
+            emitted = False
+            for k in range(1, 64):
+                temp = absv[k]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob_k:
+                    flush_eob_refine()
+                    c, n = _T_AC_CODES[0xF0]
+                    _t_put(bits, c, n)
+                    r -= 16
+                    bits.extend(br_bits)
+                    br_bits = []
+                if temp > 1:
+                    br_bits.append(temp & 1)
+                    continue
+                flush_eob_refine()
+                c, n = _T_AC_CODES[(r << 4) | 1]
+                _t_put(bits, c, n)
+                bits.append(1 if zzv[k] >= 0 else 0)
+                bits.extend(br_bits)
+                br_bits = []
+                r = 0
+                emitted = True
+            if r > 0 or br_bits:
+                eobrun += 1
+                be_bits.extend(br_bits)
+                if eobrun == 0x7FFF:
+                    flush_eob_refine()
+            del emitted
+        flush_eob_refine()
+        out += _t_sos([ci + 1], 1, 63, 1, 0) + _t_bits_to_bytes(bits)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def test_jpeg_decoder_roundtrip_gray():
     """Encode a deterministic 16×24 grayscale gradient with the test
     encoder (quant all-ones ⇒ only DCT/quant rounding), decode with the
@@ -1656,18 +2001,86 @@ def test_jpeg_decoder_roundtrip_color_and_subsampled():
             assert abs(f - expect) < 6.0 / 255.0
 
 
-def test_jpeg_decoder_rejects_progressive():
+def test_jpeg_progressive_equals_baseline_gray():
+    """The SAME quantized coefficients rendered as a baseline stream
+    and as a 4-scan progressive stream (DC first/refine + AC first
+    with EOB runs / AC refine with correction bits) must decode to
+    IDENTICAL pixels — the two entropy paths share one IDCT."""
+    from newspaper_spark.operators.multimodal import (
+        _decode_jpeg,
+        _jpeg_sof_marker,
+    )
+
+    w, h = 24, 16
+    plane = [[(x * 11 + y * 7 + (x * y) % 13) % 256 for x in range(w)]
+             for y in range(h)]
+    quant = [1] * 64
+    grids, _, _ = _t_coef_grids([plane], [(1, 1)], quant)
+    base = _t_encode_baseline_from_coefs(grids, [(1, 1)], w, h, quant)
+    prog = _t_encode_progressive_from_coefs(grids, [(1, 1)], w, h, quant)
+    assert _jpeg_sof_marker(base) == 0xC0
+    assert _jpeg_sof_marker(prog) == 0xC2
+    assert _decode_jpeg(prog) == _decode_jpeg(base)
+
+
+def test_jpeg_progressive_equals_baseline_color_subsampled():
+    """3-component YCbCr with 2×2-subsampled chroma: interleaved DC
+    scans + per-component non-interleaved AC scans over the DATA block
+    grid (not the MCU-padded grid) must equal the baseline decode."""
+    from newspaper_spark.operators.multimodal import _decode_jpeg
+
+    w, h = 20, 12  # non-multiple of 16: exercises MCU padding blocks
+    Y = [[(x * 9 + y * 5) % 256 for x in range(w)] for y in range(h)]
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    Cb = [[(x * 3 + y * 13 + 40) % 256 for x in range(cw)] for y in range(ch)]
+    Cr = [[(x * 7 + y * 2 + 90) % 256 for x in range(cw)] for y in range(ch)]
+    quant = [1] * 64
+    samp = [(2, 2), (1, 1), (1, 1)]
+    grids, _, _ = _t_coef_grids([Y, Cb, Cr], samp, quant)
+    base = _t_encode_baseline_from_coefs(grids, samp, w, h, quant)
+    prog = _t_encode_progressive_from_coefs(grids, samp, w, h, quant)
+    assert _decode_jpeg(prog) == _decode_jpeg(base)
+
+
+def test_jpeg_progressive_eobrun_zrl_and_negatives():
+    """Hand-picked coefficient grids hitting the tricky paths: EOB runs
+    spanning several all-zero blocks, a >16-zero gap (ZRL) inside the
+    refinement scan, and negative coefficients refined away from zero."""
+    from newspaper_spark.operators.multimodal import _decode_jpeg
+
+    w, h = 32, 8  # 4 blocks in a row
+    def blk(**kv):
+        c = [0] * 64
+        for k, v in kv.items():
+            c[int(k[1:])] = v
+        return c
+
+    grids = [[[
+        blk(i0=10, i1=3, i8=-5, i41=2),   # i41: zigzag pos ~30, big gap
+        blk(),                            # all-zero → EOB run
+        blk(),                            # all-zero → extends run
+        blk(i0=-7, i63=-1),               # negative DC; last-coef edge
+    ]]]
+    quant = [1] * 64
+    samp = [(1, 1)]
+    base = _t_encode_baseline_from_coefs(grids, samp, w, h, quant)
+    prog = _t_encode_progressive_from_coefs(grids, samp, w, h, quant)
+    assert _decode_jpeg(prog) == _decode_jpeg(base)
+
+
+def test_jpeg_decoder_rejects_arithmetic_and_lossless():
     import pytest
 
     from newspaper_spark.operators.multimodal import _decode_jpeg
 
     w, h = 16, 16
     plane = [[100] * w for _ in range(h)]
-    payload = bytearray(_encode_jpeg_baseline([plane], w, h, [1] * 64))
-    i = payload.index(b"\xff\xc0")
-    payload[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="progressive"):
-        _decode_jpeg(bytes(payload))
+    for sof in (0xC3, 0xC9, 0xCA):  # lossless / arithmetic variants
+        payload = bytearray(_encode_jpeg_baseline([plane], w, h, [1] * 64))
+        i = payload.index(b"\xff\xc0")
+        payload[i + 1] = sof
+        with pytest.raises(ValueError):
+            _decode_jpeg(bytes(payload))
 
 
 def test_jpeg_probe_and_decoder_agree_on_dims():
