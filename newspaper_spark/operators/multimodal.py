@@ -4,8 +4,10 @@ Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode/resize/frame-sample run as Arrow-batched ``mapInPandas`` stages.
 ``real_decode=True`` parses REAL containers with pure-stdlib decoders —
 PPM (P6), uncompressed BMP, PNG (zlib inflate + full scanline
-unfiltering), non-interlaced GIF (variable-width LZW), and baseline
-sequential JPEG (Huffman + dequant + IDCT + YCbCr) — and surfaces
+unfiltering), non-interlaced GIF (variable-width LZW), and JPEG — BOTH baseline
+sequential and progressive (T.81 Annex G: spectral selection +
+successive approximation), Huffman + dequant + IDCT + YCbCr — and
+surfaces
 every other variant as a per-row ValueError in the error column: that
 error path is exactly where a PIL/opencv decoder would plug in on a
 cluster that has them (this container does not). ``real_decode=False``

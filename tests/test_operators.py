@@ -1787,10 +1787,14 @@ def _t_encode_baseline_from_coefs(grids, samp, w, h, quant):
     )
 
 
-def _t_encode_progressive_from_coefs(grids, samp, w, h, quant):
+def _t_encode_progressive_from_coefs(grids, samp, w, h, quant, dri=0):
     """Multi-scan progressive stream: interleaved DC first (Al=1) +
     DC refinement, then per-component AC first (Al=1, EOB runs) and
-    AC refinement (Al=0, libjpeg-faithful correction-bit buffering)."""
+    AC refinement (Al=0, libjpeg-faithful correction-bit buffering).
+    ``dri`` > 0 inserts restart markers every dri MCUs in the DC scans
+    (preds reset; byte-aligned RSTn cycle)."""
+    import struct
+
     from newspaper_spark.operators.multimodal import _JPEG_ZIGZAG
 
     hmax = max(s[0] for s in samp)
@@ -1799,15 +1803,8 @@ def _t_encode_progressive_from_coefs(grids, samp, w, h, quant):
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     nf = len(grids)
     out = bytearray(_t_headers(w, h, quant, samp, b"\xff\xc2"))
-
-    def mcu_blocks():
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci in range(nf):
-                    hs, vs = samp[ci]
-                    for by in range(vs):
-                        for bx in range(hs):
-                            yield ci, grids[ci][my * vs + by][mx * hs + bx]
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", dri)
 
     def comp_blocks(ci):
         # non-interleaved AC scans cover the component's DATA blocks
@@ -1822,24 +1819,44 @@ def _t_encode_progressive_from_coefs(grids, samp, w, h, quant):
             for bx in range(wb):
                 yield grids[ci][by][bx]
 
-    # ---- scan 1: DC first, Al=1 (interleaved over all components)
-    bits = []
-    preds = [0] * nf
-    for ci, coef in mcu_blocks():
-        val = coef[0] >> 1
-        diff = val - preds[ci]
-        preds[ci] = val
-        size = abs(diff).bit_length()
-        c, n = _T_DC_CODES[size]
-        _t_put(bits, c, n)
-        if size:
-            _t_emit_val(bits, diff, size)
-    out += _t_sos(list(range(1, nf + 1)), 0, 0, 0, 1) + _t_bits_to_bytes(bits)
-    # ---- scan 2: DC refinement, Al=0 (raw bits)
-    bits = []
-    for ci, coef in mcu_blocks():
-        bits.append(coef[0] & 1)
-    out += _t_sos(list(range(1, nf + 1)), 0, 0, 1, 0) + _t_bits_to_bytes(bits)
+    # ---- scans 1+2: DC first (Al=1) then DC refinement (Al=0), both
+    # interleaved over MCUs, with optional restart markers every dri
+    for scan_i in (0, 1):
+        data = bytearray()
+        bits = []
+        preds = [0] * nf
+        n_mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if dri and n_mcu and n_mcu % dri == 0:
+                    data += _t_bits_to_bytes(bits)
+                    bits = []
+                    data += bytes([0xFF, 0xD0 + ((n_mcu // dri - 1) % 8)])
+                    preds = [0] * nf
+                for ci in range(nf):
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            coef = grids[ci][my * vs + by][mx * hs + bx]
+                            if scan_i == 0:
+                                val = coef[0] >> 1
+                                diff = val - preds[ci]
+                                preds[ci] = val
+                                size = abs(diff).bit_length()
+                                c, n = _T_DC_CODES[size]
+                                _t_put(bits, c, n)
+                                if size:
+                                    _t_emit_val(bits, diff, size)
+                            else:
+                                bits.append(coef[0] & 1)
+                n_mcu += 1
+        data += _t_bits_to_bytes(bits)
+        ah, al = (0, 1) if scan_i == 0 else (1, 0)
+        out += _t_sos(list(range(1, nf + 1)), 0, 0, ah, al) + data
+    if dri:
+        # disable restarts for the AC scans below (DRI redefinition
+        # between scans, T.81 B.2.4.4)
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 0)
     # ---- per component: AC first (Al=1) then AC refinement (Al=0)
     for ci in range(nf):
         bits = []
@@ -2066,6 +2083,24 @@ def test_jpeg_progressive_eobrun_zrl_and_negatives():
     base = _t_encode_baseline_from_coefs(grids, samp, w, h, quant)
     prog = _t_encode_progressive_from_coefs(grids, samp, w, h, quant)
     assert _decode_jpeg(prog) == _decode_jpeg(base)
+
+
+def test_jpeg_progressive_with_restart_markers():
+    """DRI in a progressive stream: DC scans carry RSTn markers every 2
+    MCUs (pred resets, byte-aligned), AC scans follow a DRI=0
+    redefinition — decode must equal the restart-free encoding."""
+    from newspaper_spark.operators.multimodal import _decode_jpeg
+
+    w, h = 48, 8  # 6 MCUs in a row → markers RST0, RST1 at MCUs 2, 4
+    plane = [[(x * 5 + y * 17) % 256 for x in range(w)] for y in range(h)]
+    quant = [1] * 64
+    grids, _, _ = _t_coef_grids([plane], [(1, 1)], quant)
+    plain = _t_encode_progressive_from_coefs(grids, [(1, 1)], w, h, quant)
+    with_rst = _t_encode_progressive_from_coefs(
+        grids, [(1, 1)], w, h, quant, dri=2
+    )
+    assert b"\xff\xd0" in with_rst and with_rst != plain
+    assert _decode_jpeg(with_rst) == _decode_jpeg(plain)
 
 
 def test_jpeg_decoder_rejects_arithmetic_and_lossless():
