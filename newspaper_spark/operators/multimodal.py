@@ -149,54 +149,15 @@ def _decode_bmp(payload: bytes):
     return (w, h, 1, _raster_feature(pixels))
 
 
-def _decode_png(payload: bytes):
-    """PNG decoder on stdlib zlib alone: IHDR geometry, concatenated
-    IDAT inflate, full scanline unfiltering (None/Sub/Up/Average/Paeth)
-    for 8-bit gray/RGB(+alpha). Interlaced or sub-byte-depth variants
-    raise (the PIL plug-in slot)."""
-    import struct
-    import zlib
-
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("bad PNG signature")
-    pos = 8
-    width = height = None
-    channels = None
-    idat = []
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        # declared length past the payload end = truncation; keep every
-        # malformed-media failure on the documented ValueError channel
-        if len(data) < length:
-            raise ValueError("truncated PNG chunk")
-        if ctype == b"IHDR":
-            if length < 13:
-                raise ValueError("truncated PNG IHDR")
-            width, height, bitd, colort, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data[:13]
-            )
-            if bitd != 8 or interlace != 0 or colort not in (0, 2, 4, 6):
-                raise ValueError("unsupported PNG variant")
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}[colort]
-        elif ctype == b"IDAT":
-            idat.append(data)
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length  # length + type + data + CRC
-    if width is None or not idat:
-        raise ValueError("truncated PNG")
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as e:
-        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+def _png_unfilter(raw: bytes, p: int, width: int, height: int, channels: int):
+    """Unfilter ``height`` scanlines of ``width`` pixels starting at
+    offset ``p`` in the inflated stream (None/Sub/Up/Average/Paeth);
+    returns (rows: list[bytearray], next offset)."""
     stride = width * channels
-    if len(raw) < height * (stride + 1):
+    if len(raw) - p < height * (stride + 1):
         raise ValueError("truncated PNG raster")
-    out = bytearray()
+    rows = []
     prev = bytearray(stride)
-    p = 0
     for _y in range(height):
         f = raw[p]
         p += 1
@@ -222,9 +183,83 @@ def _decode_png(payload: bytes):
                 line[x] = (line[x] + pred) & 0xFF
         elif f != 0:
             raise ValueError(f"bad PNG filter {f}")
-        out += line
+        rows.append(line)
         prev = line
-    return (width, height, 1, _raster_feature(bytes(out)))
+    return rows, p
+
+
+#: Adam7 pass geometry: (x0, y0, dx, dy)
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _decode_png(payload: bytes):
+    """PNG decoder on stdlib zlib alone: IHDR geometry, concatenated
+    IDAT inflate, full scanline unfiltering (None/Sub/Up/Average/Paeth)
+    for 8-bit gray/RGB(+alpha), both sequential and Adam7-interlaced
+    (each pass unfiltered as its own sub-image, pixels scattered back).
+    Sub-byte depths / palette PNGs raise (the PIL plug-in slot)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    pos = 8
+    width = height = None
+    channels = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        # declared length past the payload end = truncation; keep every
+        # malformed-media failure on the documented ValueError channel
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            if length < 13:
+                raise ValueError("truncated PNG IHDR")
+            width, height, bitd, colort, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+            if bitd != 8 or interlace not in (0, 1) or colort not in (0, 2, 4, 6):
+                raise ValueError("unsupported PNG variant")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}[colort]
+            adam7 = interlace == 1
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + CRC
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if not adam7:
+        rows, _ = _png_unfilter(raw, 0, width, height, channels)
+        return (width, height, 1, _raster_feature(bytes(b"".join(rows))))
+    # Adam7: each pass is filtered as an independent sub-image; scatter
+    # its pixels into the full-resolution grid
+    grid = [bytearray(width * channels) for _ in range(height)]
+    p = 0
+    for x0, y0, dx, dy in _PNG_ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        rows, p = _png_unfilter(raw, p, pw, ph, channels)
+        for ry, line in enumerate(rows):
+            y = y0 + ry * dy
+            for rx in range(pw):
+                x = x0 + rx * dx
+                grid[y][x * channels : (x + 1) * channels] = line[
+                    rx * channels : (rx + 1) * channels
+                ]
+    return (width, height, 1, _raster_feature(bytes(b"".join(grid))))
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
@@ -277,8 +312,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:
 def _decode_gif(payload: bytes):
     """GIF87a/89a decoder on the stdlib alone: logical screen, global/
     local color table, extension-block skipping, first frame's LZW
-    index stream → palette-mapped RGB. Interlaced frames raise (the
-    PIL plug-in slot, same policy as the PNG variants)."""
+    index stream → palette-mapped RGB, including interlaced frames
+    (the four-pass row shuffle of GIF89a Appendix E)."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -308,8 +343,7 @@ def _decode_gif(payload: bytes):
             _ix, _iy, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
             ipacked = payload[pos + 9]
             pos += 10
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF unsupported")
+            interlaced = bool(ipacked & 0x40)
             ct = gct
             if ipacked & 0x80:
                 size = 2 << (ipacked & 7)
@@ -342,9 +376,22 @@ def _decode_gif(payload: bytes):
             n_colors = len(ct) // 3
             if any(i >= n_colors for i in idx[: iw * ih]):
                 raise ValueError("GIF index out of palette range")
-            pixels = b"".join(
-                ct[3 * i : 3 * i + 3] for i in idx[: iw * ih]
-            )
+            idx = idx[: iw * ih]
+            if interlaced:
+                # GIF89a Appendix E: rows arrive in 4 passes
+                # (every 8th from 0, every 8th from 4, every 4th from
+                # 2, every 2nd from 1); re-place them top-to-bottom
+                order = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                rows = [None] * ih
+                for seq, y in enumerate(order):
+                    rows[y] = idx[seq * iw : (seq + 1) * iw]
+                idx = b"".join(rows)
+            pixels = b"".join(ct[3 * i : 3 * i + 3] for i in idx)
             return (w or iw, h or ih, 1, _raster_feature(pixels))
         elif b == 0x3B:  # trailer
             break

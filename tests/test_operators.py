@@ -759,6 +759,52 @@ def test_png_decoder_real():
 
     assert feat == _raster_feature(raster)
 
+
+def test_png_adam7_interlaced():
+    """Adam7 PNG: the same pixels packed as 7 independently-filtered
+    pass sub-images decode to the identical raster as the sequential
+    encoding (each non-empty pass exercised: 13×11 hits all 7)."""
+    import struct
+    import zlib
+
+    from newspaper_spark.operators.multimodal import (
+        _PNG_ADAM7,
+        _decode_image,
+        _raster_feature,
+    )
+
+    w, h, ch = 13, 11, 3
+    px = [
+        [bytes(((x * 5 + y * 11 + c * 3) & 0xFF) for c in range(ch))
+         for x in range(w)]
+        for y in range(h)
+    ]
+    stream = bytearray()
+    for x0, y0, dx, dy in _PNG_ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        prev = bytes(pw * ch)
+        for ry in range(ph):
+            line = b"".join(px[y0 + ry * dy][x0 + rx * dx] for rx in range(pw))
+            stream.append(2)  # Up filter: exercises cross-row state per pass
+            stream += bytes((line[i] - prev[i]) & 0xFF for i in range(len(line)))
+            prev = line
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+           + chunk(b"IDAT", zlib.compress(bytes(stream)))
+           + chunk(b"IEND", b""))
+    wd, hd, nf, feat = _decode_image(png, real_decode=True)
+    assert (wd, hd, nf) == (w, h, 1)
+    raster = b"".join(b"".join(row) for row in px)
+    assert feat == _raster_feature(raster)
+
     # interlaced / 16-bit variants must raise (honest plug-in slot)
     bad = (b"\x89PNG\r\n\x1a\n"
            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)))
@@ -2205,18 +2251,35 @@ def test_gif_decoder_real():
     expected = b"".join(bytes(palette[i]) for i in indices)
     assert feat == _raster_feature(expected)
 
-    # interlaced flag must go to the error channel, not misdecode
-    import pytest
-
-    interlaced = bytearray(gif)
-    # image descriptor packed byte: 6 (sig) + 7 (LSD) + 12 (GCT) +
-    # 9 (comment ext: 0x21 0xfe len + 5 payload + terminator) +
-    # 1 (0x2c) + 8 (geometry) = its offset
-    desc_off = 6 + 7 + 12 + 9 + 1 + 8
-    assert gif[desc_off] == 0x00
-    interlaced[desc_off] = 0x40
-    with pytest.raises(ValueError, match="interlaced"):
-        _decode_image(bytes(interlaced), real_decode=True)
+    # interlaced variant: same pixels emitted in the GIF89a 4-pass row
+    # order with the interlace flag set must decode to the SAME raster
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    ilace_indices = [indices[y * w + x] for y in order for x in range(w)]
+    bits2 = []
+    bits[:] = []
+    emit(clear)
+    for i in ilace_indices:
+        emit(i)
+        emit(clear)
+    emit(end)
+    bits2, bits[:] = bits[:], bits2
+    data2 = bytearray()
+    for i in range(0, len(bits2), 8):
+        byte = 0
+        for k, b in enumerate(bits2[i : i + 8]):
+            byte |= b << k
+        data2.append(byte)
+    gif2 = bytearray(gif[: 6 + 7 + 12 + 9])  # header..comment ext
+    gif2 += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x40"  # interlaced
+    gif2 += bytes([min_code])
+    for i in range(0, len(data2), 255):
+        block = data2[i : i + 255]
+        gif2 += bytes([len(block)]) + block
+    gif2 += b"\x00\x3b"
+    gw2, gh2, nf2, feat2 = _decode_image(bytes(gif2), real_decode=True)
+    assert (gw2, gh2, nf2) == (w, h, 1)
+    assert feat2 == _raster_feature(expected)
 
 
 def test_probe_image_dims_headers():
