@@ -1129,6 +1129,16 @@ def q_dsir(spark, sf_dir):
     return dsir_scores(d, target, n_buckets=1024)
 
 
+def q_gopher_filters(spark, sf_dir):
+    """Gopher/MassiveText document-level quality rules (Rae et al.
+    2021 §A1.1) with per-rule attribution flags — all thresholds
+    compared in exact integer arithmetic, so the oracle replays them
+    with zero float-division drift."""
+    from newspaper_spark.operators.filters import gopher_filters
+
+    return gopher_filters(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def q_corpus_prep(spark, sf_dir):
     """End-to-end training-data prep over documents: exact-dedup (keep
     min-id representative) → language-ID → quality score → token count
@@ -1175,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_prep": q_corpus_prep,
         "media_decode_jpeg": q_media_decode_jpeg,  # new in r4: never sampled
         "dsir": q_dsir,  # new in r4: never sampled
+        "gopher_filters": q_gopher_filters,  # new in r4: never sampled
         "extract_fulltext": q_extract_fulltext,
         "extract_title": q_extract_title,
         "extract_meta": q_extract_meta,
@@ -1862,6 +1873,64 @@ def oracle_sql() -> dict[str, str]:
                    t.n_sentences,
                    (t.n_sentences - coalesce(k.n_kept, 0))::BIGINT AS n_removed
             FROM tot t LEFT JOIN ka k USING (doc_id)
+        """,
+        "gopher_filters": """
+            WITH base AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS c,
+                       trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm
+                FROM documents
+            ), t AS (
+                SELECT doc_id, n_words, total_wchars, n_hash, n_ellipsis,
+                       len(lines)::BIGINT AS n_lines,
+                       len(list_filter(lines, s -> starts_with(s, '•')
+                                              OR starts_with(s, '- ')
+                                              OR starts_with(s, '* ')))::BIGINT AS n_bullet,
+                       len(list_filter(lines, s -> ends_with(s, '...')
+                                              OR ends_with(s, '…')))::BIGINT AS n_ell,
+                       len(list_filter(toks, tk -> regexp_matches(tk, '[a-zA-Z]')))::BIGINT AS n_alpha,
+                       (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)::BIGINT AS n_stop
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN norm = '' THEN 0
+                                ELSE len(string_split(norm, ' ')) END::BIGINT AS n_words,
+                           length(replace(norm, ' ', ''))::BIGINT AS total_wchars,
+                           (length(c) - length(replace(c, '#', '')))::BIGINT AS n_hash,
+                           ((length(c) - length(replace(c, '...', ''))) // 3)::BIGINT AS n_ellipsis,
+                           list_filter(list_transform(string_split(c, chr(10)),
+                                                      s -> regexp_replace(s, '^[ \\t\\r]+|[ \\t\\r]+$', '', 'g')),
+                                       s -> s <> '') AS lines,
+                           string_split(norm, ' ') AS toks
+                    FROM base
+                )
+            )
+            SELECT doc_id,
+                   n_words,
+                   n_lines,
+                   (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+                   (n_words > 0 AND 3 * n_words <= total_wchars
+                    AND total_wchars <= 10 * n_words) AS mean_word_len_ok,
+                   (10 * (n_hash + n_ellipsis) <= n_words) AS symbol_ratio_ok,
+                   (10 * n_bullet <= 9 * n_lines) AS bullet_ok,
+                   (10 * n_ell <= 3 * n_lines) AS ellipsis_ok,
+                   (n_words > 0 AND 5 * n_alpha >= 4 * n_words) AS alpha_ok,
+                   (n_stop >= 2) AS stopword_ok,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (n_words > 0 AND 3 * n_words <= total_wchars
+                         AND total_wchars <= 10 * n_words)
+                    AND (10 * (n_hash + n_ellipsis) <= n_words)
+                    AND (10 * n_bullet <= 9 * n_lines)
+                    AND (10 * n_ell <= 3 * n_lines)
+                    AND (n_words > 0 AND 5 * n_alpha >= 4 * n_words)
+                    AND (n_stop >= 2)) AS keep
+            FROM t
         """,
         "dsir": """
             WITH n AS (

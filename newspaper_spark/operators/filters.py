@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import token_count_col
+from .textstats import WS_CLASS, token_count_col
 
 
 def c4_filters(
@@ -63,5 +63,109 @@ def c4_filters(
             & ~has_javascript
             & enough_sentences
             & enough_words
+        ).alias("keep"),
+    )
+
+
+#: Gopher's "required stop words" (Rae et al. 2021, §A1.1): a document
+#: must contain at least 2 of these as whole tokens.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_filters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher/MassiveText document-level quality rules (Rae et al.
+    2021, §A1.1) with per-rule attribution flags, as one map-only
+    Column stage — the companion to ``c4_filters`` for the other
+    canonical web-corpus rule-set.
+
+    Rules (every threshold compared in EXACT integer arithmetic —
+    ``3 ≤ mean ≤ 10`` becomes ``3·n ≤ Σlen ≤ 10·n`` — so the SQL
+    oracle can never drift on float division):
+
+    * ``word_count_ok``    — min_words ≤ #tokens ≤ max_words
+    * ``mean_word_len_ok`` — mean token length in [3, 10]
+    * ``symbol_ratio_ok``  — (#'#' + #'...') / words ≤ 0.1
+    * ``bullet_ok``        — ≤ 90% of non-empty lines start with a
+                             bullet ('•', '- ', '* ')
+    * ``ellipsis_ok``      — ≤ 30% of non-empty lines end with
+                             '...' or '…'
+    * ``alpha_ok``         — ≥ 80% of tokens contain a-zA-Z
+    * ``stopword_ok``      — ≥ 2 distinct GOPHER_STOPWORDS present
+
+    Line rules split the RAW text on newlines (the whitespace-collapse
+    normalization would destroy line structure); line trimming uses an
+    explicit [ \\t\\r] class so Spark and the RE2 oracle read the same
+    set. The two per-line counts use Catalyst higher-order filters —
+    interpreted per LINE (tens per page), bounded like c4's sentence
+    count.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.trim(F.regexp_replace(F.lower(c), WS_CLASS + "+", " "))
+    toks = F.split(norm, " ")
+    n_words = F.when(norm == "", F.lit(0)).otherwise(F.size(toks)).cast("long")
+    # Σ token length without a per-token fold: collapse the spaces out
+    total_wchars = F.length(F.replace(norm, F.lit(" "), F.lit(""))).cast("long")
+    n_hash = (
+        F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ).cast("long")
+    n_ellipsis = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    lines = F.filter(
+        F.transform(
+            F.split(c, "\n"),
+            lambda s: F.regexp_replace(s, r"^[ \t\r]+|[ \t\r]+$", ""),
+        ),
+        lambda s: s != "",
+    )
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda s: s.startswith("•") | s.startswith("- ") | s.startswith("* "),
+        )
+    ).cast("long")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda s: s.endswith("...") | s.endswith("…"))
+    ).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))).cast("long")
+    n_stop = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS
+    ).cast("long")
+
+    word_count_ok = (n_words >= min_words) & (n_words <= max_words)
+    mean_word_len_ok = (n_words > 0) & (
+        (3 * n_words <= total_wchars) & (total_wchars <= 10 * n_words)
+    )
+    symbol_ratio_ok = 10 * (n_hash + n_ellipsis) <= n_words
+    bullet_ok = 10 * n_bullet <= 9 * n_lines
+    ellipsis_ok = 10 * n_ell_lines <= 3 * n_lines
+    alpha_ok = (n_words > 0) & (5 * n_alpha >= 4 * n_words)
+    stopword_ok = n_stop >= 2
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        word_count_ok.alias("word_count_ok"),
+        mean_word_len_ok.alias("mean_word_len_ok"),
+        symbol_ratio_ok.alias("symbol_ratio_ok"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (
+            word_count_ok
+            & mean_word_len_ok
+            & symbol_ratio_ok
+            & bullet_ok
+            & ellipsis_ok
+            & alpha_ok
+            & stopword_ok
         ).alias("keep"),
     )

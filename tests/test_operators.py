@@ -1249,6 +1249,34 @@ def test_c4_filters_rules(spark):
     assert not got[6].enough_words and not got[6].keep
 
 
+def test_gopher_filters_rules(spark):
+    """Each Gopher rule attributed independently (Rae et al. §A1.1);
+    thresholds integer-exact."""
+    from newspaper_spark.operators.filters import gopher_filters
+
+    good = ("the data and the model that we have built with care "
+            + "word " * 45).strip()
+    rows = [
+        (1, good),                                     # passes everything
+        (2, "too few words here"),                     # word_count fails
+        (3, good + " ####################"),           # symbol ratio fails
+        (4, good + "\n" + "\n".join("- item" for _ in range(30))),  # bullets
+        (5, good.replace("word", "1234")),             # alpha-word ratio fails
+        (6, ("xylophone " * 60).strip()),              # no stopwords
+        (7, None),                                     # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_filters(df).collect()}
+    assert got[1].keep and got[1].word_count_ok and got[1].stopword_ok
+    assert not got[2].word_count_ok and not got[2].keep
+    assert not got[3].symbol_ratio_ok and not got[3].keep
+    assert not got[4].bullet_ok and not got[4].keep
+    assert got[4].n_lines == 31
+    assert not got[5].alpha_ok and not got[5].keep
+    assert not got[6].stopword_ok and not got[6].keep
+    assert got[7].n_words == 0 and not got[7].keep
+
+
 def test_normalize_text_nfc_and_controls(spark):
     from newspaper_spark.operators.normalize import normalize_text
 
