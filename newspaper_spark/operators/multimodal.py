@@ -198,9 +198,9 @@ _PNG_ADAM7 = [
 def _decode_png(payload: bytes):
     """PNG decoder on stdlib zlib alone: IHDR geometry, concatenated
     IDAT inflate, full scanline unfiltering (None/Sub/Up/Average/Paeth)
-    for 8-bit gray/RGB(+alpha), both sequential and Adam7-interlaced
-    (each pass unfiltered as its own sub-image, pixels scattered back).
-    Sub-byte depths / palette PNGs raise (the PIL plug-in slot)."""
+    for 8-bit gray/RGB(+alpha)/palette (PLTE-mapped), both sequential
+    and Adam7-interlaced (each pass unfiltered as its own sub-image,
+    pixels scattered back). Sub-byte depths raise (the PIL slot)."""
     import struct
     import zlib
 
@@ -209,6 +209,7 @@ def _decode_png(payload: bytes):
     pos = 8
     width = height = None
     channels = None
+    palette = None
     idat = []
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -224,10 +225,15 @@ def _decode_png(payload: bytes):
             width, height, bitd, colort, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data[:13]
             )
-            if bitd != 8 or interlace not in (0, 1) or colort not in (0, 2, 4, 6):
+            if bitd != 8 or interlace not in (0, 1) or colort not in (0, 2, 3, 4, 6):
                 raise ValueError("unsupported PNG variant")
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}[colort]
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colort]
+            paletted = colort == 3
             adam7 = interlace == 1
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("bad PNG palette")
+            palette = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -239,9 +245,20 @@ def _decode_png(payload: bytes):
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    if paletted and palette is None:
+        raise ValueError("palette PNG without PLTE")
+
+    def finish(raster: bytes):
+        if paletted:
+            n_colors = len(palette) // 3
+            if any(i >= n_colors for i in raster):
+                raise ValueError("PNG index out of palette range")
+            raster = b"".join(palette[3 * i : 3 * i + 3] for i in raster)
+        return (width, height, 1, _raster_feature(raster))
+
     if not adam7:
         rows, _ = _png_unfilter(raw, 0, width, height, channels)
-        return (width, height, 1, _raster_feature(bytes(b"".join(rows))))
+        return finish(bytes(b"".join(rows)))
     # Adam7: each pass is filtered as an independent sub-image; scatter
     # its pixels into the full-resolution grid
     grid = [bytearray(width * channels) for _ in range(height)]
@@ -259,7 +276,7 @@ def _decode_png(payload: bytes):
                 grid[y][x * channels : (x + 1) * channels] = line[
                     rx * channels : (rx + 1) * channels
                 ]
-    return (width, height, 1, _raster_feature(bytes(b"".join(grid))))
+    return finish(bytes(b"".join(grid)))
 
 
 def _gif_lzw_decode(data: bytes, min_code_size: int) -> bytes:

@@ -760,6 +760,49 @@ def test_png_decoder_real():
     assert feat == _raster_feature(raster)
 
 
+def test_png_palette():
+    """Colour-type-3 PNG: PLTE-mapped indices decode to the same RGB
+    raster as the truecolour encoding of the same image; missing PLTE
+    and out-of-range indices hit the error channel."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from newspaper_spark.operators.multimodal import (
+        _decode_image,
+        _raster_feature,
+    )
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    w, h = 6, 4
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 17, 34, 51])
+    indices = [(x + y) % 4 for y in range(h) for x in range(w)]
+    stream = bytearray()
+    for y in range(h):
+        stream.append(0)
+        stream += bytes(indices[y * w : (y + 1) * w])
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", palette)
+           + chunk(b"IDAT", zlib.compress(bytes(stream)))
+           + chunk(b"IEND", b""))
+    wd, hd, nf, feat = _decode_image(png, real_decode=True)
+    assert (wd, hd, nf) == (w, h, 1)
+    rgb = b"".join(palette[3 * i : 3 * i + 3] for i in indices)
+    assert feat == _raster_feature(rgb)
+
+    no_plte = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(stream)))
+               + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="PLTE"):
+        _decode_image(no_plte, real_decode=True)
+
+
 def test_png_adam7_interlaced():
     """Adam7 PNG: the same pixels packed as 7 independently-filtered
     pass sub-images decode to the identical raster as the sequential
