@@ -94,21 +94,22 @@ def _raster_feature(raster: bytes, maxval: int = 255) -> list:
 
 
 def _decode_ppm(payload: bytes):
-    """Binary PPM (P6) decoder — pure stdlib. Header: 'P6', optional
-    #-comments, width height maxval, one whitespace, then w·h·3 raw
-    RGB bytes."""
+    """Binary netpbm decoder (P6 RGB and P5 grayscale) — pure stdlib.
+    Header: magic, optional #-comments, width height maxval, one
+    whitespace, then w·h·(3|1) raw bytes."""
     import re
 
-    m = re.match(rb"P6[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*(\d+)[ \t\r\n]+(\d+)[ \t\r\n]+(\d+)[ \t\r\n]", payload)
+    m = re.match(rb"P([56])[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*(\d+)[ \t\r\n]+(\d+)[ \t\r\n]+(\d+)[ \t\r\n]", payload)
     if not m:
         raise ValueError("bad PPM header")
-    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    depth = 3 if m.group(1) == b"6" else 1
+    w, h, maxval = int(m.group(2)), int(m.group(3)), int(m.group(4))
     # maxval > 255 means TWO bytes per sample (big-endian) per the spec;
     # the one-byte reader below would silently mis-decode those, so
     # reject them into the error channel instead
     if w <= 0 or h <= 0 or not 0 < maxval < 256:
         raise ValueError("bad or unsupported PPM dimensions/maxval")
-    need = w * h * 3
+    need = w * h * depth
     raster = payload[m.end() : m.end() + need]
     if len(raster) < need:
         raise ValueError("truncated PPM raster")
@@ -1183,13 +1184,13 @@ def probe_image_dims(payload: bytes):
         if w <= 0 or h == 0:
             raise ValueError("bad BMP dimensions")
         return w, abs(h), "bmp"
-    if payload[:2] == b"P6":
+    if payload[:2] in (b"P6", b"P5"):
         import re
 
         # the decoder's explicit whitespace class, NOT \s: the probe and
         # _decode_ppm must never disagree about the same payload
         m = re.match(
-            rb"P6[ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*(\d+)[ \t\r\n]+(\d+)[ \t\r\n]+(\d+)[ \t\r\n]",
+            rb"P[56][ \t\r\n]+(?:#[^\n]*\n[ \t\r\n]*)*(\d+)[ \t\r\n]+(\d+)[ \t\r\n]+(\d+)[ \t\r\n]",
             payload,
         )
         if not m:
@@ -1215,7 +1216,7 @@ def _decode_image(payload: bytes, real_decode: bool = False):
     in pure SQL (width = 64 + ('0x' || substring(md5(text),1,2))::INT
     etc.)."""
     if real_decode:
-        if payload and payload[:2] == b"P6":
+        if payload and payload[:2] in (b"P6", b"P5"):
             return _decode_ppm(payload)
         if payload and payload[:2] == b"BM":
             return _decode_bmp(payload)

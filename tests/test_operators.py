@@ -760,6 +760,24 @@ def test_png_decoder_real():
     assert feat == _raster_feature(raster)
 
 
+def test_pgm_p5_grayscale():
+    """P5 (grayscale netpbm): single-channel raster, probe and decoder
+    agree on dims."""
+    from newspaper_spark.operators.multimodal import (
+        _decode_image,
+        _raster_feature,
+        probe_image_dims,
+    )
+
+    w, h = 6, 3
+    raster = bytes((x * 13 + y * 7) & 0xFF for y in range(h) for x in range(w))
+    payload = f"P5\n{w} {h}\n255\n".encode() + raster
+    wd, hd, nf, feat = _decode_image(payload, real_decode=True)
+    assert (wd, hd, nf) == (w, h, 1)
+    assert feat == _raster_feature(raster)
+    assert probe_image_dims(payload) == (w, h, "ppm")
+
+
 def test_png_palette():
     """Colour-type-3 PNG: PLTE-mapped indices decode to the same RGB
     raster as the truecolour encoding of the same image; missing PLTE
