@@ -1068,17 +1068,21 @@ def q_media_decode_real(spark, sf_dir):
 
 
 def q_media_decode_jpeg(spark, sf_dir):
-    """REAL baseline-JPEG decode end-to-end: Column-assembled 16×16
-    grayscale JPEGs (four DC-only 8×8 blocks, byte-aligned custom
-    Huffman codes, DRI=1 restarts — multimodal.jpeg_dc_gray_payload_col)
-    run through the full pure-stdlib Huffman+IDCT decoder; with the
-    all-ones quant table each block decodes to exactly
-    128 + (d+4)//8, so the oracle reconstructs every feature band with
-    integer arithmetic. Closes the reference's pixel-math gap for JPEG
-    (reference images.py:49-74 scores need pixels, not just dims)."""
+    """REAL JPEG decode end-to-end, BOTH entropy paths: Column-
+    assembled 16×16 grayscale JPEGs (four DC-only 8×8 blocks,
+    byte-aligned custom Huffman codes, DRI=1 restarts) — even doc_ids
+    get the BASELINE (SOF0) container, odd doc_ids the PROGRESSIVE
+    (SOF2, single DC scan) container — run through the full
+    pure-stdlib Huffman+IDCT decoder. With the all-ones quant table
+    each block decodes to exactly 128 + (d+4)//8 on either path, so
+    the oracle reconstructs every feature band with integer
+    arithmetic (only n_bytes differs between the containers). Closes
+    the reference's pixel-math gap for JPEG (reference images.py:49-74
+    scores need pixels, not just dims)."""
     from newspaper_spark.operators.multimodal import (
         extract_media_features,
         jpeg_dc_gray_payload_col,
+        jpeg_dc_gray_progressive_payload_col,
     )
 
     d = _docs(spark, sf_dir)
@@ -1092,7 +1096,10 @@ def q_media_decode_jpeg(spark, sf_dir):
         r2 = r + F.when(r >= 4, F.lit(1)).otherwise(F.lit(0))
         return (F.lit(128) + 8 * q7 + r2).cast("int")
 
-    payload = jpeg_dc_gray_payload_col(dcol(0), dcol(1), dcol(2), dcol(3))
+    ds = (dcol(0), dcol(1), dcol(2), dcol(3))
+    payload = F.when(
+        F.col("doc_id") % 2 == 0, jpeg_dc_gray_payload_col(*ds)
+    ).otherwise(jpeg_dc_gray_progressive_payload_col(*ds))
     media = d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -2365,9 +2372,13 @@ def _media_decode_jpeg_oracle() -> str:
     8-band feature covers two raster rows: bands 0-3 average blocks
     0,1; bands 4-7 average blocks 2,3. Feature doubles go through the
     same float32 cast as Spark's array<float> schema (::REAL)."""
-    from newspaper_spark.operators.multimodal import _JPEG_DC_HEADER_HEX
+    from newspaper_spark.operators.multimodal import (
+        _JPEG_DC_HEADER_HEX,
+        _JPEG_DC_PROG_HEADER_HEX,
+    )
 
-    n_bytes = len(_JPEG_DC_HEADER_HEX) // 2 + 4 * 3 + 3 * 2 + 2
+    n_base = len(_JPEG_DC_HEADER_HEX) // 2 + 4 * 3 + 3 * 2 + 2
+    n_prog = len(_JPEG_DC_PROG_HEADER_HEX) // 2 + 4 * 2 + 3 * 2 + 2
     d_exprs = []
     for k in range(4):
         d_exprs.append(
@@ -2396,7 +2407,8 @@ def _media_decode_jpeg_oracle() -> str:
         )
         SELECT doc_id::VARCHAR AS media_id,
                'image' AS kind,
-               {n_bytes}::BIGINT AS n_bytes,
+               CASE WHEN doc_id % 2 = 0 THEN {n_base}
+                    ELSE {n_prog} END::BIGINT AS n_bytes,
                16 AS width, 16 AS height, 1 AS n_frames,
                NULL::VARCHAR AS error,
                {feat_sql}

@@ -467,6 +467,45 @@ def jpeg_dc_gray_payload_col(d0, d1, d2, d3):
     return F.unhex(F.concat(*parts))
 
 
+#: PROGRESSIVE twin of the DC-only container: SOF2 + a single DC scan
+#: (Ss=Se=0, Ah=Al=0) and no AC scans at all (legal — undecoded
+#: coefficients stay 0), so each block's entropy data is exactly TWO
+#: bytes (the 8-bit DC code + the 8-bit diff) and the stream is again
+#: byte-aligned hex. Same pixels as the baseline twin: 128 + (d+4)//8.
+_JPEG_DC_PROG_HEADER_HEX = (
+    "FFD8"
+    + "FFDB004300" + "01" * 64                        # DQT: 8-bit, all ones
+    + "FFC2000B08" + "0010" + "0010" + "01011100"     # SOF2 16×16 gray 1×1
+    + "FFC40014" + "00" + _JPEG_DC_COUNTS_HEX + "08"  # DHT DC: {cat 8}
+    + "FFDD00040001"                                  # DRI: Ri = 1
+    + "FFDA0008" + "0101" + "00" + "000000"           # SOS Ss=0 Se=0 AhAl=0
+)
+
+
+def jpeg_dc_gray_progressive_hex(d0: str, d1: str, d2: str, d3: str) -> str:
+    """Hex string of the progressive DC-only 16×16 JPEG (Python twin
+    of jpeg_dc_gray_progressive_payload_col)."""
+    units = []
+    for k, d in enumerate((d0, d1, d2, d3)):
+        units.append("00" + d)
+        if k < 3:
+            units.append(f"FFD{k}")
+    return _JPEG_DC_PROG_HEADER_HEX + "".join(units) + "FFD9"
+
+
+def jpeg_dc_gray_progressive_payload_col(d0, d1, d2, d3):
+    """Binary Column: the progressive twin from 4 int Columns (same
+    constraints as jpeg_dc_gray_payload_col)."""
+    hx2 = lambda c: F.lpad(F.hex(c), 2, "0")  # noqa: E731
+    parts = [F.lit(_JPEG_DC_PROG_HEADER_HEX)]
+    for k, d in enumerate((d0, d1, d2, d3)):
+        parts.append(F.concat(F.lit("00"), hx2(d)))
+        if k < 3:
+            parts.append(F.lit(f"FFD{k}"))
+    parts.append(F.lit("FFD9"))
+    return F.unhex(F.concat(*parts))
+
+
 #: JPEG zig-zag scan order: zigzag index -> natural (row-major) index.
 _JPEG_ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,

@@ -2283,6 +2283,17 @@ def test_jpeg_dc_only_restart_stream_exact():
         raster += bytes(([a] * 8 + [b] * 8) * 8)
     assert feat == _raster_feature(bytes(raster))
 
+    # the PROGRESSIVE twin (SOF2, single DC scan, no AC scans) must
+    # produce the identical decode through the other entropy path
+    from newspaper_spark.operators.multimodal import (
+        jpeg_dc_gray_progressive_hex,
+    )
+
+    prog = bytes.fromhex(
+        jpeg_dc_gray_progressive_hex(*[f"{d:02X}" for d in ds])
+    )
+    assert _decode_jpeg(prog) == (w, h, nf, feat)
+
 
 def test_gif_decoder_real():
     """Pure-stdlib GIF decode: hand-assembled GIF89a with a 4-color
