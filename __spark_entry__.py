@@ -1146,6 +1146,24 @@ def q_gopher_filters(spark, sf_dir):
     return gopher_filters(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_url_blocklist(spark, sf_dir):
+    """UT1-style domain-suffix URL blocklist gate
+    (urlops.url_blocklist_filter): host explodes into parent-domain
+    suffix candidates that join the blocklist relation — probe cost
+    independent of blocklist size, no per-entry regex. The oracle
+    reproduces the verdicts arithmetically from the synthetic URL
+    construction (hosts are site{doc_id%7}.com)."""
+    from newspaper_spark.operators.urlops import url_blocklist_filter
+
+    u = _synth_urls(spark, sf_dir)
+    return url_blocklist_filter(
+        u,
+        ["site2.com", "site5.com", "ads.nosuch.example"],
+        url_col="url",
+        id_col="doc_id",
+    )
+
+
 def q_corpus_prep(spark, sf_dir):
     """End-to-end training-data prep over documents: exact-dedup (keep
     min-id representative) → language-ID → quality score → token count
@@ -1193,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_jpeg": q_media_decode_jpeg,  # new in r4: never sampled
         "dsir": q_dsir,  # new in r4: never sampled
         "gopher_filters": q_gopher_filters,  # new in r4: never sampled
+        "url_blocklist": q_url_blocklist,  # new in r4: never sampled
         "extract_fulltext": q_extract_fulltext,
         "extract_title": q_extract_title,
         "extract_meta": q_extract_meta,
@@ -1880,6 +1899,15 @@ def oracle_sql() -> dict[str, str]:
                    t.n_sentences,
                    (t.n_sentences - coalesce(k.n_kept, 0))::BIGINT AS n_removed
             FROM tot t LEFT JOIN ka k USING (doc_id)
+        """,
+        "url_blocklist": f"""
+            WITH u AS ({_SYNTH_URL_SQL})
+            SELECT doc_id, url,
+                   (doc_id % 7) IN (2, 5) AS blocked,
+                   CASE WHEN (doc_id % 7) IN (2, 5)
+                        THEN 'site' || (doc_id % 7)::VARCHAR || '.com'
+                   END AS blocked_domain
+            FROM u
         """,
         "gopher_filters": """
             WITH base AS (

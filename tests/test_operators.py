@@ -1310,6 +1310,38 @@ def test_c4_filters_rules(spark):
     assert not got[6].enough_words and not got[6].keep
 
 
+def test_url_blocklist_suffix_matching(spark):
+    """Domain-suffix semantics: exact host, parent-domain, and
+    deeper-subdomain matches all block; lookalike suffixes that are
+    not label-aligned do NOT; null URLs pass clean."""
+    from newspaper_spark.operators.urlops import url_blocklist_filter
+
+    rows = [
+        (1, "http://ads.tracker.net/x"),        # exact host match
+        (2, "http://sub.deep.tracker.net/y"),   # parent-domain match
+        (3, "http://nottracker.net/z"),         # NOT a suffix match
+        (4, "http://clean.example.org/a"),      # clean
+        (5, None),                              # null url
+        (6, "https://tracker.net"),             # no path, https
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r.doc_id: r
+        for r in url_blocklist_filter(df, ["tracker.net"]).collect()
+    }
+    assert got[1].blocked and got[1].blocked_domain == "tracker.net"
+    assert got[2].blocked
+    assert not got[3].blocked and got[3].blocked_domain is None
+    assert not got[4].blocked
+    assert not got[5].blocked
+    assert got[6].blocked
+    # blocklist as a DataFrame relation (the large-blocklist path)
+    bl_df = spark.createDataFrame([("tracker.net",)], "domain string")
+    got2 = {r.doc_id: r.blocked
+            for r in url_blocklist_filter(df, bl_df).collect()}
+    assert got2 == {k: v.blocked for k, v in got.items()}
+
+
 def test_gopher_filters_rules(spark):
     """Each Gopher rule attributed independently (Rae et al. §A1.1);
     thresholds integer-exact."""
