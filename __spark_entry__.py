@@ -1164,6 +1164,25 @@ def q_url_blocklist(spark, sf_dir):
     )
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """MassiveText exact paragraph dedup (span_dedup.paragraph_dedup):
+    documents are re-paragraphed deterministically ('. ' → newline)
+    and every doc gets one shared boilerplate paragraph appended, so
+    cross-document removal provably triggers; the oracle replays the
+    same segmentation + canonical-keep relationally."""
+    from newspaper_spark.operators.span_dedup import paragraph_dedup
+
+    d = _docs(spark, sf_dir)
+    para = d.select(
+        "doc_id",
+        F.concat(
+            F.replace(F.col("text"), F.lit(". "), F.lit("\n")),
+            F.lit("\nFollow our updates page for more stories"),
+        ).alias("text"),
+    )
+    return paragraph_dedup(para)
+
+
 def q_corpus_prep(spark, sf_dir):
     """End-to-end training-data prep over documents: exact-dedup (keep
     min-id representative) → language-ID → quality score → token count
@@ -1212,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,  # new in r4: never sampled
         "gopher_filters": q_gopher_filters,  # new in r4: never sampled
         "url_blocklist": q_url_blocklist,  # new in r4: never sampled
+        "paragraph_dedup": q_paragraph_dedup,  # new in r4: never sampled
         "extract_fulltext": q_extract_fulltext,
         "extract_title": q_extract_title,
         "extract_meta": q_extract_meta,
@@ -1891,6 +1911,52 @@ def oracle_sql() -> dict[str, str]:
                 -- non-empty sentences must still yield an output row,
                 -- mirroring the operator's null/empty-text semantics
                 SELECT a.doc_id, count(s.sent)::BIGINT AS n_sentences
+                FROM aug a LEFT JOIN sent s USING (doc_id)
+                GROUP BY a.doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(k.cleaned_text, '') AS cleaned_text,
+                   t.n_sentences,
+                   (t.n_sentences - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+            FROM tot t LEFT JOIN ka k USING (doc_id)
+        """,
+        "paragraph_dedup": """
+            WITH aug AS (
+                SELECT doc_id,
+                       replace(text, '. ', chr(10)) || chr(10) ||
+                       'Follow our updates page for more stories' AS text
+                FROM documents
+            ), l AS (
+                SELECT doc_id, string_split(text, chr(10)) AS parts FROM aug
+            ), raw AS (
+                SELECT doc_id, i AS p, trim(parts[i]) AS para
+                FROM l, unnest(range(1, len(parts) + 1)) AS r(i)
+                WHERE trim(parts[i]) <> ''
+            ), sent AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY p) AS seq,
+                       para
+                FROM raw
+            ), marked AS (
+                SELECT doc_id, seq,
+                       count(*) OVER (PARTITION BY md5(para)) AS n_occ,
+                       row_number() OVER (PARTITION BY md5(para)
+                                          ORDER BY doc_id, seq) AS rk
+                FROM sent
+            ), removed AS (
+                SELECT doc_id, seq FROM marked WHERE n_occ > 1 AND rk > 1
+            ), kept AS (
+                SELECT s.doc_id, s.seq, s.para
+                FROM sent s
+                WHERE NOT EXISTS (SELECT 1 FROM removed r
+                                  WHERE r.doc_id = s.doc_id AND r.seq = s.seq)
+            ), ka AS (
+                SELECT doc_id,
+                       string_agg(para, chr(10) ORDER BY seq) AS cleaned_text,
+                       count(*)::BIGINT AS n_kept
+                FROM kept GROUP BY doc_id
+            ), tot AS (
+                SELECT a.doc_id, count(s.para)::BIGINT AS n_sentences
                 FROM aug a LEFT JOIN sent s USING (doc_id)
                 GROUP BY a.doc_id
             )

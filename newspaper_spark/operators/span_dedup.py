@@ -39,6 +39,8 @@ def span_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     span: int = 3,
+    sep: str = r"\.",
+    joiner: str = ". ",
 ) -> DataFrame:
     """Returns (id, cleaned_text, n_sentences, n_removed) per document.
 
@@ -56,7 +58,7 @@ def span_dedup(
         F.coalesce(F.col(text_col), F.lit("")).alias("t"),
     )
     raw = base.select(
-        "id", F.posexplode(F.split("t", r"\.")).alias("p", "sent0")
+        "id", F.posexplode(F.split("t", sep)).alias("p", "sent0")
     ).select("id", "p", F.trim("sent0").alias("sent")).filter(F.col("sent") != "")
     wdoc = W.partitionBy("id").orderBy("p")
     # persist is load-bearing (same rationale as the LSH signature
@@ -118,7 +120,7 @@ def span_dedup(
                 F.array_sort(F.collect_list(F.struct("seq", "sent"))),
                 lambda s: s["sent"],
             ),
-            ". ",
+            joiner,
         ).alias("cleaned_text"),
         F.count("*").alias("n_kept"),
     )
@@ -141,3 +143,16 @@ def span_dedup(
             .alias("n_removed"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """MassiveText-style EXACT paragraph deduplication (Rae et al.
+    2021, §A1.2): any newline-delimited paragraph occurring more than
+    once in the corpus is removed everywhere except its canonical
+    (minimal (doc_id, position)) occurrence. The degenerate span=1
+    member of the span_dedup family — same de-skewed
+    groupBy(hash)+join-back plan, same oracle construction, newline
+    segmentation and reassembly instead of sentences."""
+    return span_dedup(df, id_col, text_col, span=1, sep=r"\n", joiner="\n")

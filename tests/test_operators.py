@@ -1263,6 +1263,32 @@ def test_dsir_scores_rank_target_like_docs_higher(spark):
     assert got[99].n_feats == 1  # null text = one empty-token feature
 
 
+def test_paragraph_dedup_massivetext(spark):
+    """Exact paragraph dedup: a paragraph repeated across (or within)
+    docs survives only at its canonical (min doc, min position)
+    occurrence; unique paragraphs untouched; newline reassembly."""
+    from newspaper_spark.operators.span_dedup import paragraph_dedup
+
+    boiler = "Subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, f"Unique lead one\n{boiler}\nUnique tail one"),
+            (2, f"{boiler}\nUnique body two"),
+            (3, f"Only unique content\n\n\nhere"),   # empty segments drop
+            (4, f"{boiler}"),                        # nothing left after dedup
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert got[1].cleaned_text == f"Unique lead one\n{boiler}\nUnique tail one"
+    assert got[1].n_removed == 0
+    assert got[2].cleaned_text == "Unique body two"
+    assert (got[2].n_sentences, got[2].n_removed) == (2, 1)
+    assert got[3].cleaned_text == "Only unique content\nhere"
+    assert got[3].n_sentences == 2
+    assert got[4].cleaned_text == "" and got[4].n_removed == 1
+
+
 def test_span_dedup_hot_span_key(spark):
     """10^4 occurrences of ONE boilerplate span (the newsletter-tail
     shape): the groupBy(h) + join-back plan must produce the exact
