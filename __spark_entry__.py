@@ -2004,7 +2004,8 @@ def oracle_sql() -> dict[str, str]:
                                 ELSE len(string_split(norm, ' ')) END::BIGINT AS n_words,
                            length(replace(norm, ' ', ''))::BIGINT AS total_wchars,
                            (length(c) - length(replace(c, '#', '')))::BIGINT AS n_hash,
-                           ((length(c) - length(replace(c, '...', ''))) // 3)::BIGINT AS n_ellipsis,
+                           (((length(c) - length(replace(c, '...', ''))) // 3)
+                            + (length(c) - length(replace(c, '…', ''))))::BIGINT AS n_ellipsis,
                            list_filter(list_transform(string_split(c, chr(10)),
                                                       s -> regexp_replace(s, '^[ \\t\\r]+|[ \\t\\r]+$', '', 'g')),
                                        s -> s <> '') AS lines,
@@ -2018,7 +2019,7 @@ def oracle_sql() -> dict[str, str]:
                    (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
                    (n_words > 0 AND 3 * n_words <= total_wchars
                     AND total_wchars <= 10 * n_words) AS mean_word_len_ok,
-                   (10 * (n_hash + n_ellipsis) <= n_words) AS symbol_ratio_ok,
+                   (10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words) AS symbol_ratio_ok,
                    (10 * n_bullet <= 9 * n_lines) AS bullet_ok,
                    (10 * n_ell <= 3 * n_lines) AS ellipsis_ok,
                    (n_words > 0 AND 5 * n_alpha >= 4 * n_words) AS alpha_ok,
@@ -2026,7 +2027,7 @@ def oracle_sql() -> dict[str, str]:
                    ((n_words >= 50 AND n_words <= 100000)
                     AND (n_words > 0 AND 3 * n_words <= total_wchars
                          AND total_wchars <= 10 * n_words)
-                    AND (10 * (n_hash + n_ellipsis) <= n_words)
+                    AND (10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words)
                     AND (10 * n_bullet <= 9 * n_lines)
                     AND (10 * n_ell <= 3 * n_lines)
                     AND (n_words > 0 AND 5 * n_alpha >= 4 * n_words)

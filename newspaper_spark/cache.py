@@ -11,11 +11,17 @@ multi-query session the blocks accumulate until memory pressure evicts
 them (MEMORY_AND_DISK spills rather than OOMs, but disk fills too).
 
 This module is the disposable handle. Every operator routes its
-internal persist through :func:`track`; a service path that has fully
-CONSUMED an operator's output calls :func:`release` (all tracked
-handles) or wraps one query in :func:`tracking_scope`. Within a single
-operator invocation nothing changes — the cache still lives for the
-whole plan — so benchmarks and oracles are unaffected.
+internal persist through :func:`track`. The PER-QUERY tool is
+:func:`tracking_scope` — it frees exactly the caches created inside
+the scope, after the scope's output is materialized. :func:`release`
+is the coarser session-level sweep: it unpersists EVERY tracked handle
+globally, so it must only run when NO tracked plan is still awaiting
+materialization (releasing another query's not-yet-run cache silently
+recomputes its subplan, and for ``pack_offsets`` the partition-pinning
+persist is CORRECTNESS-load-bearing — prefer tracking_scope in any
+path that interleaves queries). Within a single operator invocation
+nothing changes — the cache still lives for the whole plan — so
+benchmarks and oracles are unaffected.
 
 References are STRONG on purpose: the operator's local Python wrapper
 dies when the operator returns, but the JVM-side cached plan does not

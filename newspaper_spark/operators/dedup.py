@@ -53,15 +53,21 @@ def _cap_collision_groups(
     A group of m colliding rows emits m(m−1)/2 candidate pairs, so one
     mega-group (typically an EXACT-duplicate cluster that should have
     been collapsed by ``dedup_exact`` first) can dominate the whole job.
-    Skipping is logged, never silent: the count/anti-join adds one cheap
-    aggregate over the (persisted) blocked table, keyed by the same
-    uniform blocking keys as the join itself.
+    Skipping is logged, never silent — which makes this path EAGER:
+    the oversized-key aggregate runs as its own job at operator-build
+    time (the log must exist whether or not the caller ever executes
+    the pairs plan). The tiny oversized-key table is persisted
+    (cache-tracked) so the logging pass and the anti-join inside the
+    pairs job share ONE aggregation over the blocked table, keyed by
+    the same uniform blocking keys as the join itself.
     """
     sizes = blocked.groupBy(*key_cols).agg(F.count("*").alias("n_members"))
-    big = sizes.filter(F.col("n_members") > max_group_size)
-    # count() is O(distinct oversized keys) driver-side — model state,
-    # not data — and is what lets us LOG the skip instead of silently
-    # truncating recall
+    big = cache.track(
+        sizes.filter(F.col("n_members") > max_group_size).persist()
+    )
+    # the .first() is O(1) driver-side over the persisted oversized-key
+    # table — model state, not data — and is what lets us LOG the skip
+    # instead of silently truncating recall
     stats = big.agg(
         F.count("*").alias("groups"), F.sum("n_members").alias("rows")
     ).first()

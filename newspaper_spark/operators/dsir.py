@@ -100,8 +100,11 @@ def dsir_scores(
     """(doc_id, n_feats, dsir_logratio) for every raw document.
 
     ``dsir_logratio`` > 0 ⇔ the document looks more like the target
-    corpus than like the raw corpus (resample/keep it with probability
-    ∝ exp of the weight, per the paper); 6dp-floor-rounded for oracle
+    corpus than like the raw corpus. The weight is in BASE-10 logs
+    (md5/DuckDB-parity convention of this repo): rank/threshold
+    selection is unaffected (log10 is monotone in the paper's ln-based
+    w(x)), and a sampler wanting the paper's exact importance weight
+    uses 10**dsir_logratio (NOT exp). 6dp-floor-rounded for oracle
     parity. ``n_feats`` = unigram+bigram occurrences (the c_b mass).
     """
     feats_raw = cache.track(

@@ -90,7 +90,10 @@ def gopher_filters(
 
     * ``word_count_ok``    — min_words ≤ #tokens ≤ max_words
     * ``mean_word_len_ok`` — mean token length in [3, 10]
-    * ``symbol_ratio_ok``  — (#'#' + #'...') / words ≤ 0.1
+    * ``symbol_ratio_ok``  — #'#'/words ≤ 0.1 AND
+                             #('...' or '…')/words ≤ 0.1 (the two
+                             symbols are thresholded SEPARATELY, as in
+                             the cited rule-set)
     * ``bullet_ok``        — ≤ 90% of non-empty lines start with a
                              bullet ('•', '- ', '* ')
     * ``ellipsis_ok``      — ≤ 30% of non-empty lines end with
@@ -114,9 +117,15 @@ def gopher_filters(
     n_hash = (
         F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
     ).cast("long")
+    # ASCII '...' (3 chars per occurrence) plus Unicode '…' — the same
+    # ellipsis set the line-end rule matches
     n_ellipsis = (
-        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
-    ).cast("long")
+        ((F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3)
+        .cast("long")
+        + (F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit("")))).cast(
+            "long"
+        )
+    )
     lines = F.filter(
         F.transform(
             F.split(c, "\n"),
@@ -143,7 +152,7 @@ def gopher_filters(
     mean_word_len_ok = (n_words > 0) & (
         (3 * n_words <= total_wchars) & (total_wchars <= 10 * n_words)
     )
-    symbol_ratio_ok = 10 * (n_hash + n_ellipsis) <= n_words
+    symbol_ratio_ok = (10 * n_hash <= n_words) & (10 * n_ellipsis <= n_words)
     bullet_ok = 10 * n_bullet <= 9 * n_lines
     ellipsis_ok = 10 * n_ell_lines <= 3 * n_lines
     alpha_ok = (n_words > 0) & (5 * n_alpha >= 4 * n_words)

@@ -228,6 +228,11 @@ def _decode_png(payload: bytes):
             )
             if bitd != 8 or interlace not in (0, 1) or colort not in (0, 2, 3, 4, 6):
                 raise ValueError("unsupported PNG variant")
+            # resource guard (same bound as the JPEG decoder): the
+            # Adam7 path allocates the full-resolution grid up front,
+            # so declared dims must be sane BEFORE any allocation
+            if width * height > (1 << 24):
+                raise ValueError("PNG too large for the pure-Python decoder")
             channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[colort]
             paletted = colort == 3
             adam7 = interlace == 1
@@ -712,6 +717,10 @@ def _jpeg_sof_marker(p: bytes):
     while i + 4 <= len(p):
         if p[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        while i + 1 < len(p) and p[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > len(p):
+            break
         m = p[i + 1]
         if m == 0x01 or m == 0xD8 or 0xD0 <= m <= 0xD7:
             i += 2
@@ -739,7 +748,7 @@ def _decode_jpeg(payload: bytes):
         if _jpeg_sof_marker(payload) == 0xC2:
             return _decode_jpeg_progressive(payload)
         return _decode_jpeg_inner(payload)
-    except (IndexError, struct.error) as e:
+    except (IndexError, KeyError, struct.error) as e:
         raise ValueError(f"truncated/malformed JPEG stream: {e}") from e
 
 
@@ -772,6 +781,11 @@ def _decode_jpeg_inner(payload: bytes):
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # legal 0xFF fill bytes may pad before any marker (B.1.1.2)
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > len(payload):
+            break
         m = payload[i + 1]
         if m == 0x01 or 0xD0 <= m <= 0xD7:
             i += 2
@@ -806,6 +820,13 @@ def _decode_jpeg_inner(payload: bytes):
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise ValueError("unsupported JPEG sampling factors")
                 comps.append((cid, hs, vs, tq))
+            if nf == 1:
+                # T.81 A.2: a single-component scan is NON-interleaved —
+                # blocks cover ceil(w/8) x ceil(h/8) in raster order and
+                # the declared sampling factors do NOT introduce MCU
+                # padding (real encoders emit e.g. H=V=2 grayscale).
+                cid, _hs, _vs, tq = comps[0]
+                comps = [(cid, 1, 1, tq)]
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
                    0xCE, 0xCF):
             raise ValueError("non-baseline JPEG (progressive/arithmetic) "
@@ -912,6 +933,11 @@ def _decode_jpeg_progressive(payload: bytes):
     while i + 2 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # legal 0xFF fill bytes may pad before any marker (B.1.1.2)
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > len(payload):
+            break
         m = payload[i + 1]
         if m == 0x01 or 0xD0 <= m <= 0xD7:
             i += 2
@@ -942,6 +968,13 @@ def _decode_jpeg_progressive(payload: bytes):
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise ValueError("unsupported JPEG sampling factors")
                 comps.append((cid, hs, vs, tq))
+            if nf == 1:
+                # T.81 A.2: a single-component scan is NON-interleaved —
+                # blocks cover ceil(w/8) x ceil(h/8) in raster order and
+                # the declared sampling factors do NOT introduce MCU
+                # padding (real encoders emit e.g. H=V=2 grayscale).
+                cid, _hs, _vs, tq = comps[0]
+                comps = [(cid, 1, 1, tq)]
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcux = (w + 8 * hmax - 1) // (8 * hmax)

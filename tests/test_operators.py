@@ -821,6 +821,28 @@ def test_png_palette():
         _decode_image(no_plte, real_decode=True)
 
 
+def test_png_rejects_huge_declared_dims():
+    """A crafted Adam7 IHDR declaring 0xFFFF×0xFFFF must fail with a
+    cheap ValueError BEFORE the full-resolution grid allocates."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from newspaper_spark.operators.multimodal import _decode_image
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 0xFFFF, 0xFFFF, 8, 2, 0, 0, 1))
+           + chunk(b"IDAT", zlib.compress(b"\x00"))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="too large"):
+        _decode_image(png, real_decode=True)
+
+
 def test_png_adam7_interlaced():
     """Adam7 PNG: the same pixels packed as 7 independently-filtered
     pass sub-images decode to the identical raster as the sequential
@@ -2294,6 +2316,56 @@ def test_jpeg_progressive_with_restart_markers():
     )
     assert b"\xff\xd0" in with_rst and with_rst != plain
     assert _decode_jpeg(with_rst) == _decode_jpeg(plain)
+
+
+def test_jpeg_single_component_with_2x2_factors():
+    """T.81 A.2: an Ns=1 scan is NON-interleaved — a grayscale JPEG
+    whose SOF declares H=V=2 (jpegtran-style grayscale output) lays
+    blocks out in plain raster order, NOT 2×2-MCU order. Patching the
+    SOF sampling byte must not change the decode."""
+    from newspaper_spark.operators.multimodal import _decode_jpeg
+
+    w, h = 24, 16  # 3×2 blocks: raster vs MCU order differ
+    plane = [[(x * 11 + y * 7) % 256 for x in range(w)] for y in range(h)]
+    quant = [1] * 64
+    grids, _, _ = _t_coef_grids([plane], [(1, 1)], quant)
+    base = bytearray(_t_encode_baseline_from_coefs(grids, [(1, 1)], w, h, quant))
+    want = _decode_jpeg(bytes(base))
+    i = base.index(b"\xff\xc0")
+    assert base[i + 11] == 0x11  # component H/V byte
+    base[i + 11] = 0x22
+    assert _decode_jpeg(bytes(base)) == want
+    # progressive too
+    prog = bytearray(
+        _t_encode_progressive_from_coefs(grids, [(1, 1)], w, h, quant)
+    )
+    wantp = _decode_jpeg(bytes(prog))
+    j = prog.index(b"\xff\xc2")
+    assert prog[j + 11] == 0x11
+    prog[j + 11] = 0x22
+    assert _decode_jpeg(bytes(prog)) == wantp
+    assert wantp == want
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """Legal 0xFF fill bytes before a marker (T.81 B.1.1.2) must not
+    derail the decoder — probe/decoder agreement, the class of defect
+    commit 8a30116 fixed for PPM."""
+    from newspaper_spark.operators.multimodal import _decode_jpeg, _jpeg_dims
+
+    w, h = 16, 8
+    plane = [[(x * 3 + y * 9) % 256 for x in range(w)] for y in range(h)]
+    quant = [1] * 64
+    grids, _, _ = _t_coef_grids([plane], [(1, 1)], quant)
+    payload = _t_encode_baseline_from_coefs(grids, [(1, 1)], w, h, quant)
+    want = _decode_jpeg(payload)
+    # inject a fill byte before the SOF marker and before the SOS marker
+    stuffed = payload.replace(b"\xff\xc0", b"\xff\xff\xc0").replace(
+        b"\xff\xda", b"\xff\xff\xff\xda"
+    )
+    assert len(stuffed) == len(payload) + 3
+    assert _jpeg_dims(stuffed) == (w, h)
+    assert _decode_jpeg(stuffed) == want
 
 
 def test_jpeg_decoder_rejects_arithmetic_and_lossless():
