@@ -2368,6 +2368,34 @@ def test_jpeg_fill_bytes_before_markers():
     assert _decode_jpeg(stuffed) == want
 
 
+def test_jpeg_mutation_error_contract():
+    """Bit-flipped VALID streams (reaching the deep entropy-decode
+    paths random bytes never hit) either decode or raise ValueError —
+    never KeyError/IndexError/hangs. A 4000-trial offline soak of this
+    generator found zero violations; this keeps a 300-trial sentinel."""
+    import random
+
+    from newspaper_spark.operators.multimodal import _decode_image
+
+    w, h = 24, 16
+    plane = [[(x * 11 + y * 7) % 256 for x in range(w)] for y in range(h)]
+    quant = [1] * 64
+    grids, _, _ = _t_coef_grids([plane], [(1, 1)], quant)
+    base = _t_encode_baseline_from_coefs(grids, [(1, 1)], w, h, quant)
+    prog = _t_encode_progressive_from_coefs(grids, [(1, 1)], w, h, quant)
+    rng = random.Random(7)
+    for trial in range(300):
+        src = bytearray(base if trial % 2 == 0 else prog)
+        for _ in range(rng.randrange(1, 4)):
+            i = rng.randrange(2, len(src))
+            src[i] ^= 1 << rng.randrange(8)
+        try:
+            out = _decode_image(bytes(src), real_decode=True)
+            assert out[0] > 0 and out[1] > 0 and len(out[3]) == 8
+        except ValueError:
+            pass
+
+
 def test_jpeg_decoder_rejects_arithmetic_and_lossless():
     import pytest
 
