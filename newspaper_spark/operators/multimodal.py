@@ -147,6 +147,19 @@ def _decode_bmp(payload: bytes):
     pixels = b"".join(
         raster[y * row_bytes : y * row_bytes + data_bytes] for y in rows
     )
+    if bpp == 8:
+        # 8-bit BMPs are palette-indexed: the color table (BGRX quads,
+        # biClrUsed entries, 0 ⇒ 256) follows the info header — map
+        # indices to their BGR triples like the 24-bit path's raw BGR
+        hdr_size = struct.unpack_from("<I", payload, 14)[0]
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        palette = payload[pal_off : pal_off + 4 * n_colors]
+        if len(palette) < 4 * n_colors:
+            raise ValueError("truncated BMP palette")
+        if any(i >= n_colors for i in pixels):
+            raise ValueError("BMP index out of palette range")
+        pixels = b"".join(palette[4 * i : 4 * i + 3] for i in pixels)
     return (w, h, 1, _raster_feature(pixels))
 
 

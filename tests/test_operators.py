@@ -553,6 +553,44 @@ def test_bmp_decoder_real():
         _decode_image(header[:-1], real_decode=True)  # truncated header
 
 
+def test_bmp_8bit_palette():
+    """8-bit BMP maps indices through the BGRX color table (raw indices
+    are NOT gray values); out-of-range index hits the error channel."""
+    import struct
+
+    import pytest
+
+    from newspaper_spark.operators.multimodal import (
+        _decode_image,
+        _raster_feature,
+    )
+
+    w, h = 4, 2
+    palette = b"".join(
+        bytes([b, g, r, 0]) for r, g, b in
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    )
+    row = (w + 3) & ~3
+    idx_rows = [bytes([0, 1, 2, 3]), bytes([3, 2, 1, 0])]
+    raster = b"".join(r.ljust(row, b"\x00") for r in idx_rows)
+    off = 14 + 40 + len(palette)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 8, 0, len(raster), 0, 0, 4, 0)
+    )
+    wd, hd, nf, feat = _decode_image(header + palette + raster, real_decode=True)
+    assert (wd, hd, nf) == (w, h, 1)
+    expected = b"".join(
+        palette[4 * i : 4 * i + 3] for r in idx_rows for i in r[:w]
+    )
+    assert feat == _raster_feature(expected)
+
+    bad = header + palette + (b"\x09" + raster[1:])  # index 9 > 3 colors
+    with pytest.raises(ValueError, match="palette range"):
+        _decode_image(bad, real_decode=True)
+
+
 def test_media_decode_real_end_to_end(spark):
     """attach_ppm → real decode: the whole mapInPandas path runs a REAL
     container parse (no md5 fake) with no errors."""
