@@ -1183,6 +1183,34 @@ def q_paragraph_dedup(spark, sf_dir):
     return paragraph_dedup(para)
 
 
+def q_media_audio(spark, sf_dir):
+    """REAL audio decode end-to-end: generated 8-bit mono PCM WAV
+    payloads (sample bytes = padded text bytes) parsed by the pure-
+    stdlib RIFF/PCM decoder — the audio member of the multimodal
+    family — then 8-band mean-amplitude features the oracle
+    reconstructs from the text column alone."""
+    from newspaper_spark.operators.multimodal import (
+        attach_wav,
+        extract_audio_features,
+    )
+
+    media = attach_wav(_docs(spark, sf_dir))
+    out = extract_audio_features(media)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "n_samples",
+        "sample_rate",
+        "n_channels",
+        "error",
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
 def q_corpus_prep(spark, sf_dir):
     """End-to-end training-data prep over documents: exact-dedup (keep
     min-id representative) → language-ID → quality score → token count
@@ -1232,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filters": q_gopher_filters,  # new in r4: never sampled
         "url_blocklist": q_url_blocklist,  # new in r4: never sampled
         "paragraph_dedup": q_paragraph_dedup,  # new in r4: never sampled
+        "media_audio": q_media_audio,  # new in r4: never sampled
         "extract_fulltext": q_extract_fulltext,
         "extract_title": q_extract_title,
         "extract_meta": q_extract_meta,
@@ -1467,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _MEDIA_FEATURES_ORACLE,
         "media_decode_real": _media_decode_real_oracle(),
         "media_decode_jpeg": _media_decode_jpeg_oracle(),
+        "media_audio": _media_audio_oracle(),
         "media_resize": """
             WITH d AS (
                 SELECT md5(text) AS media_id,
@@ -2453,6 +2483,37 @@ def _media_decode_real_oracle() -> str:
                'image' AS kind,
                {11 + n_raster}::BIGINT AS n_bytes,
                8 AS width, 4 AS height, 1 AS n_frames,
+               NULL::VARCHAR AS error,
+               {feat_sql}
+        FROM p
+    """
+
+
+def _media_audio_oracle() -> str:
+    """Exact oracle for the WAV decode: payload = 44-byte RIFF/PCM
+    header + first 96 bytes of the space-padded text; band i of the
+    feature is sum(bytes 12i+1..12i+12) / (12·255) through the same
+    float32 cast as Spark's array<float> schema."""
+    n = 96
+    feats = []
+    for i in range(8):
+        lo = 12 * i + 1
+        sm = (
+            "list_sum(list_transform(generate_series("
+            f"{lo}, {lo + 11}), j -> ascii(substring(padded, j, 1))))"
+        )
+        feats.append(f"round((({sm} / 3060.0)::REAL)::DOUBLE, 6) AS f{i}")
+    feat_sql = ",\n               ".join(feats)
+    return f"""
+        WITH p AS (
+            SELECT md5(text) AS media_id,
+                   substring(rpad(text, {n}, ' '), 1, {n}) AS padded
+            FROM documents
+        )
+        SELECT media_id,
+               'audio' AS kind,
+               {44 + n}::BIGINT AS n_bytes,
+               {n} AS n_samples, 8000 AS sample_rate, 1 AS n_channels,
                NULL::VARCHAR AS error,
                {feat_sql}
         FROM p

@@ -163,6 +163,149 @@ def _decode_bmp(payload: bytes):
     return (w, h, 1, _raster_feature(pixels))
 
 
+#: generated-WAV geometry for the real-decode audio path: 8-bit mono
+#: PCM, 8 kHz, 96 samples — sample bytes are the (space-padded) text
+#: bytes, so the DuckDB oracle reconstructs every decoded value from
+#: the text column alone (same construction as attach_ppm).
+WAV_SAMPLES = 96
+WAV_RATE = 8000
+
+
+def _wav_header(n_samples: int, rate: int = WAV_RATE) -> bytes:
+    import struct
+
+    data_len = n_samples  # 8-bit mono: one byte per sample
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_len)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", data_len)
+    )
+
+
+def attach_wav(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic REAL audio payloads: a valid 8-bit mono PCM WAV
+    whose sample bytes are the first WAV_SAMPLES chars of the
+    (space-padded) text — all-ASCII corpus, so the oracle reconstructs
+    every decoded feature from the text column alone."""
+    samples = F.encode(
+        F.substring(F.rpad(F.col(text_col), WAV_SAMPLES, " "), 1, WAV_SAMPLES),
+        "UTF-8",
+    )
+    payload = F.concat(F.lit(_wav_header(WAV_SAMPLES)), samples)
+    return df.select(
+        F.md5(F.col(text_col)).alias("media_id"),
+        F.lit("audio").alias("kind"),
+        payload.alias("payload"),
+        F.lit("audio/wav").alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def _decode_wav(payload: bytes):
+    """RIFF/WAVE PCM decoder — pure stdlib chunk walk: fmt (PCM only,
+    8- or 16-bit, any channel count) + data. Returns (n_samples,
+    sample_rate, n_channels, feature) where the 8-band feature runs
+    over the amplitude bytes (8-bit PCM is unsigned, so raw bytes ARE
+    amplitudes; 16-bit uses the unsigned-shifted high bytes — the same
+    mean-band math every other real decoder feeds _raster_feature).
+    Compressed/float formats raise into the error column (the
+    soundfile/librosa plug-in slot)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("bad WAV signature")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("truncated WAV fmt")
+            audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1:
+                raise ValueError("non-PCM WAV unsupported")
+            if bits not in (8, 16) or n_ch == 0 or rate == 0:
+                raise ValueError("unsupported WAV sample format")
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("WAV data before fmt")
+            n_ch, rate, bits = fmt
+            bytes_per = bits // 8
+            frame = bytes_per * n_ch
+            n_samples = clen // frame
+            if n_samples == 0:
+                raise ValueError("empty WAV data")
+            if bits == 8:
+                amp = body[: n_samples * frame]
+            else:
+                # 16-bit PCM is signed little-endian: shift to unsigned
+                # and keep the high byte (the amplitude envelope)
+                amp = bytes(
+                    (body[i + 1] + 128) & 0xFF
+                    for i in range(0, n_samples * frame, 2)
+                )
+            return (n_samples, rate, n_ch, _raster_feature(amp))
+        # chunks are word-aligned: odd lengths carry one pad byte
+        pos += 8 + clen + (clen & 1)
+    raise ValueError("WAV without data chunk")
+
+
+AUDIO_SCHEMA = (
+    "media_id string, kind string, n_bytes long, "
+    "n_samples int, sample_rate int, n_channels int, "
+    "feature array<float>, error string"
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas stage: WAV payload → (sample geometry, 8-band
+    amplitude feature). Same per-row error-column fault tolerance as
+    the image path; map-only binary batches at any scale."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, rates, chans, feats, errs = [], [], [], [], []
+            for payload in pdf["payload"].values:
+                try:
+                    n, r, c, feat = _decode_wav(payload)
+                    ns.append(n)
+                    rates.append(r)
+                    chans.append(c)
+                    feats.append(feat)
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001
+                    ns.append(None)
+                    rates.append(None)
+                    chans.append(None)
+                    feats.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "n_bytes": pdf["n_bytes"].values,
+                    "n_samples": ns,
+                    "sample_rate": rates,
+                    "n_channels": chans,
+                    "feature": feats,
+                    "error": errs,
+                }
+            )
+
+    pruned = df.select("media_id", "kind", "n_bytes", "payload")
+    return pruned.mapInPandas(op, schema=AUDIO_SCHEMA)
+
+
 def _png_unfilter(raw: bytes, p: int, width: int, height: int, channels: int):
     """Unfilter ``height`` scanlines of ``width`` pixels starting at
     offset ``p`` in the inflated stream (None/Sub/Up/Average/Paeth);

@@ -591,6 +591,55 @@ def test_bmp_8bit_palette():
         _decode_image(bad, real_decode=True)
 
 
+def test_wav_decoder_real():
+    """Pure-stdlib RIFF/PCM decode: 8-bit mono, 16-bit stereo (high
+    bytes unsigned-shifted), odd-length chunk padding honored, non-PCM
+    and truncated payloads on the error channel."""
+    import struct
+
+    import pytest
+
+    from newspaper_spark.operators.multimodal import (
+        _decode_wav,
+        _raster_feature,
+        _wav_header,
+    )
+
+    samples = bytes((i * 37) & 0xFF for i in range(96))
+    n, r, c, feat = _decode_wav(_wav_header(96) + samples)
+    assert (n, r, c) == (96, 8000, 1)
+    assert feat == _raster_feature(samples)
+
+    # 16-bit stereo: 4 frames; amplitude = high byte + 128
+    frames = [(-32768, 0), (0, 16384), (256, -256), (32767, 1)]
+    data = b"".join(struct.pack("<hh", l_, r_) for l_, r_ in frames)
+    wav16 = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 4, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    n, r, c, feat = _decode_wav(wav16)
+    assert (n, r, c) == (4, 44100, 2)
+    amp = bytes((data[i + 1] + 128) & 0xFF for i in range(0, len(data), 2))
+    assert feat == _raster_feature(amp)
+
+    # odd-length junk chunk before data must be word-aligned-skipped
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+    wav_j = (
+        b"RIFF" + struct.pack("<I", 36 + 12 + 96) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + junk + b"data" + struct.pack("<I", 96) + samples
+    )
+    assert _decode_wav(wav_j)[0] == 96
+
+    ieee_float = bytearray(_wav_header(96) + samples)
+    struct.pack_into("<H", ieee_float, 20, 3)  # WAVE_FORMAT_IEEE_FLOAT
+    with pytest.raises(ValueError, match="non-PCM"):
+        _decode_wav(bytes(ieee_float))
+    with pytest.raises(ValueError):
+        _decode_wav(b"RIFFxxxx")  # too short / bad signature
+
+
 def test_media_decode_real_end_to_end(spark):
     """attach_ppm → real decode: the whole mapInPandas path runs a REAL
     container parse (no md5 fake) with no errors."""
