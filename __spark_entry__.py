@@ -1211,6 +1211,55 @@ def q_media_audio(spark, sf_dir):
     )
 
 
+def q_media_video(spark, sf_dir):
+    """REAL video decode end-to-end: Column-assembled AVI/MJPEG
+    containers (4 DC-only JPEG frames per doc) parsed by the RIFF
+    walker, frames decoded by the real JPEG decoder under the
+    every-2nd/max-4 sampling schedule (frames 0 and 2) — the video
+    member of the multimodal family. Every decoded pixel is
+    128 + (d+4)//8, so the oracle reconstructs the sampled-frame
+    feature bands with integer arithmetic."""
+    from newspaper_spark.operators.multimodal import (
+        avi_mjpeg_payload_col,
+        extract_media_features,
+        jpeg_dc_gray_hex_col,
+    )
+
+    d = _docs(spark, sf_dir)
+
+    def dcol(j, k):
+        m0 = (F.col("doc_id") * 7 + F.lit((4 * j + k) * 31)) % 111
+        q7 = F.floor(m0 / 7).cast("long")
+        r = m0 % 7
+        r2 = r + F.when(r >= 4, F.lit(1)).otherwise(F.lit(0))
+        return (F.lit(128) + 8 * q7 + r2).cast("int")
+
+    frames = [
+        jpeg_dc_gray_hex_col(*[dcol(j, k) for k in range(4)]) for j in range(4)
+    ]
+    payload = avi_mjpeg_payload_col(frames)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        payload.alias("payload"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+    out = extract_media_features(media, real_decode=True)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        "n_frames",
+        "error",
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double"), 6).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )
+
+
 def q_corpus_prep(spark, sf_dir):
     """End-to-end training-data prep over documents: exact-dedup (keep
     min-id representative) → language-ID → quality score → token count
@@ -1261,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": q_url_blocklist,  # new in r4: never sampled
         "paragraph_dedup": q_paragraph_dedup,  # new in r4: never sampled
         "media_audio": q_media_audio,  # new in r4: never sampled
+        "media_video": q_media_video,  # new in r4: never sampled
         "extract_fulltext": q_extract_fulltext,
         "extract_title": q_extract_title,
         "extract_meta": q_extract_meta,
@@ -1497,6 +1547,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_real": _media_decode_real_oracle(),
         "media_decode_jpeg": _media_decode_jpeg_oracle(),
         "media_audio": _media_audio_oracle(),
+        "media_video": _media_video_oracle(),
         "media_resize": """
             WITH d AS (
                 SELECT md5(text) AS media_id,
@@ -2486,6 +2537,62 @@ def _media_decode_real_oracle() -> str:
                NULL::VARCHAR AS error,
                {feat_sql}
         FROM p
+    """
+
+
+def _media_video_oracle() -> str:
+    """Exact oracle for the AVI/MJPEG decode: the sampling schedule
+    picks frames 0 and 2; each frame's block pixel is 128 + (d+4)//8
+    with d = d(doc_id, 4·j + k); the 8 feature bands cover 64 bytes
+    each of the 512-byte concatenated raster (bands 0-1: frame-0
+    blocks A+B, 2-3: frame-0 C+D, 4-7: same for frame 2)."""
+    import struct as _struct
+
+    from newspaper_spark.operators.multimodal import (
+        JPEG_DC_FRAME_BYTES,
+        _avi_header_hex,
+    )
+
+    n_bytes = (
+        len(_avi_header_hex(4, 16, 16, JPEG_DC_FRAME_BYTES)) // 2
+        + 4 * (8 + JPEG_DC_FRAME_BYTES)
+    )
+    d_exprs = []
+    for j in (0, 2):
+        for k in range(4):
+            i = 4 * j + k
+            d_exprs.append(
+                f"128 + 8 * (((doc_id * 7 + {i * 31}) % 111) // 7) + "
+                f"((doc_id * 7 + {i * 31}) % 111) % 7 + "
+                f"CASE WHEN ((doc_id * 7 + {i * 31}) % 111) % 7 >= 4 "
+                f"THEN 1 ELSE 0 END AS d{j}_{k}"
+            )
+    feats = []
+    for i in range(8):
+        j = 0 if i < 4 else 2
+        a, b = (0, 1) if (i % 4) < 2 else (2, 3)
+        feats.append(
+            f"round((((32 * (p{j}_{a} + p{j}_{b})) / 16320.0)::REAL)::DOUBLE, 6) AS f{i}"
+        )
+    px = ",\n                   ".join(
+        f"128 + (d{j}_{k} + 4) // 8 AS p{j}_{k}" for j in (0, 2) for k in range(4)
+    )
+    feat_sql = ",\n               ".join(feats)
+    return f"""
+        WITH d AS (
+            SELECT doc_id, {', '.join(d_exprs)} FROM documents
+        ), px AS (
+            SELECT doc_id,
+                   {px}
+            FROM d
+        )
+        SELECT doc_id::VARCHAR AS media_id,
+               'video' AS kind,
+               {n_bytes}::BIGINT AS n_bytes,
+               16 AS width, 16 AS height, 4 AS n_frames,
+               NULL::VARCHAR AS error,
+               {feat_sql}
+        FROM px
     """
 
 

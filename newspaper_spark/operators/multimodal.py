@@ -306,6 +306,85 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return pruned.mapInPandas(op, schema=AUDIO_SCHEMA)
 
 
+def _decode_avi_mjpeg(payload: bytes, every_n: int = 2, max_frames: int = 4):
+    """AVI (RIFF) container walk + Motion-JPEG frame decode — pure
+    stdlib on top of the repo's own JPEG decoder: 'hdrl'/'avih' gives
+    the declared geometry and frame count, '00dc'/'00db' chunks inside
+    'movi' carry per-frame JPEGs, and the frame-sampling schedule
+    (every ``every_n``-th frame, at most ``max_frames`` — the same
+    policy sample_frame_indices exposes as a Column) picks which
+    frames actually decode. Returns (width, height, n_frames,
+    feature) with the 8-band feature over the CONCATENATED sampled
+    frames' rasters. Non-JPEG streams / dim mismatches raise into the
+    error column (the pyav/opencv plug-in slot)."""
+    import struct
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        raise ValueError("bad AVI signature")
+    pos = 12
+    n_frames = None
+    aw = ah = None
+    frames = []
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated AVI chunk")
+        if cid == b"LIST":
+            ltype = body[:4]
+            if ltype in (b"hdrl", b"movi"):
+                # descend: re-scan the list body as chunks
+                sub = 4
+                while sub + 8 <= clen:
+                    scid = body[sub : sub + 4]
+                    (slen,) = struct.unpack_from("<I", body, sub + 4)
+                    sbody = body[sub + 8 : sub + 8 + slen]
+                    if len(sbody) < slen:
+                        raise ValueError("truncated AVI subchunk")
+                    if scid == b"avih":
+                        if slen < 40:
+                            raise ValueError("truncated AVI header")
+                        n_frames = struct.unpack_from("<I", sbody, 16)[0]
+                        aw = struct.unpack_from("<I", sbody, 32)[0]
+                        ah = struct.unpack_from("<I", sbody, 36)[0]
+                    elif scid[2:4] in (b"dc", b"db"):
+                        frames.append(sbody)
+                    sub += 8 + slen + (slen & 1)
+        pos += 8 + clen + (clen & 1)
+    if n_frames is None:
+        raise ValueError("AVI without avih header")
+    if not frames:
+        raise ValueError("AVI without frame data")
+    picks = list(range(0, len(frames), max(every_n, 1)))[:max_frames]
+    rasters = []
+    w = h = None
+    for j in picks:
+        fw, fh, _, _ = _decode_jpeg(frames[j])
+        if w is None:
+            w, h = fw, fh
+        elif (fw, fh) != (w, h):
+            raise ValueError("AVI frame dimension mismatch")
+        rasters.append(_jpeg_gray_raster(frames[j]))
+    if aw and ah and (aw, ah) != (w, h):
+        raise ValueError("AVI header/frame dimension mismatch")
+    return (w, h, n_frames, _raster_feature(b"".join(rasters)))
+
+
+def _jpeg_gray_raster(payload: bytes) -> bytes:
+    """Decode a GRAYSCALE JPEG to its raw raster bytes (helper for the
+    MJPEG path, which needs pixels across frames, not one frame's
+    band feature)."""
+    res = _decode_jpeg(payload, want="gray_raster")
+    if res is None:
+        raise ValueError("MJPEG frame is not grayscale")
+    return res
+
+
 def _png_unfilter(raw: bytes, p: int, width: int, height: int, channels: int):
     """Unfilter ``height`` scanlines of ``width`` pixels starting at
     offset ``p`` in the inflated stream (None/Sub/Up/Average/Paeth);
@@ -615,9 +694,9 @@ def jpeg_dc_gray_payload_hex(d0: str, d1: str, d2: str, d3: str) -> str:
     return _JPEG_DC_HEADER_HEX + "".join(units) + "FFD9"
 
 
-def jpeg_dc_gray_payload_col(d0, d1, d2, d3):
-    """Binary Column: the same JPEG assembled from 4 int Columns in
-    [128, 254] (callers must keep d % 8 != 4 — see the block comment)."""
+def jpeg_dc_gray_hex_col(d0, d1, d2, d3):
+    """Hex-string Column of the DC-only baseline JPEG (composable into
+    larger containers — the MJPEG/AVI builder concatenates these)."""
     hx2 = lambda c: F.lpad(F.hex(c), 2, "0")  # noqa: E731
     parts = [F.lit(_JPEG_DC_HEADER_HEX)]
     for k, d in enumerate((d0, d1, d2, d3)):
@@ -625,7 +704,68 @@ def jpeg_dc_gray_payload_col(d0, d1, d2, d3):
         if k < 3:
             parts.append(F.lit(f"FFD{k}"))
     parts.append(F.lit("FFD9"))
+    return F.concat(*parts)
+
+
+def jpeg_dc_gray_payload_col(d0, d1, d2, d3):
+    """Binary Column: the same JPEG assembled from 4 int Columns in
+    [128, 254] (callers must keep d % 8 != 4 — see the block comment)."""
+    return F.unhex(jpeg_dc_gray_hex_col(d0, d1, d2, d3))
+
+
+#: byte size of one DC-only baseline JPEG (fixed: all-constant headers
+#: + 4 three-byte MCUs + 3 restart markers + EOI)
+JPEG_DC_FRAME_BYTES = len(_JPEG_DC_HEADER_HEX) // 2 + 4 * 3 + 3 * 2 + 2
+
+
+def _avi_header_hex(n_frames: int, w: int, h: int, frame_bytes: int) -> str:
+    """Fixed AVI/RIFF prefix (through the 'movi' fourcc) for n_frames
+    MJPEG frames of ``frame_bytes`` each — all sizes are constants, so
+    the whole container assembles as hex Column concatenation."""
+    import struct
+
+    avih = (
+        struct.pack(
+            "<IIIIIIIIII", 40000, 0, 0, 0, n_frames, 0, 1, 0, w, h
+        )
+        + b"\x00" * 16
+    )
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi_size = 4 + n_frames * (8 + frame_bytes)
+    riff_size = 4 + (8 + len(hdrl)) + (8 + movi_size)
+    head = (
+        b"RIFF" + struct.pack("<I", riff_size) + b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", movi_size) + b"movi"
+    )
+    return head.hex().upper()
+
+
+def avi_mjpeg_payload_col(frame_hex_cols):
+    """Binary Column: an AVI/MJPEG container wrapping the given DC-only
+    JPEG hex Columns as '00dc' frame chunks."""
+    import struct
+
+    n = len(frame_hex_cols)
+    size_hex = struct.pack("<I", JPEG_DC_FRAME_BYTES).hex().upper()
+    parts = [F.lit(_avi_header_hex(n, JPEG_DC_W, JPEG_DC_H, JPEG_DC_FRAME_BYTES))]
+    for fh in frame_hex_cols:
+        parts.append(F.lit("30306463" + size_hex))  # '00dc' + LE size
+        parts.append(fh)
     return F.unhex(F.concat(*parts))
+
+
+def avi_mjpeg_payload_hex(frames_hex: list) -> str:
+    """Python twin of avi_mjpeg_payload_col for tests."""
+    import struct
+
+    size_hex = struct.pack("<I", JPEG_DC_FRAME_BYTES).hex().upper()
+    out = _avi_header_hex(
+        len(frames_hex), JPEG_DC_W, JPEG_DC_H, JPEG_DC_FRAME_BYTES
+    )
+    for fh in frames_hex:
+        out += "30306463" + size_hex + fh
+    return out
 
 
 #: PROGRESSIVE twin of the DC-only container: SOF2 + a single DC scan
@@ -837,16 +977,23 @@ def _jpeg_idct_block(coef, plane, px0: int, py0: int) -> None:
             plane[py0 + y][px0 + x] = 0 if v < 0 else (255 if v > 255 else v)
 
 
-def _jpeg_planes_to_result(planes, comps, w: int, h: int, hmax: int, vmax: int):
+def _jpeg_planes_to_result(planes, comps, w: int, h: int, hmax: int, vmax: int,
+                           want: str = "feature"):
     """Crop/upsample decoded component planes to the final raster +
-    8-band feature (grayscale pass-through or JFIF YCbCr→RGB)."""
+    8-band feature (grayscale pass-through or JFIF YCbCr→RGB).
+    ``want="gray_raster"`` returns the raw grayscale raster bytes
+    instead (None for color images) — the MJPEG path needs pixels."""
     import math
 
     floor = math.floor
     if len(comps) == 1:
         plane = planes[0]
         raster = bytes(plane[y][x] for y in range(h) for x in range(w))
+        if want == "gray_raster":
+            return raster
         return (w, h, 1, _raster_feature(raster))
+    if want == "gray_raster":
+        return None
     out = bytearray()
     yp, cbp, crp = planes
     (_, yh, yv, _), (_, bh, bv, _), (_, rh, rv, _) = comps
@@ -892,7 +1039,7 @@ def _jpeg_sof_marker(p: bytes):
     return None
 
 
-def _decode_jpeg(payload: bytes):
+def _decode_jpeg(payload: bytes, want: str = "feature"):
     """Error-contract wrapper + SOF dispatch: baseline/extended
     sequential (SOF0/1) take the streaming path, progressive (SOF2)
     the multi-scan coefficient-accumulation path. Malformed streams
@@ -902,13 +1049,13 @@ def _decode_jpeg(payload: bytes):
 
     try:
         if _jpeg_sof_marker(payload) == 0xC2:
-            return _decode_jpeg_progressive(payload)
-        return _decode_jpeg_inner(payload)
+            return _decode_jpeg_progressive(payload, want)
+        return _decode_jpeg_inner(payload, want)
     except (IndexError, KeyError, struct.error) as e:
         raise ValueError(f"truncated/malformed JPEG stream: {e}") from e
 
 
-def _decode_jpeg_inner(payload: bytes):
+def _decode_jpeg_inner(payload: bytes, want: str = "feature"):
     """Baseline sequential JPEG decoder — pure stdlib (T.81: DQT/DHT
     parse, canonical Huffman entropy decode with 0xFF00 stuffing and
     DRI restart intervals, dequantize + de-zigzag, separable float
@@ -1059,10 +1206,10 @@ def _decode_jpeg_inner(payload: bytes):
                         )
             n_mcu += 1
 
-    return _jpeg_planes_to_result(planes, comps, w, h, hmax, vmax)
+    return _jpeg_planes_to_result(planes, comps, w, h, hmax, vmax, want)
 
 
-def _decode_jpeg_progressive(payload: bytes):
+def _decode_jpeg_progressive(payload: bytes, want: str = "feature"):
     """Progressive JPEG decoder (T.81 Annex G, Huffman): the dominant
     variant on the modern web. Coefficients accumulate across scans —
     DC first/refinement (interleaved or single-component), AC spectral
@@ -1174,7 +1321,7 @@ def _decode_jpeg_progressive(payload: bytes):
                 deq = [blk[z] * q[z] for z in range(64)]
                 _jpeg_idct_block(deq, plane, bx * 8, by * 8)
         planes.append(plane)
-    return _jpeg_planes_to_result(planes, comps, w, h, hmax, vmax)
+    return _jpeg_planes_to_result(planes, comps, w, h, hmax, vmax, want)
 
 
 def _jpeg_decode_progressive_scan(
@@ -1454,6 +1601,14 @@ def _decode_image(payload: bytes, real_decode: bool = False):
             return _decode_gif(payload)
         if payload and payload[:2] == b"\xff\xd8":
             return _decode_jpeg(payload)
+        if (
+            payload
+            and payload[:4] == b"RIFF"
+            and payload[8:12] == b"AVI "
+        ):
+            # MJPEG video: n_frames = container total; feature over the
+            # sampled frames' concatenated rasters
+            return _decode_avi_mjpeg(payload)
         raise ValueError("unsupported image format (PIL/opencv absent)")
     import hashlib
 

@@ -591,6 +591,55 @@ def test_bmp_8bit_palette():
         _decode_image(bad, real_decode=True)
 
 
+def test_avi_mjpeg_decoder_real():
+    """RIFF/AVI walk + real JPEG frame decode: sampling picks frames
+    0 and 2 of 4; feature over their concatenated rasters; dimension
+    mismatches and frameless containers hit the error channel."""
+    import pytest
+
+    from newspaper_spark.operators.multimodal import (
+        _decode_image,
+        _raster_feature,
+        avi_mjpeg_payload_hex,
+        jpeg_dc_gray_payload_hex,
+    )
+
+    ds_all = [[130 + 8 * j, 170, 201, 253] for j in range(4)]
+    frames = [
+        jpeg_dc_gray_payload_hex(*[f"{d:02X}" for d in ds]) for ds in ds_all
+    ]
+    payload = bytes.fromhex(avi_mjpeg_payload_hex(frames))
+    w, h, nf, feat = _decode_image(payload, real_decode=True)
+    assert (w, h, nf) == (16, 16, 4)
+
+    def raster(ds):
+        px = [128 + (d + 4) // 8 for d in ds]
+        out = bytearray()
+        for pair in ((0, 1), (2, 3)):
+            a, b = px[pair[0]], px[pair[1]]
+            out += bytes(([a] * 8 + [b] * 8) * 8)
+        return bytes(out)
+
+    assert feat == _raster_feature(raster(ds_all[0]) + raster(ds_all[2]))
+
+    # header/frame dim mismatch: patch avih width
+    bad = bytearray(payload)
+    i = bad.index(b"avih")
+    bad[i + 8 + 32] = 99  # dwWidth
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        _decode_image(bytes(bad), real_decode=True)
+
+    # container without frames
+    from newspaper_spark.operators.multimodal import (
+        JPEG_DC_FRAME_BYTES,
+        _avi_header_hex,
+    )
+
+    empty = bytes.fromhex(_avi_header_hex(0, 16, 16, JPEG_DC_FRAME_BYTES))
+    with pytest.raises(ValueError, match="frame"):
+        _decode_image(empty, real_decode=True)
+
+
 def test_wav_decoder_real():
     """Pure-stdlib RIFF/PCM decode: 8-bit mono, 16-bit stereo (high
     bytes unsigned-shifted), odd-length chunk padding honored, non-PCM
