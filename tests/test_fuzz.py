@@ -90,10 +90,29 @@ def test_real_decoder_error_contract(payload):
     mapInPandas error column always gets the documented channel."""
     from newspaper_spark.operators.multimodal import _decode_image
 
-    for prefix in (b"", b"P6\n", b"BM", b"\x89PNG\r\n\x1a\n", b"GIF89a",
-                   b"GIF87a", b"\xff\xd8", b"\xff\xd8\xff\xdb"):
+    for prefix in (b"", b"P6\n", b"P5\n", b"BM", b"\x89PNG\r\n\x1a\n",
+                   b"GIF89a", b"GIF87a", b"\xff\xd8", b"\xff\xd8\xff\xdb",
+                   b"\xff\xd8\xff\xc2", b"RIFF\x00\x01\x00\x00AVI ",
+                   b"RIFF\x00\x01\x00\x00AVI LIST"):
         try:
             w, h, nf, feat = _decode_image(prefix + payload, real_decode=True)
-            assert w > 0 and h > 0 and nf == 1 and len(feat) == 8
+            # nf > 1 is legal for AVI containers (frame count)
+            assert w > 0 and h > 0 and nf >= 1 and len(feat) == 8
+        except ValueError:
+            pass
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_wav_decoder_error_contract(payload):
+    """_decode_wav on arbitrary bytes either decodes or raises
+    ValueError — the audio error-column contract."""
+    from newspaper_spark.operators.multimodal import _decode_wav
+
+    for prefix in (b"", b"RIFF\x00\x01\x00\x00WAVE",
+                   b"RIFF\x00\x01\x00\x00WAVEfmt "):
+        try:
+            n, r, c, feat = _decode_wav(prefix + payload)
+            assert n > 0 and r > 0 and c > 0 and len(feat) == 8
         except ValueError:
             pass
