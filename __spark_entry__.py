@@ -2546,8 +2546,6 @@ def _media_video_oracle() -> str:
     with d = d(doc_id, 4·j + k); the 8 feature bands cover 64 bytes
     each of the 512-byte concatenated raster (bands 0-1: frame-0
     blocks A+B, 2-3: frame-0 C+D, 4-7: same for frame 2)."""
-    import struct as _struct
-
     from newspaper_spark.operators.multimodal import (
         JPEG_DC_FRAME_BYTES,
         _avi_header_hex,

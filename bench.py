@@ -239,7 +239,12 @@ def query_timings(cores: int) -> dict:
         "span_dedup",
         "unigram_logprob",
         "media_decode_jpeg",
+        "media_audio",
+        "media_video",
         "dsir",
+        "gopher_filters",
+        "url_blocklist",
+        "paragraph_dedup",
         "corpus_prep",
     ]
     qs = E.queries()

@@ -215,16 +215,9 @@ def _decode_wav(payload: bytes):
     soundfile/librosa plug-in slot)."""
     import struct
 
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("bad WAV signature")
-    pos = 12
     fmt = None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (clen,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8 : pos + 8 + clen]
-        if len(body) < clen:
-            raise ValueError("truncated WAV chunk")
+    for cid, body in _riff_chunks(payload, b"WAVE", "WAV"):
+        clen = len(body)
         if cid == b"fmt ":
             if clen < 16:
                 raise ValueError("truncated WAV fmt")
@@ -255,8 +248,6 @@ def _decode_wav(payload: bytes):
                     for i in range(0, n_samples * frame, 2)
                 )
             return (n_samples, rate, n_ch, _raster_feature(amp))
-        # chunks are word-aligned: odd lengths carry one pad byte
-        pos += 8 + clen + (clen & 1)
     raise ValueError("WAV without data chunk")
 
 
@@ -306,35 +297,44 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return pruned.mapInPandas(op, schema=AUDIO_SCHEMA)
 
 
+def _riff_chunks(payload: bytes, form: bytes, label: str):
+    """Yield (fourcc, body) for the top-level chunks of a RIFF
+    container with the given form tag, honoring word alignment —
+    the one chunk walk shared by the WAV and AVI decoders."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != form:
+        raise ValueError(f"bad {label} signature")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError(f"truncated {label} chunk")
+        yield cid, body
+        # chunks are word-aligned: odd lengths carry one pad byte
+        pos += 8 + clen + (clen & 1)
+
+
 def _decode_avi_mjpeg(payload: bytes, every_n: int = 2, max_frames: int = 4):
     """AVI (RIFF) container walk + Motion-JPEG frame decode — pure
     stdlib on top of the repo's own JPEG decoder: 'hdrl'/'avih' gives
     the declared geometry and frame count, '00dc'/'00db' chunks inside
     'movi' carry per-frame JPEGs, and the frame-sampling schedule
     (every ``every_n``-th frame, at most ``max_frames`` — the same
-    policy sample_frame_indices exposes as a Column) picks which
-    frames actually decode. Returns (width, height, n_frames,
+    POLICY SHAPE sample_frame_indices exposes as a Column, with
+    per-call parameters) picks which frames actually decode. Returns (width, height, n_frames,
     feature) with the 8-band feature over the CONCATENATED sampled
     frames' rasters. Non-JPEG streams / dim mismatches raise into the
     error column (the pyav/opencv plug-in slot)."""
     import struct
 
-    if (
-        len(payload) < 12
-        or payload[:4] != b"RIFF"
-        or payload[8:12] != b"AVI "
-    ):
-        raise ValueError("bad AVI signature")
-    pos = 12
     n_frames = None
     aw = ah = None
     frames = []
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (clen,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8 : pos + 8 + clen]
-        if len(body) < clen:
-            raise ValueError("truncated AVI chunk")
+    for cid, body in _riff_chunks(payload, b"AVI ", "AVI"):
+        clen = len(body)
         if cid == b"LIST":
             ltype = body[:4]
             if ltype in (b"hdrl", b"movi"):
@@ -355,7 +355,6 @@ def _decode_avi_mjpeg(payload: bytes, every_n: int = 2, max_frames: int = 4):
                     elif scid[2:4] in (b"dc", b"db"):
                         frames.append(sbody)
                     sub += 8 + slen + (slen & 1)
-        pos += 8 + clen + (clen & 1)
     if n_frames is None:
         raise ValueError("AVI without avih header")
     if not frames:
@@ -364,21 +363,21 @@ def _decode_avi_mjpeg(payload: bytes, every_n: int = 2, max_frames: int = 4):
     rasters = []
     w = h = None
     for j in picks:
-        fw, fh, _, _ = _decode_jpeg(frames[j])
+        # ONE decode per frame: want="gray_raster" returns dims+pixels
+        fw, fh, raster = _jpeg_gray_raster(frames[j])
         if w is None:
             w, h = fw, fh
         elif (fw, fh) != (w, h):
             raise ValueError("AVI frame dimension mismatch")
-        rasters.append(_jpeg_gray_raster(frames[j]))
+        rasters.append(raster)
     if aw and ah and (aw, ah) != (w, h):
         raise ValueError("AVI header/frame dimension mismatch")
     return (w, h, n_frames, _raster_feature(b"".join(rasters)))
 
 
-def _jpeg_gray_raster(payload: bytes) -> bytes:
-    """Decode a GRAYSCALE JPEG to its raw raster bytes (helper for the
-    MJPEG path, which needs pixels across frames, not one frame's
-    band feature)."""
+def _jpeg_gray_raster(payload: bytes):
+    """(w, h, raster bytes) of a GRAYSCALE JPEG — one decode yields
+    both dims and pixels (helper for the MJPEG path)."""
     res = _decode_jpeg(payload, want="gray_raster")
     if res is None:
         raise ValueError("MJPEG frame is not grayscale")
@@ -724,6 +723,10 @@ def _avi_header_hex(n_frames: int, w: int, h: int, frame_bytes: int) -> str:
     the whole container assembles as hex Column concatenation."""
     import struct
 
+    # RIFF chunks are word-aligned: an odd frame size would need a pad
+    # byte the reader skips via (slen & 1) — the builder does not emit
+    # pads, so the fixed frame size must stay even
+    assert frame_bytes % 2 == 0, "AVI builder requires even frame size"
     avih = (
         struct.pack(
             "<IIIIIIIIII", 40000, 0, 0, 0, n_frames, 0, 1, 0, w, h
@@ -990,7 +993,7 @@ def _jpeg_planes_to_result(planes, comps, w: int, h: int, hmax: int, vmax: int,
         plane = planes[0]
         raster = bytes(plane[y][x] for y in range(h) for x in range(w))
         if want == "gray_raster":
-            return raster
+            return (w, h, raster)
         return (w, h, 1, _raster_feature(raster))
     if want == "gray_raster":
         return None
