@@ -372,18 +372,17 @@ def q_ann_ivf(spark, sf_dir):
     ).select("query_id", "neighbor_id", "rank")
 
 
-def q_embedding_dedup(spark, sf_dir):
-    from newspaper_spark.operators.similarity import embedding_dedup_pairs
+def _aug_embeddings(spark, sf_dir):
+    """Embeddings table + deterministic perturbed copies of every 25th
+    vector: the synthetic embeddings carry no true near-dups (max
+    pairwise cosine ≈ 0.48), so these seeded copies are the real
+    positives — mirrored exactly in the oracle SQL."""
     from newspaper_spark.sources.transcripts import load_table
 
     emb = _spread(load_table(spark, sf_dir, "embeddings"), spark)
     emb_d = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    # the synthetic embeddings carry no true near-dups (max pairwise
-    # cosine ≈ 0.48), so seed deterministic perturbed copies of every
-    # 25th vector — real positives for the operator, mirrored exactly
-    # in the oracle SQL
     pert = F.concat(
         F.array(F.element_at("embedding", 1) * 1.2 + 0.01),
         F.slice("embedding", 2, EMB_DIM - 1),
@@ -391,7 +390,13 @@ def q_embedding_dedup(spark, sf_dir):
     dups = emb_d.filter(F.col("vec_id") % 25 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), pert.alias("embedding")
     )
-    aug = emb_d.unionByName(dups)
+    return emb_d.unionByName(dups)
+
+
+def q_embedding_dedup(spark, sf_dir):
+    from newspaper_spark.operators.similarity import embedding_dedup_pairs
+
+    aug = _aug_embeddings(spark, sf_dir)
     # 32 planes in 4 bands of 8 bits: at threshold 0.9 the per-bit
     # agreement of a true pair is ≥0.95, so any-band recall stays ~0.99,
     # while random-pair band collisions drop 2^-4 → 2^-8 per band
@@ -401,6 +406,26 @@ def q_embedding_dedup(spark, sf_dir):
     return embedding_dedup_pairs(
         aug, threshold=0.9, dim=EMB_DIM, n_planes=32, bands=4
     )
+
+
+def q_semantic_clusters(spark, sf_dir):
+    """SemDeDup-style semantic duplicate CLUSTERS: exact-cosine-verified
+    embedding near-dup pairs (embedding_dedup's banded LSH + verify)
+    fed into connected components — every vector labeled with its
+    cluster's min-id representative + cluster size, singletons
+    rep=self. The oracle recomputes the closure with a recursive CTE
+    over the identically reconstructed pair relation."""
+    from newspaper_spark.operators.dedup import connected_components
+    from newspaper_spark.operators.similarity import embedding_dedup_pairs
+
+    aug = _aug_embeddings(spark, sf_dir)
+    pairs = embedding_dedup_pairs(
+        aug, threshold=0.9, dim=EMB_DIM, n_planes=32, bands=4
+    ).select("id_a", "id_b")
+    nodes = aug.select(F.col("vec_id").alias("id"))
+    comp = connected_components(pairs, nodes=nodes)
+    sizes = comp.groupBy("rep").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "rep").select("id", "rep", "cluster_size")
 
 
 def q_lang_id(spark, sf_dir):
@@ -1311,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,  # new in r4: never sampled
         "media_audio": q_media_audio,  # new in r4: never sampled
         "media_video": q_media_video,  # new in r4: never sampled
+        "semantic_clusters": q_semantic_clusters,  # new in r4: never sampled
         "extract_fulltext": q_extract_fulltext,
         "extract_title": q_extract_title,
         "extract_meta": q_extract_meta,
@@ -1548,6 +1574,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_jpeg": _media_decode_jpeg_oracle(),
         "media_audio": _media_audio_oracle(),
         "media_video": _media_video_oracle(),
+        "semantic_clusters": _semantic_clusters_oracle(),
         "media_resize": """
             WITH d AS (
                 SELECT md5(text) AS media_id,
@@ -3053,6 +3080,54 @@ def _embedding_dedup_oracle() -> str:
         JOIN sigs a ON a.vec_id = c.id_a
         JOIN sigs b ON b.vec_id = c.id_b
         WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+    """
+
+
+def _semantic_clusters_oracle() -> str:
+    """Connected components over the exact-cosine-verified embedding
+    pair relation (the same CTE pipeline as _embedding_dedup_oracle),
+    closed transitively with a recursive CTE; rep = min reachable id,
+    singletons included from the augmented node set."""
+    sig = _plane_sig_sql("v", n_planes=32)
+    return f"""
+        WITH RECURSIVE emb AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ), aug AS (
+            SELECT vec_id, v FROM emb
+            UNION ALL
+            SELECT vec_id + 1000000, list_concat([v[1] * 1.2 + 0.01], v[2:])
+            FROM emb WHERE vec_id % 25 = 0
+        ), sigs AS (
+            SELECT vec_id, v, {sig} AS sig FROM aug
+        ), bb AS (
+            SELECT vec_id, b.b AS band, substring(sig, b.b * 8 + 1, 8) AS bsig
+            FROM sigs CROSS JOIN (VALUES {_BAND4_VALUES}) b(b)
+        ), cand AS (
+            SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+            FROM bb l JOIN bb r
+              ON l.band = r.band AND l.bsig = r.bsig AND l.vec_id < r.vec_id
+        ), vp AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN sigs a ON a.vec_id = c.id_a
+            JOIN sigs b ON b.vec_id = c.id_b
+            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM vp
+            UNION
+            SELECT id_b AS a, id_a AS b FROM vp
+        ), reach(src, dst) AS (
+            SELECT vec_id, vec_id FROM aug
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+        ), comp AS (
+            SELECT src AS id, min(dst) AS rep FROM reach GROUP BY src
+        )
+        SELECT c.id, c.rep, s.cluster_size
+        FROM comp c
+        JOIN (SELECT rep, count(*)::BIGINT AS cluster_size
+              FROM comp GROUP BY rep) s USING (rep)
     """
 
 
