@@ -1681,6 +1681,93 @@ def test_span_dedup_matches_python_model(spark):
         assert got == model(rows), f"seed {seed}: {got} != {model(rows)}"
 
 
+def test_paragraph_dedup_matches_python_model(spark):
+    """paragraph_dedup (span=1, newline separator) vs an independent
+    sequential model on random small-alphabet corpora with heavy
+    cross-doc paragraph collisions."""
+    import random
+    from collections import defaultdict
+
+    from newspaper_spark.operators.span_dedup import paragraph_dedup
+
+    def model(rows):
+        paras = {
+            i: [p for p in (x.strip() for x in t.split("\n")) if p]
+            for i, t in rows
+        }
+        occ = defaultdict(list)
+        for i in sorted(paras):
+            for j, p in enumerate(paras[i]):
+                occ[p].append((i, j))
+        removed = defaultdict(set)
+        for occs in occ.values():
+            if len(occs) > 1:
+                for i, j in occs[1:]:
+                    removed[i].add(j)
+        return {
+            i: (
+                "\n".join(p for k, p in enumerate(ps) if k not in removed[i]),
+                len(ps),
+                len(removed[i]),
+            )
+            for i, ps in paras.items()
+        }
+
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        paras_pool = ["alpha beta", "gamma", "delta epsilon", "zeta"]
+        rows = [
+            (
+                i,
+                "\n".join(
+                    rng.choice(paras_pool) for _ in range(rng.randint(0, 6))
+                ),
+            )
+            for i in range(rng.randint(3, 7))
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.cleaned_text, r.n_sentences, r.n_removed)
+            for r in paragraph_dedup(df).collect()
+        }
+        assert got == model(rows), f"seed {seed}"
+
+
+def test_url_blocklist_matches_python_model(spark):
+    """url_blocklist_filter vs a direct suffix-set model over random
+    multi-label hosts."""
+    import random
+    from urllib.parse import urlparse
+
+    from newspaper_spark.operators.urlops import url_blocklist_filter
+
+    labels = ["a", "bb", "news", "cdn"]
+    tlds = ["com", "net", "org"]
+    rng = random.Random(42)
+    rows = []
+    for i in range(60):
+        host = ".".join(
+            rng.choices(labels, k=rng.randint(1, 3)) + [rng.choice(tlds)]
+        )
+        rows.append((i, f"http://{host}/p{i}"))
+    blocklist = ["bb.com", "news.cdn.net", "org"]
+
+    def model(url):
+        host = urlparse(url).hostname
+        parts = host.split(".")
+        sufs = {".".join(parts[i:]) for i in range(len(parts))}
+        hits = sorted(s for s in blocklist if s in sufs)
+        return (bool(hits), hits[0] if hits else None)
+
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r.doc_id: (r.blocked, r.blocked_domain)
+        for r in url_blocklist_filter(df, blocklist).collect()
+    }
+    want = {i: model(u) for i, u in rows}
+    assert got == want
+
+
 def test_tfidf_topk_hand_computed(spark):
     import math
 
