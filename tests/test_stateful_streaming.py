@@ -128,3 +128,23 @@ def test_event_time_sessionize_drops_late_events(spark, tmp_path):
         assert not any(r.n_events > 2 for r in user1), user1
     finally:
         q.stop()
+
+
+def test_event_time_sessionize_rejects_watermark_over_gap(spark):
+    """watermark_minutes > gap_minutes would let a late in-watermark
+    event silently merge two true sessions (the bound-stretch is only
+    safe within one gap of the open session's start) — must raise."""
+    import pytest
+
+    from newspaper_spark.streaming.stateful import (
+        streaming_sessionize_event_time,
+    )
+
+    events = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value as user_id", "timestamp as ts")
+    )
+    with pytest.raises(ValueError, match="must be <="):
+        streaming_sessionize_event_time(
+            events, gap_minutes=10, watermark_minutes=30
+        )
