@@ -1310,86 +1310,128 @@ def q_corpus_prep(spark, sf_dir):
     return enriched.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
 
 
+def _round_no() -> int:
+    """Current build round, inferred from the driver's committed
+    correctness artifacts (after round N finishes, CORRECTNESS_r{N}.json
+    exists in the repo root → the running round is max+1). Overridable
+    with SPARK_GRAFT_ROUND for tests/audits of other rounds' windows."""
+    import glob
+    import os
+    import re
+
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"_r0*(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+# Canonical query order, FROZEN in round-4's dict order (so round 4's
+# artifact corresponds to rotation offset 0). ROTATION POLICY (see
+# ROTATION.md): the external driver hash-verifies only the FIRST 50
+# queries() entries, so the returned order rotates this list by
+# 19 × (round − 4) positions each round. 19 = len(canonical) − window,
+# which makes consecutive rounds' unsampled tails DISJOINT: every query
+# gets a driver row at least 2 of every 3 rounds and never misses two
+# rounds in a row. New queries are appended to _NEW_THIS_ROUND (always
+# emitted first → always inside the window) and folded into the
+# canonical list the following round. Every entry is additionally
+# checked every round by scripts/verify_oracle.py.
+_CANONICAL_QUERIES: list[tuple[str, Callable]] = [
+    ("nlp_summary", q_nlp_summary),
+    ("nlp_sentence_scores", q_nlp_sentence_scores),
+    ("text_entropy", q_text_entropy),
+    ("nlp_keywords", q_nlp_keywords),
+    ("prepare_url", q_prepare_url),
+    ("array_ops", q_array_ops),
+    ("conversation_text", q_conversation_text),
+    ("link_hash", q_link_hash),
+    ("dedup_url", q_dedup_url),
+    ("pdf_skip", q_pdf_skip),
+    ("corpus_prep", q_corpus_prep),
+    ("media_decode_jpeg", q_media_decode_jpeg),
+    ("dsir", q_dsir),
+    ("gopher_filters", q_gopher_filters),
+    ("url_blocklist", q_url_blocklist),
+    ("paragraph_dedup", q_paragraph_dedup),
+    ("media_audio", q_media_audio),
+    ("media_video", q_media_video),
+    ("semantic_clusters", q_semantic_clusters),
+    ("extract_fulltext", q_extract_fulltext),
+    ("extract_title", q_extract_title),
+    ("extract_meta", q_extract_meta),
+    ("dedup_exact", q_dedup_exact),
+    ("keywords_topk", q_keywords_topk),
+    ("minhash_pairs", q_minhash_pairs),
+    ("dedup_clusters", q_dedup_clusters),
+    ("sample_stratified", q_sample_stratified),
+    ("ngram_jaccard", q_ngram_jaccard),
+    ("simhash", q_simhash),
+    ("simhash_near_dups", q_simhash_near_dups),
+    ("ann_topk", q_ann_topk),
+    ("ann_lsh", q_ann_lsh),
+    ("ann_ivf", q_ann_ivf),
+    ("embedding_dedup", q_embedding_dedup),
+    ("lang_id", q_lang_id),
+    ("bpe_tokens", q_bpe_tokens),
+    ("quality", q_quality),
+    ("pii_scrub", q_pii_scrub),
+    ("repetition", q_repetition),
+    ("unigram_logprob", q_unigram_logprob),
+    ("media_probe", q_media_probe),
+    ("dedup_report", q_dedup_report),
+    ("source_mix", q_source_mix),
+    ("tfidf_topk", q_tfidf_topk),
+    ("pack_offsets", q_pack_offsets),
+    ("normalize_text", q_normalize_text),
+    ("c4_filters", q_c4_filters),
+    ("span_dedup", q_span_dedup),
+    ("fingerprint", q_fingerprint),
+    ("winnow", q_winnow),
+    ("contamination", q_contamination),
+    ("events_hourly", q_events_hourly),
+    ("sessionize", q_sessionize),
+    ("media_features", q_media_features),
+    ("media_decode_real", q_media_decode_real),
+    ("media_resize", q_media_resize),
+    ("frame_sample", q_frame_sample),
+    ("image_score", q_image_score),
+    ("transcripts", q_transcripts),
+    ("stopword_count", q_stopword_count),
+    ("inner_trim", q_inner_trim),
+    ("valid_url", q_valid_url),
+    ("url_filetype", q_url_filetype),
+    ("is_media_news", q_is_media_news),
+    ("is_valid_body", q_is_valid_body),
+    ("truncations", q_truncations),
+    ("anti_join_seen", q_anti_join_seen),
+    ("limit_per_source", q_limit_per_source),
+    ("domain_counters", q_domain_counters),
+]
+
+# Queries ADDED this round (not yet in _CANONICAL_QUERIES): emitted
+# first so they always land inside the driver's 50-row window. Fold
+# into _CANONICAL_QUERIES next round and empty this list.
+_NEW_THIS_ROUND: list[tuple[str, Callable]] = []
+
+_DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
+_ROTATION_STEP = 19  # = len(canonical) − window → disjoint consecutive tails
+_ROTATION_BASE_ROUND = 4  # round whose artifact froze the canonical order
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the external driver hash-verifies only the FIRST
-    # 50 entries.  Round-4 rotation (VERDICT r3 "Next round" #1): the 11 entries
-    # the round-3 driver never sampled — above all nlp_summary (hash-red in
-    # r1-r2, never driver-green) and nlp_sentence_scores (new in r3) — lead the
-    # dict; 11 long-stable veterans (driver-green in r3's artifact) rotate to
-    # the tail.  Every entry stays covered by scripts/verify_oracle.py locally.
-    return {
-        "nlp_summary": q_nlp_summary,
-        "nlp_sentence_scores": q_nlp_sentence_scores,
-        "text_entropy": q_text_entropy,
-        "nlp_keywords": q_nlp_keywords,
-        "prepare_url": q_prepare_url,
-        "array_ops": q_array_ops,
-        "conversation_text": q_conversation_text,
-        "link_hash": q_link_hash,
-        "dedup_url": q_dedup_url,
-        "pdf_skip": q_pdf_skip,
-        "corpus_prep": q_corpus_prep,
-        "media_decode_jpeg": q_media_decode_jpeg,  # new in r4: never sampled
-        "dsir": q_dsir,  # new in r4: never sampled
-        "gopher_filters": q_gopher_filters,  # new in r4: never sampled
-        "url_blocklist": q_url_blocklist,  # new in r4: never sampled
-        "paragraph_dedup": q_paragraph_dedup,  # new in r4: never sampled
-        "media_audio": q_media_audio,  # new in r4: never sampled
-        "media_video": q_media_video,  # new in r4: never sampled
-        "semantic_clusters": q_semantic_clusters,  # new in r4: never sampled
-        "extract_fulltext": q_extract_fulltext,
-        "extract_title": q_extract_title,
-        "extract_meta": q_extract_meta,
-        "dedup_exact": q_dedup_exact,
-        "keywords_topk": q_keywords_topk,
-        "minhash_pairs": q_minhash_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "sample_stratified": q_sample_stratified,
-        "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_dedup": q_embedding_dedup,
-        "lang_id": q_lang_id,
-        "bpe_tokens": q_bpe_tokens,
-        "quality": q_quality,
-        "pii_scrub": q_pii_scrub,
-        "repetition": q_repetition,
-        "unigram_logprob": q_unigram_logprob,
-        "media_probe": q_media_probe,
-        "dedup_report": q_dedup_report,
-        "source_mix": q_source_mix,
-        "tfidf_topk": q_tfidf_topk,
-        "pack_offsets": q_pack_offsets,
-        "normalize_text": q_normalize_text,
-        "c4_filters": q_c4_filters,
-        "span_dedup": q_span_dedup,
-        "fingerprint": q_fingerprint,
-        "winnow": q_winnow,
-        "contamination": q_contamination,
-        "events_hourly": q_events_hourly,
-        "sessionize": q_sessionize,
-        "media_features": q_media_features,
-        "media_decode_real": q_media_decode_real,
-        "media_resize": q_media_resize,
-        "frame_sample": q_frame_sample,
-        "image_score": q_image_score,
-        # --- tail: driver-green in CORRECTNESS_r03.json, rotated out of the
-        # --- 50-row sample this round (still checked by verify_oracle.py).
-        "transcripts": q_transcripts,
-        "stopword_count": q_stopword_count,
-        "inner_trim": q_inner_trim,
-        "valid_url": q_valid_url,
-        "url_filetype": q_url_filetype,
-        "is_media_news": q_is_media_news,
-        "is_valid_body": q_is_valid_body,
-        "truncations": q_truncations,
-        "anti_join_seen": q_anti_join_seen,
-        "limit_per_source": q_limit_per_source,
-        "domain_counters": q_domain_counters,
-    }
+    n = len(_CANONICAL_QUERIES)
+    off = (_ROTATION_STEP * (_round_no() - _ROTATION_BASE_ROUND)) % n
+    rotated = _CANONICAL_QUERIES[off:] + _CANONICAL_QUERIES[:off]
+    new_names = {nm for nm, _ in _NEW_THIS_ROUND}
+    out: dict[str, Callable] = dict(_NEW_THIS_ROUND)
+    out.update((nm, fn) for nm, fn in rotated if nm not in new_names)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -215,8 +215,24 @@ def ceiling_run(cores: int) -> tuple[float, int]:
     return dt, n
 
 
-def query_timings(cores: int) -> dict:
+def query_timings(cores: int) -> tuple[dict, dict]:
+    """Per-query seconds at SF_DIR: (warm_medians, cold_first_runs).
+
+    Each timed run is wrapped in cache.tracking_scope(): operator-
+    internal persists (signature/sentence/token tables) are freed as
+    soon as that run's output is consumed, so query k's blocks never
+    occupy memory during query k+1 (bounded-memory behavior for the
+    exact session shape the driver runs) AND warm reruns rebuild their
+    persists instead of reading blocks cached by the previous run —
+    warm numbers measure warm-PLAN cost (JIT/codegen/worker reuse), not
+    cache reads. Cold = first run (what a one-shot session pays); warm
+    = median of the subsequent runs (steady-state cost in a long-lived
+    session).
+    """
+    import statistics
+
     import __spark_entry__ as E
+    from newspaper_spark import cache
     from newspaper_spark.operators.extract import extract_articles
     from newspaper_spark.plans.session import get_spark
     from newspaper_spark.sources.transcripts import synthetic_transcripts
@@ -249,20 +265,26 @@ def query_timings(cores: int) -> dict:
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)
-    times = {}
+    warm_reps = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_REPS", "3"))
+    cold, warm_med = {}, {}
     try:
         # steady-state: fork + import every Python UDF worker once so the
         # first UDF query isn't charged the one-time startup
         warm = synthetic_transcripts(spark, SF_DIR).limit(cores * 4).repartition(cores)
         extract_articles(warm).filter("status = 'ok'").count()
         for name in headline:
-            t0 = time.time()
-            df = qs[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            times[name] = round(time.time() - t0, 3)
+            samples = []
+            for _ in range(1 + warm_reps):
+                t0 = time.time()
+                with cache.tracking_scope():
+                    df = qs[name](spark, SF_DIR)
+                    df.write.format("noop").mode("overwrite").save()
+                samples.append(round(time.time() - t0, 3))
+            cold[name] = samples[0]
+            warm_med[name] = round(statistics.median(samples[1:]), 3)
     finally:
         spark.stop()
-    return times
+    return warm_med, cold
 
 
 def _run_sub(mode: str, cores: int) -> tuple[float, int]:
@@ -390,7 +412,7 @@ def main():
             "efficiency_framework_relative": round(min(fw_rel, 1.0), 3),
         }
 
-    queries = query_timings(CPUS)
+    queries_warm, queries_cold = query_timings(CPUS)
 
     result = {
         # 'value' carries the throughput the metric names; wall-clock
@@ -399,7 +421,18 @@ def main():
         "value": round(thr_full, 2),
         "unit": "turns/sec",
         "wall_seconds": round(dt_full, 3),
-        "queries": queries,
+        # 'queries' = warm medians (steady-state cost in a long-lived
+        # session); 'queries_cold' = first run incl. one-time plan/
+        # analysis cost. Per-run caches are scoped (see query_timings).
+        "queries": queries_warm,
+        "queries_cold": queries_cold,
+        "queries_protocol": (
+            "per query: 1 cold run + median of "
+            "$SPARK_GRAFT_BENCH_QUERY_REPS(=3) warm reruns; each run "
+            "inside cache.tracking_scope() so warm reruns rebuild "
+            "operator-internal persists (warm-plan cost, not cache "
+            "reads) and no blocks leak across queries"
+        ),
         "sf": _sf_from_dir(SF_DIR),
         "n_turns": n_turns,
         "turns_per_sec": round(thr_full, 2),

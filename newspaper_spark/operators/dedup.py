@@ -222,7 +222,13 @@ def minhash_lsh_pairs(
     dups. ``max_group_size`` is the belt-and-braces guard: collision
     groups larger than it are skipped WITH a logged warning (see
     ``_cap_collision_groups``). Default ``None`` preserves exhaustive
-    candidate generation for pre-deduped input."""
+    candidate generation for pre-deduped input.
+
+    NOTE: setting ``max_group_size`` makes CONSTRUCTION EAGER — the cap
+    runs a Spark job over the blocking keys and leaves a cache-tracked
+    persist (released by the caller's ``cache.tracking_scope()`` /
+    ``cache.release()``) at plan-build time, before any action on the
+    returned DataFrame."""
     rows_per_band = num_hashes // bands
     # persist: the band self-join reads the signature subplan on BOTH
     # sides, and AQE's runtime broadcast defeats ReuseExchange — without
@@ -434,7 +440,13 @@ def simhash_near_dups(
     does) — m byte-identical documents share all chunks and emit
     m(m−1)/2 pairs per chunk. ``max_group_size`` skips (with a logged
     warning) any (chunk, val) collision group above the cap; default
-    ``None`` keeps exhaustive generation for pre-deduped input."""
+    ``None`` keeps exhaustive generation for pre-deduped input.
+
+    NOTE: setting ``max_group_size`` makes CONSTRUCTION EAGER — the cap
+    runs a Spark job over the chunk keys and leaves a cache-tracked
+    persist (released by the caller's ``cache.tracking_scope()`` /
+    ``cache.release()``) at plan-build time, before any action on the
+    returned DataFrame."""
     n_chunks = max_hamming + 1
     if n_chunks > 32:
         raise ValueError("max_hamming too large for 64-bit pigeonhole blocking")

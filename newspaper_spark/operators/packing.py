@@ -60,8 +60,14 @@ def pack_offsets(
     # this repo), the two branches could re-execute the shuffle with
     # different boundaries and silently corrupt offsets. Persisting
     # pins one materialization of the partition assignment.
+    # critical=True: a global cache.release() before this output is
+    # materialized would un-pin the partition assignment (a CORRECTNESS
+    # hazard, not a recompute) — only tracking_scope (whose contract is
+    # output-materialized-before-exit) or release(include_critical=True)
+    # may drop it.
     with_pid = cache.track(
-        ordered.withColumn("pid", F.spark_partition_id()).persist()
+        ordered.withColumn("pid", F.spark_partition_id()).persist(),
+        critical=True,
     )
     part_tot = with_pid.groupBy("pid").agg(F.sum("n").alias("psum"))
     # exclusive prefix over partition totals: #partitions rows — this

@@ -50,6 +50,7 @@ def main():
     import duckdb
 
     import __spark_entry__ as entrymod
+    from newspaper_spark import cache
     from newspaper_spark.plans.session import get_spark
 
     only = sys.argv[1:] or None
@@ -68,12 +69,22 @@ def main():
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, SF_DIR)
-            srows = sdf.collect()
-            scols = sdf.columns
+            # per-query cache scope: operator-internal persists
+            # (signature/sentence/token tables) are freed once this
+            # query's output is collected, so a 69-query session holds
+            # only the active query's blocks (bounded-memory behavior
+            # for the driver's session shape)
+            with cache.tracking_scope():
+                sdf = fn(spark, SF_DIR)
+                srows = sdf.collect()
+                scols = sdf.columns
         except Exception as e:  # noqa: BLE001
             results[name] = f"SPARK ERROR: {e}"
             continue
+        assert cache.tracked_count() == 0, (
+            f"{name} leaked {cache.tracked_count()} cache handle(s) past "
+            "its tracking_scope"
+        )
         if name not in oracles:
             results[name] = f"rows-only: {len(srows)} rows"
             continue

@@ -78,3 +78,41 @@ def test_every_oracle_parses_in_duckdb():
             con.execute(f"EXPLAIN {sql}")
         except Exception as e:  # pragma: no cover
             raise AssertionError(f"oracle {name} failed to parse: {e}") from e
+
+
+def test_rotation_policy_invariants(monkeypatch):
+    """ROTATION.md: window = first 50; rotation step 19 makes
+    consecutive rounds' unsampled tails disjoint, so no query misses
+    two consecutive driver rounds; round 4 reproduces offset 0."""
+    import __spark_entry__ as E
+
+    all_names = [nm for nm, _ in E._CANONICAL_QUERIES]
+    assert len(all_names) == len(set(all_names))
+    assert E._ROTATION_STEP == len(all_names) - E._DRIVER_WINDOW
+
+    def window(rnd):
+        monkeypatch.setenv("SPARK_GRAFT_ROUND", str(rnd))
+        names = list(E.queries())
+        assert sorted(names) == sorted(all_names)  # rotation, not loss
+        return set(names[: E._DRIVER_WINDOW])
+
+    for r in range(4, 14):
+        w1, w2 = window(r), window(r + 1)
+        assert not [q for q in all_names if q not in w1 and q not in w2]
+
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "4")
+    r4 = list(E.queries())
+    assert r4[0] == "nlp_summary" and r4[49] == "winnow"
+
+
+def test_new_queries_enter_window_first(monkeypatch):
+    import __spark_entry__ as E
+
+    sentinel = object()
+    monkeypatch.setattr(
+        E, "_NEW_THIS_ROUND", [("brand_new_op", sentinel)]
+    )
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+    names = list(E.queries())
+    assert names[0] == "brand_new_op"
+    assert len(names) == len(E._CANONICAL_QUERIES) + 1
