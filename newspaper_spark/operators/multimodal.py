@@ -1063,11 +1063,14 @@ def _decode_jpeg_inner(payload: bytes, want: str = "feature"):
     parse, canonical Huffman entropy decode with 0xFF00 stuffing and
     DRI restart intervals, dequantize + de-zigzag, separable float
     IDCT with half-up rounding, chroma upsample by replication,
-    YCbCr→RGB per JFIF). Grayscale (1 component) and interleaved
-    YCbCr (3 components, any H/V in {1,2}) are supported; progressive
-    (SOF2), arithmetic coding, 12-bit precision, and non-interleaved
-    multi-component scans raise ValueError into the error column (the
-    PIL plug-in slot). Closes the reference parity gap for pixel math
+    YCbCr→RGB per JFIF). Grayscale (1 component), interleaved YCbCr
+    (3 components, any H/V in {1,2}), and NON-INTERLEAVED sequential
+    streams (one single-component SOS per component, T.81 A.2.2:
+    blocks in data-grid raster order, restart interval counted in
+    data units) are supported; progressive (SOF2), arithmetic coding,
+    12-bit precision, and the never-emitted 2-of-3-component scan
+    shape raise ValueError into the error column (the PIL plug-in
+    slot). Closes the reference parity gap for pixel math
     on web JPEGs (reference images.py:49-74 needs pixels for entropy/
     histogram scoring).
     """
@@ -1083,7 +1086,9 @@ def _decode_jpeg_inner(payload: bytes, want: str = "feature"):
     comps = []       # (comp_id, H, V, Tq)
     restart_interval = 0
     i = 2
-    scan = None
+    planes = None
+    coded: set = set()
+    hmax = vmax = mcux = mcuy = 1
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -1139,75 +1144,122 @@ def _decode_jpeg_inner(payload: bytes, want: str = "feature"):
                              "unsupported")
         elif m == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
-        elif m == 0xDA:  # SOS
+        elif m == 0xDA:  # SOS — interleaved (Ns=Nf) or per-component (Ns=1)
             ns = seg[0]
             if not comps:
                 raise ValueError("JPEG SOS before SOF")
-            if ns != len(comps):
-                raise ValueError("non-interleaved JPEG scan unsupported")
+            if ns != len(comps) and ns != 1:
+                # T.81 allows 2-of-3-component sequential scans, but no
+                # mainstream encoder emits them; error channel.
+                raise ValueError("unsupported JPEG scan component count")
             scan = {}
             for s in range(ns):
                 cid, tdta = seg[1 + 2 * s : 3 + 2 * s]
                 scan[cid] = (tdta >> 4, tdta & 0xF)
-            i = i + 2 + seglen
-            break
-        i += 2 + seglen
-    if scan is None or w is None:
-        raise ValueError("JPEG scan not found")
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = []
-    for cid, hs, vs, tq in comps:
-        planes.append([[0] * (mcux * hs * 8) for _ in range(mcuy * vs * 8)])
-
-    br = _JpegBitReader(payload, i)
-    pred = [0] * len(comps)
-    n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
-                br.expect_restart()
-                pred = [0] * len(comps)
-            for ci, (cid, hs, vs, tq) in enumerate(comps):
+            if planes is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                planes = [
+                    [[0] * (mcux * hs * 8) for _ in range(mcuy * vs * 8)]
+                    for cid, hs, vs, tq in comps
+                ]
+            scan_cis = [
+                ci for ci, c in enumerate(comps) if c[0] in scan
+            ]
+            if len(scan_cis) != ns:
+                raise ValueError("JPEG scan references unknown component")
+            if any(ci in coded for ci in scan_cis):
+                raise ValueError("JPEG component coded twice")
+            tables = {}
+            for ci in scan_cis:
+                cid, hs, vs, tq = comps[ci]
                 td, ta = scan[cid]
                 if td not in huff_dc or ta not in huff_ac or tq not in qt:
                     raise ValueError("JPEG references undefined table")
-                dct, act, q = huff_dc[td], huff_ac[ta], qt[tq]
-                for by in range(vs):
-                    for bx in range(hs):
-                        # -- entropy-decode one 8×8 block
-                        t = dct.decode(br)
-                        diff = _jpeg_extend(br.receive(t), t) if t else 0
-                        pred[ci] += diff
-                        coef = [0] * 64
-                        coef[0] = pred[ci] * q[0]
-                        k = 1
-                        while k < 64:
-                            rs = act.decode(br)
-                            r, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflow")
-                            nat = _JPEG_ZIGZAG[k]
-                            coef[nat] = (
-                                _jpeg_extend(br.receive(size), size) * q[nat]
-                            )
-                            k += 1
-                        _jpeg_idct_block(
-                            coef,
-                            planes[ci],
-                            (mx * hs + bx) * 8,
-                            (my * vs + by) * 8,
-                        )
-            n_mcu += 1
+                tables[ci] = (huff_dc[td], huff_ac[ta], qt[tq])
+            br = _JpegBitReader(payload, i + 2 + seglen)
+            pred = {ci: 0 for ci in scan_cis}
+
+            def decode_block(ci, px, py):
+                # -- entropy-decode one 8×8 block straight into planes
+                dct, act, q = tables[ci]
+                t = dct.decode(br)
+                diff = _jpeg_extend(br.receive(t), t) if t else 0
+                pred[ci] += diff
+                coef = [0] * 64
+                coef[0] = pred[ci] * q[0]
+                k = 1
+                while k < 64:
+                    rs = act.decode(br)
+                    r, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflow")
+                    nat = _JPEG_ZIGZAG[k]
+                    coef[nat] = _jpeg_extend(br.receive(size), size) * q[nat]
+                    k += 1
+                _jpeg_idct_block(coef, planes[ci], px, py)
+
+            n_unit = 0
+            if ns == len(comps):
+                # interleaved: MCU raster order over the full image
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if (
+                            restart_interval
+                            and n_unit
+                            and n_unit % restart_interval == 0
+                        ):
+                            br.expect_restart()
+                            pred = {ci: 0 for ci in scan_cis}
+                        for ci in scan_cis:
+                            cid, hs, vs, tq = comps[ci]
+                            for by in range(vs):
+                                for bx in range(hs):
+                                    decode_block(
+                                        ci,
+                                        (mx * hs + bx) * 8,
+                                        (my * vs + by) * 8,
+                                    )
+                        n_unit += 1
+            else:
+                # non-interleaved per-component scan (T.81 A.2.2): the
+                # MCU is ONE data unit; blocks cover the component's
+                # data-block grid ceil(cw/8)×ceil(ch/8) in raster order
+                # (no MCU padding), restart interval counted in blocks
+                ci = scan_cis[0]
+                cid, hs, vs, tq = comps[ci]
+                cw = (w * hs + hmax - 1) // hmax
+                ch = (h * vs + vmax - 1) // vmax
+                for by in range((ch + 7) // 8):
+                    for bx in range((cw + 7) // 8):
+                        if (
+                            restart_interval
+                            and n_unit
+                            and n_unit % restart_interval == 0
+                        ):
+                            br.expect_restart()
+                            pred = {ci: 0}
+                        decode_block(ci, bx * 8, by * 8)
+                        n_unit += 1
+            coded.update(scan_cis)
+            # scan ends: byte-align; next marker begins at br.i unless
+            # the reader already consumed one (same idiom as the
+            # progressive path)
+            i = br.i - 2 if br.marker is not None else br.i
+            continue
+        i += 2 + seglen
+    if planes is None or w is None:
+        raise ValueError("JPEG scan not found")
+    if len(coded) != len(comps):
+        raise ValueError("JPEG stream missing a component scan")
 
     return _jpeg_planes_to_result(planes, comps, w, h, hmax, vmax, want)
 

@@ -50,6 +50,8 @@ def run_level(cores: int, tag: str) -> tuple[float, pathlib.Path]:
         {
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": logdir.as_uri(),
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         }
     )
     proc = subprocess.run(
@@ -72,8 +74,21 @@ def parse_timed_job(log: pathlib.Path) -> dict:
     job_stages: dict[int, list[int]] = {}
     job_span: dict[int, list[int]] = {}
     tasks_by_stage: dict[int, list[dict]] = {}
-    with log.open() as f:
-        for line in f:
+
+    def lines():
+        if log.is_dir():  # rolling layout: events_<n>_<appid> files
+            parts = sorted(
+                (p for p in log.iterdir() if p.name.startswith("events_")),
+                key=lambda p: int(p.name.split("_")[1]),
+            )
+            for p in parts:
+                with p.open() as f:
+                    yield from f
+        else:
+            with log.open() as f:
+                yield from f
+
+    for line in lines():
             ev = json.loads(line)
             et = ev.get("Event")
             if et == "SparkListenerJobStart":

@@ -2541,6 +2541,148 @@ def test_jpeg_progressive_with_restart_markers():
     assert _decode_jpeg(with_rst) == _decode_jpeg(plain)
 
 
+def _t_encode_seq_noninterleaved_from_coefs(grids, samp, w, h, quant, dri=0):
+    """Baseline-class SEQUENTIAL stream with one single-component SOS
+    per component (T.81 A.2.2 non-interleaved): blocks cover each
+    component's DATA grid ceil(cw/8)×ceil(ch/8) in raster order (no
+    MCU padding), full DC+AC per block, DC pred reset per scan; dri>0
+    inserts RSTn every dri data units (the MCU of a non-interleaved
+    scan is one block)."""
+    import struct
+
+    from newspaper_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    nf = len(grids)
+    out = bytearray(_t_headers(w, h, quant, samp, b"\xff\xc0"))
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", dri)
+    for ci in range(nf):
+        hs, vs = samp[ci]
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        wb, hb = (cw + 7) // 8, (ch + 7) // 8
+        out += _t_sos([ci + 1], 0, 63, 0, 0)
+        data = bytearray()
+        bits = []
+        pred = 0
+        n = 0
+        n_rst = 0
+        for by in range(hb):
+            for bx in range(wb):
+                if dri and n and n % dri == 0:
+                    data += _t_bits_to_bytes(bits)
+                    bits = []
+                    data += bytes([0xFF, 0xD0 + (n_rst % 8)])
+                    n_rst += 1
+                    pred = 0
+                coef = grids[ci][by][bx]
+                diff = coef[0] - pred
+                pred = coef[0]
+                size = abs(diff).bit_length()
+                c, nn = _T_DC_CODES[size]
+                _t_put(bits, c, nn)
+                if size:
+                    _t_emit_val(bits, diff, size)
+                zzv = [coef[_JPEG_ZIGZAG[i]] for i in range(64)]
+                run = 0
+                for k in range(1, 64):
+                    v = zzv[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, nn = _T_AC_CODES[0xF0]
+                        _t_put(bits, c, nn)
+                        run -= 16
+                    size = abs(v).bit_length()
+                    c, nn = _T_AC_CODES[(run << 4) | size]
+                    _t_put(bits, c, nn)
+                    _t_emit_val(bits, v, size)
+                    run = 0
+                if run:
+                    c, nn = _T_AC_CODES[0x00]
+                    _t_put(bits, c, nn)
+                n += 1
+        data += _t_bits_to_bytes(bits)
+        out += data
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_noninterleaved_sequential_equals_interleaved():
+    """A 3-component 2×2-subsampled sequential stream emitted as three
+    single-component scans (the per-component shape some encoders emit
+    in baseline-class streams) must decode IDENTICALLY to its fully
+    interleaved twin built from the same coefficient grids — including
+    at non-multiple-of-16 dims where the interleaved twin codes MCU
+    padding blocks the non-interleaved one legally omits."""
+    from newspaper_spark.operators.multimodal import _decode_jpeg
+
+    w, h = 20, 12  # MCU padding exercised on both axes
+    Y = [[(x * 9 + y * 5) % 256 for x in range(w)] for y in range(h)]
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    Cb = [[(x * 3 + y * 13 + 40) % 256 for x in range(cw)] for y in range(ch)]
+    Cr = [[(x * 7 + y * 2 + 90) % 256 for x in range(cw)] for y in range(ch)]
+    quant = [1] * 64
+    samp = [(2, 2), (1, 1), (1, 1)]
+    grids, _, _ = _t_coef_grids([Y, Cb, Cr], samp, quant)
+    inter = _t_encode_baseline_from_coefs(grids, samp, w, h, quant)
+    noninter = _t_encode_seq_noninterleaved_from_coefs(grids, samp, w, h, quant)
+    assert noninter.count(b"\xff\xda") == 3
+    assert _decode_jpeg(noninter) == _decode_jpeg(inter)
+    # unsubsampled 3-component variant too (all planes share the grid)
+    samp1 = [(1, 1)] * 3
+    CbF = [[(x * 3 + y * 13 + 40) % 256 for x in range(w)] for y in range(h)]
+    CrF = [[(x * 7 + y * 2 + 90) % 256 for x in range(w)] for y in range(h)]
+    g1, _, _ = _t_coef_grids([Y, CbF, CrF], samp1, quant)
+    assert _decode_jpeg(
+        _t_encode_seq_noninterleaved_from_coefs(g1, samp1, w, h, quant)
+    ) == _decode_jpeg(_t_encode_baseline_from_coefs(g1, samp1, w, h, quant))
+
+
+def test_jpeg_noninterleaved_with_restarts_and_errors():
+    """Non-interleaved scans with DRI (restart counted per data unit,
+    pred reset); plus the error contract: a 2-of-3-component scan and
+    a stream missing one component's scan both raise ValueError."""
+    import pytest
+
+    from newspaper_spark.operators.multimodal import _decode_jpeg
+
+    w, h = 20, 12
+    Y = [[(x * 9 + y * 5) % 256 for x in range(w)] for y in range(h)]
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    Cb = [[(x * 3 + y * 13 + 40) % 256 for x in range(cw)] for y in range(ch)]
+    Cr = [[(x * 7 + y * 2 + 90) % 256 for x in range(cw)] for y in range(ch)]
+    quant = [1] * 64
+    samp = [(2, 2), (1, 1), (1, 1)]
+    grids, _, _ = _t_coef_grids([Y, Cb, Cr], samp, quant)
+    plain = _t_encode_seq_noninterleaved_from_coefs(grids, samp, w, h, quant)
+    with_rst = _t_encode_seq_noninterleaved_from_coefs(
+        grids, samp, w, h, quant, dri=2
+    )
+    assert b"\xff\xd0" in with_rst and with_rst != plain
+    assert _decode_jpeg(with_rst) == _decode_jpeg(plain)
+
+    # 2-of-3-component scan: replace the first SOS (Ns=1, comp 1) with
+    # an Ns=2 header — never emitted by mainstream encoders, must go to
+    # the error channel, not decode garbage
+    i = plain.index(b"\xff\xda")
+    two_comp = (
+        plain[:i] + _t_sos([1, 2], 0, 63, 0, 0) + plain[i + 10 :]
+    )
+    with pytest.raises(ValueError):
+        _decode_jpeg(two_comp)
+
+    # missing component scan: truncate after the second scan's data
+    # (drop Cr's SOS + data) and close with EOI
+    j = plain.index(b"\xff\xda", plain.index(b"\xff\xda", i + 2) + 2)
+    missing = plain[:j] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        _decode_jpeg(missing)
+
+
 def test_jpeg_single_component_with_2x2_factors():
     """T.81 A.2: an Ns=1 scan is NON-interleaved — a grayscale JPEG
     whose SOF declares H=V=2 (jpegtran-style grayscale output) lays
