@@ -83,7 +83,12 @@ def extract_article(html: str, url: str = "", language: str = "en",
     doc = fromstring(html)
     if doc is None:
         return _empty("parse_failed")
-    clean_doc = doc.copy_subtree()  # metadata reads the pristine tree
+    # the reference deep-copies the tree so metadata can read the
+    # pristine DOM after cleaning (article.py: self.clean_doc); here
+    # EVERY pristine-tree reader (metadata, meta/img extraction) runs
+    # BEFORE clean_document mutates the tree, so the copy is elided —
+    # one full-tree copy per page saved, corpus byte-identical
+    clean_doc = doc
 
     rec = _empty("ok")
 
@@ -120,6 +125,12 @@ def extract_article(html: str, url: str = "", language: str = "en",
     pd = get_publishing_date(url, clean_doc)
     rec["publish_date"] = pd
 
+    # pristine-tree image extraction must precede the body pass now
+    # that clean_doc aliases doc (see above)
+    meta_img = get_meta_img_url(url, clean_doc, midx)
+    rec["meta_img"] = meta_img
+    imgs = get_img_urls(url, clean_doc)
+
     # body pass on the (mutated) doc
     doc = clean_document(doc)
     top_node = calculate_best_node(doc, language)
@@ -132,9 +143,6 @@ def extract_article(html: str, url: str = "", language: str = "en",
         rec["text"] = (text or "")[:MAX_TEXT]
         rec["article_html"] = article_html or ""
 
-    meta_img = get_meta_img_url(url, clean_doc, midx)
-    rec["meta_img"] = meta_img
-    imgs = get_img_urls(url, clean_doc)
     if meta_img:
         imgs.add(meta_img)
     rec["images"] = sorted(imgs)

@@ -18,6 +18,7 @@ from ..dom import (
     find_by_tag,
     find_by_tags,
     fromstring,
+    is_comment,
     iter_comments,
     outer_html,
     remove_keep_tail,
@@ -75,13 +76,46 @@ def _has_article_descendant(node: Element) -> bool:
 
 
 def clean_document(doc: Element) -> Element:
-    clean_body_classes(doc)
-    clean_article_tags(doc)
-    clean_em_tags(doc)
-    remove_drop_caps(doc)
-    remove_scripts_styles(doc)
-    _clean_bad_and_pattern_tags(doc)
-    clean_para_spans(doc)
+    """Steps 1–7 (body class, article attrs, em drop, dropcaps,
+    scripts/styles/comments, naughty/pattern removals, p-span drop)
+    collect their targets in ONE pre-order walk (_collect_clean_targets)
+    and then apply mutations in the reference's pass order — the
+    per-pass target sets are invariant under the earlier passes'
+    mutations (attr pops touch no structure; drop_tag keeps descendants
+    live; a node already detached by an earlier removal is re-processed
+    inside its detached subtree, a no-op for the final tree — verified
+    byte-exact on the golden corpus). div_to_para stays a per-pass
+    snapshot: its replacement re-parse can CREATE elements that the
+    reference's later span/section snapshots pick up, so pre-collection
+    would diverge."""
+    targets = _collect_clean_targets(doc)
+    if targets.body is not None:
+        targets.body.attrib.pop("class", None)
+    for article in targets.articles:
+        for attr in ("id", "name", "class"):
+            article.attrib.pop(attr, None)
+    for em in targets.ems:
+        # img guard evaluated at pass time, as the reference does
+        if not find_by_tag(em, tag="img"):
+            drop_tag(em)
+    for item in targets.dropcaps:
+        drop_tag(item)
+    for item in targets.scripts:
+        remove_keep_tail(item)
+    for item in targets.styles:
+        remove_keep_tail(item)
+    for item in targets.comments:
+        remove_keep_tail(item)
+    for bucket in targets.naughty:
+        for node in bucket:
+            if not _has_article_descendant(node):
+                remove_keep_tail(node)
+    for buckets in targets.extra:
+        for bucket in buckets:
+            for node in bucket:
+                remove_keep_tail(node)
+    for item in targets.pspans:
+        drop_tag(item)
     div_to_para(doc, "div")
     div_to_para(doc, "span")
     div_to_para(doc, "section")
@@ -100,6 +134,84 @@ _PATTERN_RXS = [
         "[^-]twitter",
     )
 ]
+
+
+class _CleanTargets:
+    __slots__ = (
+        "body", "articles", "ems", "dropcaps", "scripts", "styles",
+        "comments", "pspans", "naughty", "extra",
+    )
+
+
+def _collect_clean_targets(doc: Element) -> _CleanTargets:
+    """ONE pre-order document-order walk collecting the targets of the
+    cleaner's first seven passes (the reference walks the whole tree
+    once per pass — ~9 traversals; see clean_document for the
+    equivalence argument). The p-ancestor flag rides the DFS stack so
+    'p span' needs no ancestor re-walk."""
+    t = _CleanTargets()
+    t.body = None
+    t.articles = []
+    t.ems = []
+    t.dropcaps = []
+    t.scripts = []
+    t.styles = []
+    t.comments = []
+    t.pspans = []
+    n_extra = len(_PATTERN_RXS)
+    t.naughty = ([], [], [])
+    t.extra = [([], []) for _ in range(n_extra)]
+    naughty_search = _NAUGHTY_RX.search
+    stack = [(doc, False)]
+    pop = stack.pop
+    while stack:
+        node, under_p = pop()
+        tag = node.tag
+        children = node._children
+        if children:
+            in_p = under_p or tag == "p"
+            stack.extend([(c, in_p) for c in children[::-1]])
+        if tag.__class__ is not str:
+            if is_comment(node):
+                t.comments.append(node)
+            continue
+        if tag == "span":
+            if under_p:
+                t.pspans.append(node)
+        elif tag == "em":
+            t.ems.append(node)
+        elif tag == "script":
+            t.scripts.append(node)
+        elif tag == "style":
+            t.styles.append(node)
+        elif tag == "article":
+            t.articles.append(node)
+        elif tag == "body":
+            if t.body is None:
+                t.body = node
+        attrib = node.attrib
+        if not attrib:
+            continue
+        id_v = attrib.get("id")
+        class_v = attrib.get("class")
+        if tag == "span" and class_v is not None:
+            toks = class_v.split()
+            if "dropcap" in toks or "drop_cap" in toks:
+                t.dropcaps.append(node)
+        name_v = attrib.get("name")
+        if id_v is not None and naughty_search(id_v):
+            t.naughty[0].append(node)
+        if class_v is not None and naughty_search(class_v):
+            t.naughty[1].append(node)
+        if name_v is not None and naughty_search(name_v):
+            t.naughty[2].append(node)
+        if id_v is not None or class_v is not None:
+            for k, rx in enumerate(_PATTERN_RXS):
+                if id_v is not None and rx.search(id_v):
+                    t.extra[k][0].append(node)
+                if class_v is not None and rx.search(class_v):
+                    t.extra[k][1].append(node)
+    return t
 
 
 def _clean_bad_and_pattern_tags(doc: Element) -> None:

@@ -69,10 +69,14 @@ def run_level(cores: int, tag: str) -> tuple[float, pathlib.Path]:
 
 
 def parse_timed_job(log: pathlib.Path) -> dict:
-    """Task-metric decomposition of the LAST job in the event log (the
-    timed extraction count; earlier jobs are input build + warm-up)."""
+    """Task-metric decomposition of the LAST SQL execution in the event
+    log (the timed extraction count; earlier executions are input build
+    + warm-up). AQE splits one query into several jobs, so jobs are
+    grouped by their `spark.sql.execution.id` property — taking "the
+    last job" would catch only AQE's tiny finishing job."""
     job_stages: dict[int, list[int]] = {}
-    job_span: dict[int, list[int]] = {}
+    job_exec: dict[int, int] = {}
+    exec_span: dict[int, list[int]] = {}
     tasks_by_stage: dict[int, list[dict]] = {}
 
     def lines():
@@ -95,10 +99,16 @@ def parse_timed_job(log: pathlib.Path) -> dict:
                 job_stages[ev["Job ID"]] = [
                     s["Stage ID"] for s in ev["Stage Infos"]
                 ]
-                job_span[ev["Job ID"]] = [ev["Submission Time"], 0]
-            elif et == "SparkListenerJobEnd":
-                if ev["Job ID"] in job_span:
-                    job_span[ev["Job ID"]][1] = ev["Completion Time"]
+                eid = (ev.get("Properties") or {}).get(
+                    "spark.sql.execution.id"
+                )
+                if eid is not None:
+                    job_exec[ev["Job ID"]] = int(eid)
+            elif et.endswith("SparkListenerSQLExecutionStart"):
+                exec_span[ev["executionId"]] = [ev["time"], 0]
+            elif et.endswith("SparkListenerSQLExecutionEnd"):
+                if ev["executionId"] in exec_span:
+                    exec_span[ev["executionId"]][1] = ev["time"]
             elif et == "SparkListenerTaskEnd":
                 info, m = ev["Task Info"], ev.get("Task Metrics") or {}
                 tasks_by_stage.setdefault(ev["Stage ID"], []).append(
@@ -113,12 +123,16 @@ def parse_timed_job(log: pathlib.Path) -> dict:
                         "rser": m.get("Result Serialization Time", 0),
                     }
                 )
-    last_job = max(job_stages)
+    last_exec = max(exec_span)
+    jobs = [j for j, e in job_exec.items() if e == last_exec]
     tasks = [
-        t for s in job_stages[last_job] for t in tasks_by_stage.get(s, [])
+        t
+        for j in jobs
+        for s in job_stages[j]
+        for t in tasks_by_stage.get(s, [])
     ]
-    assert tasks, f"no tasks for job {last_job} in {log}"
-    sub, comp = job_span[last_job]
+    assert tasks, f"no tasks for execution {last_exec} in {log}"
+    sub, comp = exec_span[last_exec]
     wall = (comp - sub) / 1000.0
     s = lambda k: sum(t[k] for t in tasks) / 1000.0  # noqa: E731
     sched = (
@@ -130,6 +144,11 @@ def parse_timed_job(log: pathlib.Path) -> dict:
         / 1000.0
     )
     occupancy = s("run") + s("deser") + s("rser") + sched
+    runs = sorted(t["run"] / 1000.0 for t in tasks)
+
+    def pct(p):
+        return runs[min(int(len(runs) * p), len(runs) - 1)]
+
     return {
         "wall": wall,
         "n_tasks": len(tasks),
@@ -140,6 +159,12 @@ def parse_timed_job(log: pathlib.Path) -> dict:
         "result_ser": s("rser"),
         "sched_delay": max(sched, 0.0),
         "occupancy": occupancy,
+        # per-task run-time distribution: uniform inflation (machine-
+        # wide clock/membw loss) shifts p50 and p95 together; straggler
+        # contention widens p95/p50
+        "task_p50": round(pct(0.50), 3),
+        "task_p95": round(pct(0.95), 3),
+        "task_max": round(runs[-1], 3),
     }
 
 
