@@ -3,38 +3,44 @@ real corpus-prep chain once —
 
     documents → dedup_exact → paragraph_dedup →
     minhash_lsh_pairs(max_group_size=64)  [side audit branch]
-    → gopher_filters(keep) → token counts → pack_offsets
+    → gopher word-count gate → token counts → pack_offsets
 
-— and run the IDENTICAL composition at two data rungs (sf0.1 ×1 and
-×4) to show per-row cost stays flat, i.e. the claim "these plans
-compose at 100×" made measurable on this host.
+— and run the IDENTICAL composition at two data rungs (sf0.1 ×4 and
+×16: 20k vs 80k docs) to show per-row cost stays flat, i.e. the claim
+"these plans compose at 100×" made measurable on this host.
 
-The ×k rung replicates the documents table k× with DISTINCT content:
-every paragraph gets a per-replica salt token (regexp-inserted after
-each newline and at the start), so exact/paragraph/minhash dedup see
-the same within-corpus duplicate STRUCTURE per replica instead of k
-byte-identical corpora collapsing to rung ×1 after dedup_exact —
-per-row workload is scale-invariant by construction, which is exactly
-what the ladder must hold fixed to isolate the engine's scaling.
+Input design (what the ladder must hold fixed to isolate the engine):
+the ×k rung replicates the documents table k× with EVERY whitespace
+token suffixed by the replica index. Within a replica the duplicate
+structure (repeated paragraphs, shingle collisions) is EXACTLY the
+base corpus's, so per-row dedup/LSH work is scale-invariant; across
+replicas no 3-word shingle and no paragraph can ever collide, so pair
+volume grows LINEARLY in k (a plain salted-suffix design instead
+produced near-identical replicas and quadratic cross-replica pair
+growth — that measures the input's duplicate rate, not the engine).
+The replicated input is persisted and counted BEFORE the timed
+section, like bench.py's harness input. The gopher gate uses the
+word_count_ok rule (55% selective on this corpus); the full `keep`
+conjunction is degenerate here because the synthetic corpus has <2
+distinct Gopher stopwords per doc (stopword_ok=0 for all rows).
 
-Protocol (host noise ±15%, CLAUDE.md): one discarded warm-up at ×1,
-then rungs interleave A,B,A,B,… for `reps` epochs; medians reported.
-Each timed run sits in cache.tracking_scope() so operator persists are
-rebuilt per run and freed between runs.
+Protocol (host noise ±15%, CLAUDE.md): one discarded warm-up at ×4,
+then rungs interleave A,B per epoch; medians reported. Each timed run
+sits in cache.tracking_scope() so operator persists are rebuilt per
+run and freed between runs.
 
-Usage: python scripts/pipeline_ladder.py [reps=3] [k=4]
+Usage: python scripts/pipeline_ladder.py [reps=3] [k_low=4] [k_high=16]
 """
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import statistics
 import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
-
-import os
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -45,20 +51,14 @@ def replicated_docs(spark, k: int):
     from newspaper_spark.sources.transcripts import load_table
 
     d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    if k == 1:
-        return d
     reps = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("r")
     d = d.select("doc_id", "text", reps)
-    salt = F.concat(F.lit("rep"), F.col("r").cast("string"), F.lit("x "))
+    # '$1~rK': suffix EVERY token with the replica id (see module doc)
+    repl = F.concat(F.lit(r"$1~r"), F.col("r").cast("string"))
     return d.select(
         (F.col("doc_id") * k + F.col("r")).alias("doc_id"),
-        F.concat(
-            salt,
-            F.regexp_replace(
-                F.coalesce("text", F.lit("")),
-                "\n",
-                F.concat(F.lit("\n"), salt),
-            ),
+        F.regexp_replace(
+            F.coalesce("text", F.lit("")), r"(\S+)", repl
         ).alias("text"),
     )
 
@@ -73,24 +73,30 @@ def run_rung(spark, k: int) -> dict:
     from newspaper_spark.operators.span_dedup import paragraph_dedup
     from newspaper_spark.operators.textstats import token_count_col
 
-    docs = replicated_docs(spark, k)
-    n_rows = docs.count()  # materialize input outside the timed section
-    t0 = time.time()
-    with cache.tracking_scope():
-        reps = dedup_exact(docs).select("doc_id")
-        kept = docs.join(reps, "doc_id")
-        para = paragraph_dedup(kept).select(
-            "doc_id", F.col("cleaned_text").alias("text")
-        )
-        n_pairs = minhash_lsh_pairs(para, max_group_size=64).count()
-        gated = gopher_filters(para).filter("keep").select(
-            "doc_id", token_count_col(F.col("text")).alias("n_tokens")
-        )
-        packed = pack_offsets(gated, seq_len=2048)
-        packed.write.format("noop").mode("overwrite").save()
-        n_packed = -1  # noop write materialized; count from a cheap agg
-        n_packed = packed.agg(F.count("*")).first()[0]
-    wall = time.time() - t0
+    p = spark.sparkContext.defaultParallelism
+    docs = replicated_docs(spark, k).repartition(p).persist()
+    n_rows = docs.count()  # materialize input OUTSIDE the timed section
+    try:
+        t0 = time.time()
+        with cache.tracking_scope():
+            reps = dedup_exact(docs).select("doc_id")
+            kept = docs.join(reps, "doc_id")
+            para = paragraph_dedup(kept).select(
+                "doc_id", F.col("cleaned_text").alias("text")
+            )
+            n_pairs = minhash_lsh_pairs(para, max_group_size=64).count()
+            passing = gopher_filters(para).filter("word_count_ok").select(
+                "doc_id"
+            )
+            gated = para.join(passing, "doc_id").select(
+                "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+            )
+            packed = pack_offsets(gated, seq_len=2048)
+            packed.write.format("noop").mode("overwrite").save()
+            n_packed = packed.agg(F.count("*")).first()[0]
+        wall = time.time() - t0
+    finally:
+        docs.unpersist()
     return {
         "k": k,
         "n_rows": n_rows,
@@ -103,20 +109,21 @@ def run_rung(spark, k: int) -> dict:
 
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    k = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    k_low = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    k_high = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     from newspaper_spark.plans.session import get_spark
 
     spark = get_spark(app_name="pipeline-ladder")
     try:
-        run_rung(spark, 1)  # discarded warm-up (cold plans/UDF workers)
-        samples: dict[int, list[dict]] = {1: [], k: []}
+        run_rung(spark, k_low)  # discarded warm-up (cold plans/UDF workers)
+        samples: dict[int, list[dict]] = {k_low: [], k_high: []}
         for i in range(reps):
-            for rung in (1, k):
+            for rung in (k_low, k_high):
                 d = run_rung(spark, rung)
                 samples[rung].append(d)
                 print(f"[epoch {i}] {d}", file=sys.stderr)
         out = {}
-        for rung in (1, k):
+        for rung in (k_low, k_high):
             out[f"x{rung}"] = {
                 "n_rows": samples[rung][0]["n_rows"],
                 "wall_median_s": round(
@@ -129,8 +136,10 @@ def main():
                 "lsh_pairs": samples[rung][0]["lsh_pairs"],
                 "n_packed": samples[rung][0]["n_packed"],
             }
-        out["per_row_ratio_x%d_over_x1" % k] = round(
-            out[f"x{k}"]["us_per_row_median"] / out["x1"]["us_per_row_median"], 3
+        out[f"per_row_ratio_x{k_high}_over_x{k_low}"] = round(
+            out[f"x{k_high}"]["us_per_row_median"]
+            / out[f"x{k_low}"]["us_per_row_median"],
+            3,
         )
         print(json.dumps(out, indent=2))
     finally:
