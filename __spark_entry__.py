@@ -1171,6 +1171,67 @@ def q_gopher_filters(spark, sf_dir):
     return gopher_filters(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_line_filters(spark, sf_dir):
+    """RefinedWeb-style line-wise corrections (filters.line_filters,
+    Penedo et al. 2023 §G.2): documents are re-lined deterministically
+    (every literal ' value ' → newline) and seeded with doc_id-gated
+    boilerplate lines — a social counter (doc_id%2), an ALL-CAPS nav
+    header (%3), a subscribe plea (%5), and a numeric-only line (%7) —
+    so every removal class provably triggers and the 5% whole-doc drop
+    rule genuinely varies with document length. The oracle replays the
+    identical line segmentation and per-line predicates relationally."""
+    from newspaper_spark.operators.filters import line_filters
+
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id")
+    t = F.concat(
+        F.replace(F.col("text"), F.lit(" value "), F.lit("\n")),
+        F.when(
+            m % 2 == 0,
+            F.concat(
+                F.lit("\n"),
+                ((m * 7) % 89 + 11).cast("string"),
+                F.lit(" likes"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(m % 3 == 0, F.lit("\nREAD THE FULL STORY HERE NOW")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            m % 5 == 0,
+            F.lit("\nSubscribe to our newsletter to read more today"),
+        ).otherwise(F.lit("")),
+        F.when(m % 7 == 0, F.lit("\n42.5%")).otherwise(F.lit("")),
+    )
+    return line_filters(d.select("doc_id", t.alias("text")))
+
+
+def q_bloom_seen(spark, sf_dir):
+    """Deterministic Bloom-filter seen-URL gate (operators/bloom.py) —
+    the bounded-state replacement for the exact anti-join memoize at
+    crawl scale. Seen set = every doc_id % 4 == 0 URL; m=1024 bits,
+    k=4 md5-derived probes, 32-bit words. The small m deliberately
+    lands in the measurable-false-positive regime so the query
+    exercises (and audits) FP behavior: output carries possibly_seen,
+    the exact verdict, and the is_false_positive delta. The oracle
+    rebuilds the identical filter relation bit-for-bit in SQL."""
+    from newspaper_spark.operators.bloom import bloom_seen_filter
+
+    u = _synth_urls(spark, sf_dir)
+    seen = u.filter(F.col("doc_id") % 4 == 0).select("url")
+    gated = bloom_seen_filter(u, seen, m=1024, k=4)
+    exact = (F.col("doc_id") % 4 == 0).alias("exact_seen")
+    return gated.select(
+        "doc_id",
+        "url",
+        "possibly_seen",
+        exact,
+        (F.col("possibly_seen") & ~(F.col("doc_id") % 4 == 0)).alias(
+            "is_false_positive"
+        ),
+    )
+
+
 def q_url_blocklist(spark, sf_dir):
     """UT1-style domain-suffix URL blocklist gate
     (urlops.url_blocklist_filter): host explodes into parent-domain
@@ -1417,7 +1478,10 @@ _CANONICAL_QUERIES: list[tuple[str, Callable]] = [
 # Queries ADDED this round (not yet in _CANONICAL_QUERIES): emitted
 # first so they always land inside the driver's 50-row window. Fold
 # into _CANONICAL_QUERIES next round and empty this list.
-_NEW_THIS_ROUND: list[tuple[str, Callable]] = []
+_NEW_THIS_ROUND: list[tuple[str, Callable]] = [
+    ("line_filters", q_line_filters),
+    ("bloom_seen", q_bloom_seen),
+]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
 _ROTATION_STEP = 19  # = len(canonical) − window → disjoint consecutive tails
@@ -1426,7 +1490,15 @@ _ROTATION_BASE_ROUND = 4  # round whose artifact froze the canonical order
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     n = len(_CANONICAL_QUERIES)
-    off = (_ROTATION_STEP * (_round_no() - _ROTATION_BASE_ROUND)) % n
+    # Debut queries are emitted FIRST (always in-window), which shrinks
+    # the canonical share of the window by len(_NEW_THIS_ROUND) — so the
+    # offset advances by the same amount, keeping the previous round's
+    # unsampled tail fully inside this round's window (the no-query-
+    # misses-two-consecutive-rounds guarantee, property-tested).
+    off = (
+        _ROTATION_STEP * (_round_no() - _ROTATION_BASE_ROUND)
+        + len(_NEW_THIS_ROUND)
+    ) % n
     rotated = _CANONICAL_QUERIES[off:] + _CANONICAL_QUERIES[:off]
     new_names = {nm for nm, _ in _NEW_THIS_ROUND}
     out: dict[str, Callable] = dict(_NEW_THIS_ROUND)
@@ -2116,6 +2188,36 @@ def oracle_sql() -> dict[str, str]:
                    (t.n_sentences - coalesce(k.n_kept, 0))::BIGINT AS n_removed
             FROM tot t LEFT JOIN ka k USING (doc_id)
         """,
+        "bloom_seen": f"""
+            WITH u AS ({_SYNTH_URL_SQL}),
+            probes AS (SELECT unnest(range(0, 4)) AS i),
+            bits AS (
+                SELECT DISTINCT
+                       (('0x' || substring(md5(i::VARCHAR || ':' || url), 1, 15))::BIGINT % 1024) AS pos
+                FROM u, probes WHERE doc_id % 4 = 0
+            ),
+            words AS (
+                SELECT pos // 32 AS word_idx,
+                       bit_or(1::BIGINT << (pos % 32)::INT) AS word
+                FROM bits GROUP BY 1
+            ),
+            probed AS (
+                SELECT u.doc_id, u.url,
+                       (('0x' || substring(md5(i::VARCHAR || ':' || url), 1, 15))::BIGINT % 1024) AS pos
+                FROM u, probes
+            ),
+            verdict AS (
+                SELECT doc_id,
+                       min(CASE WHEN coalesce(w.word, 0) & (1::BIGINT << (pos % 32)::INT) <> 0
+                                THEN 1 ELSE 0 END) = 1 AS possibly_seen
+                FROM probed LEFT JOIN words w ON w.word_idx = pos // 32
+                GROUP BY doc_id
+            )
+            SELECT u.doc_id, u.url, v.possibly_seen,
+                   (u.doc_id % 4 = 0) AS exact_seen,
+                   (v.possibly_seen AND NOT (u.doc_id % 4 = 0)) AS is_false_positive
+            FROM u JOIN verdict v USING (doc_id)
+        """,
         "url_blocklist": f"""
             WITH u AS ({_SYNTH_URL_SQL})
             SELECT doc_id, url,
@@ -2124,6 +2226,65 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'site' || (doc_id % 7)::VARCHAR || '.com'
                    END AS blocked_domain
             FROM u
+        """,
+        "line_filters": """
+            WITH aug AS (
+                SELECT doc_id,
+                       replace(text, ' value ', chr(10))
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN chr(10) || ((doc_id * 7) % 89 + 11)::VARCHAR || ' likes'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || 'READ THE FULL STORY HERE NOW'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN chr(10) || 'Subscribe to our newsletter to read more today'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN chr(10) || '42.5%'
+                               ELSE '' END AS text
+                FROM documents
+            ), l AS (
+                SELECT doc_id,
+                       string_split(coalesce(text, ''), chr(10)) AS lines
+                FROM aug
+            ), ln AS (
+                SELECT doc_id, i,
+                       regexp_replace(lines[i], '^[ \\t\\r]+|[ \\t\\r]+$', '', 'g') AS s
+                FROM l, unnest(range(1, len(lines) + 1)) AS r(i)
+            ), c AS (
+                SELECT doc_id, i, s,
+                       trim(regexp_replace(lower(s), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS col
+                FROM ln
+            ), p AS (
+                SELECT doc_id, i, s,
+                       CASE WHEN col = '' THEN 0
+                            ELSE len(string_split(col, ' ')) END AS wc,
+                       ((regexp_matches(s, '^[0-9 .,:%/+-]+$') AND regexp_matches(s, '[0-9]'))
+                        OR regexp_matches(lower(s), '^[0-9]+ (likes?|comments?|shares?|views?|retweets?|replies)$')
+                        OR (regexp_matches(s, '[A-Z]') AND NOT regexp_matches(s, '[a-z]'))
+                        OR (CASE WHEN col = '' THEN 0
+                                 ELSE len(string_split(col, ' ')) END <= 10
+                            AND (contains(lower(s), 'sign in')
+                                 OR contains(lower(s), 'sign up')
+                                 OR contains(lower(s), 'read more')
+                                 OR contains(lower(s), 'subscribe')
+                                 OR contains(lower(s), 'click here')
+                                 OR contains(lower(s), 'all rights reserved')
+                                 OR contains(lower(s), 'items in cart')
+                                 OR contains(lower(s), 'terms of use')
+                                 OR contains(lower(s), 'privacy policy')
+                                 OR contains(lower(s), 'accept cookies')))) AS bad
+                FROM c
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN NOT bad THEN s END, chr(10) ORDER BY i), '') AS cleaned_text,
+                   count(*)::BIGINT AS n_lines,
+                   sum(CASE WHEN bad THEN 1 ELSE 0 END)::BIGINT AS n_removed_lines,
+                   coalesce(sum(CASE WHEN bad THEN wc END), 0)::BIGINT AS removed_words,
+                   sum(wc)::BIGINT AS total_words,
+                   (20 * coalesce(sum(CASE WHEN bad THEN wc END), 0) <= sum(wc)) AS keep
+            FROM p GROUP BY doc_id
         """,
         "gopher_filters": """
             WITH base AS (

@@ -24,6 +24,8 @@ Everything is exactly reproducible in the SQL oracle.
 """
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -177,4 +179,102 @@ def gopher_filters(
             & alpha_ok
             & stopword_ok
         ).alias("keep"),
+    )
+
+
+#: substrings that mark a short line as navigation/social boilerplate
+#: (RefinedWeb G.2's "mainly composed of uppercase characters /
+#: numerical characters / social counter / boilerplate button" family)
+LINE_BOILERPLATE = [
+    "sign in", "sign up", "read more", "subscribe", "click here",
+    "all rights reserved", "items in cart", "terms of use",
+    "privacy policy", "accept cookies",
+]
+
+#: per-line trim class — explicit chars so Spark (Java regex) and the
+#: DuckDB (RE2) oracle read the same set; NEVER \s (CLAUDE.md)
+_LINE_TRIM_RE = "^[ \\t\\r]+|[ \\t\\r]+$"
+
+
+def _line_word_count(line):
+    """Words on one line — the ONE spelling, mirrored in the oracle."""
+    collapsed = F.trim(F.regexp_replace(F.lower(line), WS_CLASS + "+", " "))
+    return F.when(collapsed == "", F.lit(0)).otherwise(
+        F.size(F.split(collapsed, " "))
+    )
+
+
+def _line_is_bad(line):
+    """Line-wise removal predicate (applied to a trimmed line):
+
+    * numeric_only  — only digits/number punctuation, ≥1 digit
+      ("34", "12.5%", "2 / 10" — counters and pagination)
+    * counter       — "<n> likes/comments/shares/views/retweets/replies"
+    * allcaps       — ≥1 A-Z and zero a-z (nav headers, "READ MORE")
+    * short boilerplate — ≤10 words and contains a LINE_BOILERPLATE
+      marker (case-insensitive)
+
+    Empty lines are NOT bad (they carry paragraph structure).
+    """
+    low = F.lower(line)
+    numeric_only = line.rlike("^[0-9 .,:%/+-]+$") & line.rlike("[0-9]")
+    counter = low.rlike(
+        "^[0-9]+ (likes?|comments?|shares?|views?|retweets?|replies)$"
+    )
+    allcaps = line.rlike("[A-Z]") & ~line.rlike("[a-z]")
+    short = _line_word_count(line) <= 10
+    boiler = short & functools.reduce(
+        lambda a, b: a | b, [low.contains(m) for m in LINE_BOILERPLATE]
+    )
+    return numeric_only | counter | allcaps | boiler
+
+
+def line_filters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """RefinedWeb-style LINE-WISE corrections (Penedo et al. 2023,
+    §G.2; MassiveText applies the same family): remove
+    counter/navigation/boilerplate lines from each document, and drop
+    the whole document when the removed lines carried more than 5% of
+    its words (the doc is then mostly chrome, and line surgery would
+    leave disconnected fragments).
+
+    Returns (id, cleaned_text, n_lines, n_removed_lines,
+    removed_words, total_words, keep). ``cleaned_text`` joins the
+    surviving lines with
+    '\\n' in original order; ``keep`` = 20·removed_words ≤ total_words
+    (exact integer form of the 5% rule — the gopher_filters pattern, so
+    the SQL oracle cannot drift on float division).
+
+    Scale shape: map-only Column stage, ZERO shuffles — the per-line
+    predicates are Catalyst higher-order lambdas, interpreted per LINE
+    (tens per page, bounded — the same documented trade as
+    c4_filters/gopher_filters; reformulating via posexplode would buy
+    codegen at the price of an explode shuffle and a groupBy(doc)
+    reassembly, a bad trade for tens of lines)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    raw_lines = F.split(c, r"\n")
+    lines = F.transform(
+        raw_lines, lambda l: F.regexp_replace(l, _LINE_TRIM_RE, "")
+    )
+    bad = F.filter(lines, _line_is_bad)
+    good = F.filter(lines, lambda l: ~_line_is_bad(l))
+    removed_words = F.aggregate(
+        F.transform(bad, _line_word_count),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    total_words = F.aggregate(
+        F.transform(lines, _line_word_count),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.array_join(good, "\n").alias("cleaned_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(bad).cast("long").alias("n_removed_lines"),
+        removed_words.alias("removed_words"),
+        total_words.alias("total_words"),
+        (20 * removed_words <= total_words).alias("keep"),
     )

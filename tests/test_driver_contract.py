@@ -86,6 +86,9 @@ def test_rotation_policy_invariants(monkeypatch):
     two consecutive driver rounds; round 4 reproduces offset 0."""
     import __spark_entry__ as E
 
+    # the canonical-rotation invariants are independent of this round's
+    # debuting queries (covered by test_new_queries_enter_window_first)
+    monkeypatch.setattr(E, "_NEW_THIS_ROUND", [])
     all_names = [nm for nm, _ in E._CANONICAL_QUERIES]
     assert len(all_names) == len(set(all_names))
     assert E._ROTATION_STEP == len(all_names) - E._DRIVER_WINDOW
@@ -116,3 +119,19 @@ def test_new_queries_enter_window_first(monkeypatch):
     names = list(E.queries())
     assert names[0] == "brand_new_op"
     assert len(names) == len(E._CANONICAL_QUERIES) + 1
+
+    # a debut query must not evict the previous round's unsampled tail
+    # from the window: the offset advances by len(_NEW_THIS_ROUND), so
+    # for every round r, round r+1's window still covers round r's tail
+    canonical = [nm for nm, _ in E._CANONICAL_QUERIES]
+    for r in range(4, 14):
+        monkeypatch.setattr(E, "_NEW_THIS_ROUND", [])
+        monkeypatch.setenv("SPARK_GRAFT_ROUND", str(r))
+        prev_tail = set(list(E.queries())[E._DRIVER_WINDOW:])
+        monkeypatch.setattr(
+            E, "_NEW_THIS_ROUND", [("brand_new_op", sentinel)]
+        )
+        monkeypatch.setenv("SPARK_GRAFT_ROUND", str(r + 1))
+        window = set(list(E.queries())[: E._DRIVER_WINDOW])
+        assert prev_tail <= window, (r, prev_tail - window)
+    assert "domain_counters" in canonical  # the query that caught this

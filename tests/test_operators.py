@@ -1554,6 +1554,82 @@ def test_gopher_filters_rules(spark):
     assert got[7].n_words == 0 and not got[7].keep
 
 
+def test_bloom_seen_filter_invariants(spark):
+    """Bloom gate invariants: ZERO false negatives at any sizing (the
+    correctness property crawl dedup relies on), zero false positives
+    when m is sized generously, filter relation bounded by m/32 rows,
+    and null URLs probe as not-seen."""
+    from newspaper_spark.operators.bloom import bloom_build, bloom_seen_filter
+
+    cand = spark.createDataFrame(
+        [(i, f"http://site{i % 7}.com/p{i}") for i in range(300)]
+        + [(998, None)],
+        "doc_id long, url string",
+    )
+    seen = cand.filter("doc_id % 3 = 0 AND url IS NOT NULL").select("url")
+
+    # tight filter: every truly-seen URL MUST flag (no false negatives)
+    tight = {r.doc_id: r.possibly_seen
+             for r in bloom_seen_filter(cand, seen, m=256, k=4).collect()}
+    assert all(tight[i] for i in range(0, 300, 3))
+    assert tight[998] is False  # null URL
+
+    # generous filter: no false positives either at 2^20 bits / 100 keys
+    wide = {r.doc_id: r.possibly_seen
+            for r in bloom_seen_filter(cand, seen, m=1 << 20, k=4).collect()}
+    assert all(wide[i] for i in range(0, 300, 3))
+    assert not any(v for i, v in wide.items() if i % 3 != 0)
+
+    # the only distributed state is the word relation, <= m/32 rows
+    assert bloom_build(seen, "url", m=256, k=4).count() <= 256 // 32
+
+
+def test_line_filters_classes_and_drop_rule(spark):
+    """Each RefinedWeb line-removal class triggers independently;
+    empty lines survive; the 5% whole-doc drop rule is integer-exact
+    (Penedo et al. 2023 §G.2)."""
+    from newspaper_spark.operators.filters import line_filters
+
+    body = ("plain prose line with quite a few ordinary words here "
+            "so removal stays under five percent of the document")
+    long_body = " ".join([body] * 8)  # 152 words: 7 removed stays <5%
+    rows = [
+        # one line per removal class around a long body: all removed,
+        # body + empty line kept, removed_words small enough to keep
+        (1, "NAV MENU\n42\n37 likes\n" + long_body + "\n\nSubscribe now"),
+        # numeric punctuation forms: "12.5%", "2 / 10"
+        (2, "12.5%\n2 / 10\n" + body),
+        # counter plurals and variants
+        (3, "9 comments\n1 like\n104 views\n" + body),
+        # >10-word line containing a marker is NOT boilerplate-short
+        (4, "please subscribe to the weekly letter we send out on "
+            "mondays and thursdays\n" + body),
+        # mostly-chrome doc: removed words > 5% -> keep=False
+        (5, "READ THE FULL STORY HERE NOW\nshort line"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_filters(df).collect()}
+
+    r1 = got[1]
+    assert r1.n_lines == 6 and r1.n_removed_lines == 4
+    assert r1.cleaned_text == long_body + "\n"  # empty line preserved
+    assert r1.removed_words == 7 and r1.keep
+    r2 = got[2]
+    assert r2.n_removed_lines == 2 and r2.cleaned_text == body
+    r3 = got[3]
+    assert r3.n_removed_lines == 3 and r3.cleaned_text == body
+    r4 = got[4]  # 13-word marker line survives the short-line gate
+    assert r4.n_removed_lines == 0 and not r4.keep is None
+    assert r4.cleaned_text.endswith(body)
+    r5 = got[5]
+    assert r5.n_removed_lines == 1 and r5.removed_words == 6
+    assert r5.total_words == 8 and not r5.keep
+    r6 = got[6]  # null text behaves like empty text
+    assert r6.n_lines == 1 and r6.n_removed_lines == 0
+    assert r6.cleaned_text == "" and r6.keep
+
+
 def test_normalize_text_nfc_and_controls(spark):
     from newspaper_spark.operators.normalize import normalize_text
 
