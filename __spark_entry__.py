@@ -1206,6 +1206,89 @@ def q_line_filters(spark, sf_dir):
     return line_filters(d.select("doc_id", t.alias("text")))
 
 
+def _synth_feeds(spark, sf_dir):
+    """Deterministic feed-body corpus: RSS 2.0 for even doc_ids, Atom
+    1.0 for odd, 1–3 entries each (doc_id % 3 + 1), titles carrying an
+    &amp; entity so entity resolution is genuinely exercised, and every
+    doc_id % 10 == 9 feed replaced by unclosed XML for the error
+    channel."""
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id")
+    ms = m.cast("string")
+    site = (m % 7).cast("string")
+    mm = F.lpad((m % 60).cast("string"), 2, "0")
+
+    def url(j):
+        return F.concat(
+            F.lit("http://site"), site, F.lit(".com/feed/item-"), ms,
+            F.lit(f"-{j}.html"),
+        )
+
+    def title(j):
+        return F.concat(F.lit("Story "), ms, F.lit(f"-{j} &amp; more"))
+
+    def rss_item(j):
+        return F.concat(
+            F.lit("<item><title>"), title(j), F.lit("</title><link>"),
+            url(j), F.lit("</link><pubDate>Tue, 30 Dec 2014 10:"), mm,
+            F.lit(":00 GMT</pubDate></item>"),
+        )
+
+    def atom_entry(j):
+        return F.concat(
+            F.lit("<entry><title>"), title(j), F.lit('</title><link href="'),
+            url(j), F.lit('"/><updated>2014-12-30T10:'), mm,
+            F.lit(":00Z</updated></entry>"),
+        )
+
+    def maybe(j, e):
+        return F.when(m % 3 >= j, e).otherwise(F.lit(""))
+
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel><title>Feed '),
+        ms, F.lit("</title>"), rss_item(0), maybe(1, rss_item(1)),
+        maybe(2, rss_item(2)), F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>Feed '),
+        ms, F.lit("</title>"), atom_entry(0), maybe(1, atom_entry(1)),
+        maybe(2, atom_entry(2)), F.lit("</feed>"),
+    )
+    xml = (
+        F.when(m % 10 == 9, F.lit("<rss><channel><item><title>broken"))
+        .when(m % 2 == 0, rss)
+        .otherwise(atom)
+    )
+    return d.select(m.alias("feed_id"), xml.alias("xml"))
+
+
+def q_feed_entries(spark, sf_dir):
+    """Structured feed parse (operators/feeds.parse_feed_entries) — the
+    feedparser analog behind newspaper.hot() (reference api.py:59-68)
+    and Source feed ingestion, minus the network GET: a REAL
+    xml.etree.ElementTree parse of Column-assembled RSS/Atom bodies
+    (entity resolution exercised by the &amp; titles; unclosed XML
+    routes to the malformed-xml error channel). The oracle reconstructs
+    every entry arithmetically from the same construction."""
+    from newspaper_spark.operators.feeds import parse_feed_entries
+
+    return parse_feed_entries(_synth_feeds(spark, sf_dir))
+
+
+def q_feed_urls(spark, sf_dir):
+    """The reference's regex-mode feed→URL scrape
+    (ContentExtractor.get_urls(regex=True), extractors.py:607-621 —
+    what Source.feeds_to_articles runs on every feed body): non-greedy
+    tag strip then the verbatim URL pattern, pure Catalyst. Faithful
+    quirk preserved and exercised: Atom href attributes live inside
+    tags and are invisible to this mode (odd doc_ids emit no rows).
+    The oracle replays the identical two-regex pipeline in RE2 over the
+    identically reconstructed XML."""
+    from newspaper_spark.operators.feeds import feed_urls
+
+    return feed_urls(_synth_feeds(spark, sf_dir))
+
+
 def q_bloom_seen(spark, sf_dir):
     """Deterministic Bloom-filter seen-URL gate (operators/bloom.py) —
     the bounded-state replacement for the exact anti-join memoize at
@@ -1481,6 +1564,8 @@ _CANONICAL_QUERIES: list[tuple[str, Callable]] = [
 _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("line_filters", q_line_filters),
     ("bloom_seen", q_bloom_seen),
+    ("feed_entries", q_feed_entries),
+    ("feed_urls", q_feed_urls),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -2187,6 +2272,68 @@ def oracle_sql() -> dict[str, str]:
                    t.n_sentences,
                    (t.n_sentences - coalesce(k.n_kept, 0))::BIGINT AS n_removed
             FROM tot t LEFT JOIN ka k USING (doc_id)
+        """,
+        "feed_entries": """
+            WITH ent AS (
+                SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j
+                FROM documents WHERE doc_id % 10 <> 9
+            )
+            SELECT doc_id AS feed_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt,
+                   j::INT AS entry_idx,
+                   'Story ' || doc_id::VARCHAR || '-' || j::VARCHAR || ' & more' AS title,
+                   'http://site' || (doc_id % 7)::VARCHAR || '.com/feed/item-'
+                       || doc_id::VARCHAR || '-' || j::VARCHAR || '.html' AS link,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'Tue, 30 Dec 2014 10:' || lpad((doc_id % 60)::VARCHAR, 2, '0') || ':00 GMT'
+                        ELSE '2014-12-30T10:' || lpad((doc_id % 60)::VARCHAR, 2, '0') || ':00Z' END AS published,
+                   NULL::VARCHAR AS error
+            FROM ent
+            UNION ALL
+            SELECT doc_id, NULL, NULL, NULL, NULL, NULL, 'malformed-xml'
+            FROM documents WHERE doc_id % 10 = 9
+        """,
+        "feed_urls": """
+            WITH ent AS (
+                SELECT doc_id, unnest(range(0, doc_id % 3 + 1)) AS j
+                FROM documents
+            ), seg AS (
+                SELECT doc_id, j,
+                       'http://site' || (doc_id % 7)::VARCHAR || '.com/feed/item-'
+                           || doc_id::VARCHAR || '-' || j::VARCHAR || '.html' AS url,
+                       lpad((doc_id % 60)::VARCHAR, 2, '0') AS mm
+                FROM ent
+            ), parts AS (
+                SELECT doc_id,
+                       string_agg(CASE WHEN doc_id % 2 = 0 THEN
+                           '<item><title>Story ' || doc_id::VARCHAR || '-' || j::VARCHAR
+                           || ' &amp; more</title><link>' || url
+                           || '</link><pubDate>Tue, 30 Dec 2014 10:' || mm
+                           || ':00 GMT</pubDate></item>'
+                         ELSE
+                           '<entry><title>Story ' || doc_id::VARCHAR || '-' || j::VARCHAR
+                           || ' &amp; more</title><link href="' || url
+                           || '"/><updated>2014-12-30T10:' || mm
+                           || ':00Z</updated></entry>' END, '' ORDER BY j) AS body
+                FROM seg GROUP BY doc_id
+            ), x AS (
+                SELECT doc_id AS feed_id,
+                       CASE WHEN doc_id % 10 = 9 THEN '<rss><channel><item><title>broken'
+                            WHEN doc_id % 2 = 0 THEN
+                              '<?xml version="1.0"?><rss version="2.0"><channel><title>Feed '
+                              || doc_id::VARCHAR || '</title>' || body || '</channel></rss>'
+                            ELSE
+                              '<feed xmlns="http://www.w3.org/2005/Atom"><title>Feed '
+                              || doc_id::VARCHAR || '</title>' || body || '</feed>' END AS xml
+                FROM parts
+            ), u AS (
+                SELECT feed_id,
+                       regexp_extract_all(regexp_replace(xml, '<[^<]+?>', ' ', 'g'),
+                           'http[s]?://(?:[a-zA-Z]|[0-9]|[$-_@.&+]|[!*\\(\\),]|(?:%[0-9a-fA-F][0-9a-fA-F]))+') AS l
+                FROM x
+            )
+            SELECT feed_id, (i - 1)::INT AS url_idx, l[i] AS url
+            FROM u, unnest(range(1, len(l) + 1)) AS r(i)
         """,
         "bloom_seen": f"""
             WITH u AS ({_SYNTH_URL_SQL}),

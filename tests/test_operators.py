@@ -1554,6 +1554,62 @@ def test_gopher_filters_rules(spark):
     assert got[7].n_words == 0 and not got[7].keep
 
 
+def test_feed_operators(spark):
+    """parse_feed_entries: real ET parse (entities + CDATA resolved,
+    RSS and Atom shapes, empty/malformed/not-a-feed channels).
+    feed_urls: the reference's regex-mode scrape, including the
+    faithful quirk that Atom href attributes are invisible
+    (extractors.py:607-621)."""
+    from newspaper_spark.operators.feeds import feed_urls, parse_feed_entries
+
+    rss = (
+        '<?xml version="1.0"?><rss version="2.0"><channel><title>F</title>'
+        "<item><title>Story 1 &amp; more</title>"
+        "<link>http://site1.com/feed/item-1-0.html</link>"
+        "<pubDate>Tue, 30 Dec 2014 10:05:00 GMT</pubDate></item>"
+        "<item><title><![CDATA[Raw <b> title]]></title>"
+        "<link>http://site1.com/feed/item-1-1.html</link></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>F</title>'
+        '<entry><title>T &amp; u</title><link href="http://site2.com/a-0"/>'
+        "<updated>2014-12-30T10:05:00Z</updated></entry></feed>"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, rss),
+            (2, atom),
+            (3, "<rss><channel><item><title>oops"),
+            (4, '<rss version="2.0"><channel><title>E</title></channel></rss>'),
+            (5, "<html><body>hi</body></html>"),
+            (6, None),
+        ],
+        "feed_id long, xml string",
+    )
+
+    ent = {(r.feed_id, r.entry_idx): r
+           for r in parse_feed_entries(df).collect()}
+    assert ent[(1, 0)].title == "Story 1 & more"  # entity resolved
+    assert ent[(1, 0)].link == "http://site1.com/feed/item-1-0.html"
+    assert ent[(1, 0)].published == "Tue, 30 Dec 2014 10:05:00 GMT"
+    assert ent[(1, 1)].title == "Raw <b> title"  # CDATA resolved
+    assert ent[(1, 1)].published is None
+    assert ent[(2, 0)].fmt == "atom"
+    assert ent[(2, 0)].link == "http://site2.com/a-0"  # href attribute
+    assert ent[(3, None)].error == "malformed-xml"
+    assert ent[(4, None)].fmt == "empty" and ent[(4, None)].error is None
+    assert ent[(5, None)].error == "not-a-feed"
+    assert ent[(6, None)].error == "malformed-xml"
+
+    urls = [(r.feed_id, r.url_idx, r.url)
+            for r in feed_urls(df).orderBy("feed_id", "url_idx").collect()]
+    assert urls == [
+        (1, 0, "http://site1.com/feed/item-1-0.html"),
+        (1, 1, "http://site1.com/feed/item-1-1.html"),
+    ]  # Atom href stripped with its tag — reference quirk preserved
+
+
 def test_bloom_seen_filter_invariants(spark):
     """Bloom gate invariants: ZERO false negatives at any sizing (the
     correctness property crawl dedup relies on), zero false positives
