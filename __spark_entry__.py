@@ -1289,6 +1289,58 @@ def q_feed_urls(spark, sf_dir):
     return feed_urls(_synth_feeds(spark, sf_dir))
 
 
+def q_robots_gate(spark, sf_dir):
+    """robots.txt crawl-politeness gate (operators/robots.py,
+    urllib.robotparser semantics — property-verified against it in
+    tests): per-host Column-assembled robots bodies exercising named
+    groups beating '*', first-match-wins rule order, empty-Disallow
+    allow-all rules, comment stripping, agent normalization
+    ('NewsBot/1.0' → 'newsbot'), and the no-applicable-group default.
+    The oracle reconstructs the verdicts arithmetically from the
+    synthetic construction (the url_blocklist pattern)."""
+    from newspaper_spark.operators.robots import parse_robots, robots_gate
+
+    u = _synth_urls(spark, sf_dir).withColumn(
+        "host",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 7).cast("string"), F.lit(".com")
+        ),
+    )
+    hosts = u.select((F.col("doc_id") % 7).alias("k"), "host").distinct()
+    body = (
+        F.when(
+            F.col("k") % 3 == 0,
+            F.lit(
+                "User-agent: newsbot\nDisallow: /news/\nDisallow: /gallery/"
+                "\n\nUser-agent: *\nDisallow: /"
+            ),
+        )
+        .when(
+            F.col("k") % 3 == 1,
+            F.lit("# site robots\nUser-agent: *\nDisallow: /tag-\nDisallow:"),
+        )
+        .otherwise(F.lit("User-agent: other\nDisallow: /"))
+    )
+    rules = parse_robots(hosts.select("host", body.alias("robots")))
+    return robots_gate(u, rules, "NewsBot/1.0")
+
+
+def q_quality_buckets(spark, sf_dir):
+    """CCNet head/middle/tail corpus split (textstats.quality_buckets,
+    Wenzek et al. 2020 §4.3) over the unigram-LM scores of
+    unigram_logprob: fixed-bin score histogram, ONE bounded O(bins)
+    window, integer-exact tertile thresholds (n·k div 3), bins
+    assigned to the bucket where they start. The oracle rebuilds the
+    scores and replays the histogram split relationally."""
+    from newspaper_spark.operators.textstats import (
+        quality_buckets,
+        unigram_logprob,
+    )
+
+    scores = unigram_logprob(_docs(spark, sf_dir).select("doc_id", "text"))
+    return quality_buckets(scores, score_col="mean_logprob", id_col="doc_id")
+
+
 def q_bloom_seen(spark, sf_dir):
     """Deterministic Bloom-filter seen-URL gate (operators/bloom.py) —
     the bounded-state replacement for the exact anti-join memoize at
@@ -1566,6 +1618,8 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("bloom_seen", q_bloom_seen),
     ("feed_entries", q_feed_entries),
     ("feed_urls", q_feed_urls),
+    ("quality_buckets", q_quality_buckets),
+    ("robots_gate", q_robots_gate),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -2272,6 +2326,62 @@ def oracle_sql() -> dict[str, str]:
                    t.n_sentences,
                    (t.n_sentences - coalesce(k.n_kept, 0))::BIGINT AS n_removed
             FROM tot t LEFT JOIN ka k USING (doc_id)
+        """,
+        "robots_gate": f"""
+            WITH u AS ({_SYNTH_URL_SQL})
+            SELECT doc_id, url,
+                   'site' || (doc_id % 7)::VARCHAR || '.com' AS host,
+                   CASE WHEN (doc_id % 7) % 3 = 0 THEN NOT (doc_id % 5 IN (0, 3))
+                        WHEN (doc_id % 7) % 3 = 1 THEN NOT (doc_id % 5 = 4)
+                        ELSE TRUE END AS allowed,
+                   CASE WHEN (doc_id % 7) % 3 = 0 AND doc_id % 5 = 0 THEN '/news/'
+                        WHEN (doc_id % 7) % 3 = 0 AND doc_id % 5 = 3 THEN '/gallery/'
+                        WHEN (doc_id % 7) % 3 = 1 AND doc_id % 5 = 4 THEN '/tag-'
+                        WHEN (doc_id % 7) % 3 = 1 THEN ''
+                        ELSE NULL END AS matched_rule
+            FROM u
+        """,
+        "quality_buckets": """
+            WITH n AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(t) AS tok FROM n
+            ), dt AS (
+                SELECT doc_id, tok, count(*)::BIGINT AS k
+                FROM tok GROUP BY doc_id, tok
+            ), vocab AS (
+                SELECT tok, sum(k)::BIGINT AS cnt FROM dt GROUP BY tok
+            ), tot AS (
+                SELECT sum(cnt)::BIGINT AS n_corpus FROM vocab
+            ), lp AS (
+                SELECT tok, log10(cnt::DOUBLE / n_corpus) AS logp
+                FROM vocab, tot
+            ), s AS (
+                SELECT dt.doc_id,
+                       floor((sum(dt.k * lp.logp) / sum(dt.k))::DOUBLE * 1000000.0 + 0.5)
+                         / 1000000.0 AS mean_logprob
+                FROM dt JOIN lp USING (tok)
+                GROUP BY dt.doc_id
+            ), b AS (
+                SELECT doc_id, mean_logprob,
+                       floor(mean_logprob * 1000.0)::BIGINT AS score_bin
+                FROM s
+            ), hist AS (
+                SELECT score_bin, count(*)::BIGINT AS c FROM b GROUP BY 1
+            ), cum AS (
+                SELECT score_bin,
+                       (sum(c) OVER (ORDER BY score_bin))::BIGINT - c AS c_lt
+                FROM hist
+            ), t2 AS (
+                SELECT count(*)::BIGINT AS n FROM b
+            )
+            SELECT b.doc_id, b.mean_logprob, b.score_bin,
+                   CASE WHEN cum.c_lt < (t2.n * 1) // 3 THEN 'head'
+                        WHEN cum.c_lt < (t2.n * 2) // 3 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM b JOIN cum USING (score_bin), t2
         """,
         "feed_entries": """
             WITH ent AS (

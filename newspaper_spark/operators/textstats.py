@@ -425,3 +425,63 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": doc_fingerprint_col(c),
         }
     )
+
+
+def quality_buckets(
+    df: DataFrame,
+    score_col: str = "mean_logprob",
+    id_col: str = "doc_id",
+    weights: tuple[int, ...] = (1, 1, 1),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    bin_dp: int = 3,
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3:
+    documents are binned by LM score and the corpus cut into quality
+    tertiles from the HISTOGRAM of scores — their cutoffs come from
+    fixed-bin histograms, not exact order statistics, and so do ours):
+    assign each row a bucket label by where its score bin starts in
+    the cumulative histogram.
+
+    Exactness: thresholds are integer-exact — ``k_i = n·cumw_i div W``
+    over integer ``weights`` (the gopher_filters pattern: no float
+    division for the oracle to drift on). A bin that straddles a
+    threshold is assigned to the bucket where it STARTS (all rows of
+    one bin share a label — deterministic, no within-bin tie-break).
+    Lower score = better = first label, matching CCNet's perplexity
+    ordering when fed ``-mean_logprob``-like costs; pass the score
+    negated (or reorder labels) for the opposite convention.
+
+    Scale shape: one groupBy(bin) histogram (map-side combined onto at
+    most range·10^bin_dp keys — for CCNet-style scores a few thousand
+    bins), ONE window over that bounded histogram relation (the only
+    single-partition step, O(bins) rows — the same documented bound as
+    pack_offsets' partition-totals pass), then a broadcast join back.
+    Raw text/scores never shuffle wide.
+    """
+    from pyspark.sql import Window as W
+
+    if len(weights) != len(labels):
+        raise ValueError("weights and labels must align")
+    scale = float(10**bin_dp)
+    binned = df.withColumn("_bin", F.floor(F.col(score_col) * scale).cast("long"))
+    hist = binned.groupBy("_bin").agg(F.count("*").cast("long").alias("_c"))
+    w = W.orderBy("_bin").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        "_bin", (F.sum("_c").over(w) - F.col("_c")).alias("_c_lt")
+    )
+    total = hist.agg(F.sum("_c").alias("_n"))
+    tot_w = sum(weights)
+    cum_w = [sum(weights[: i + 1]) for i in range(len(weights))]
+    lab = cum.crossJoin(F.broadcast(total))
+    expr = None
+    for cw, name in zip(cum_w[:-1], labels[:-1]):
+        cond = F.col("_c_lt") < F.expr(f"_n * {cw} div {tot_w}")
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    bucket = (
+        expr.otherwise(labels[-1]) if expr is not None else F.lit(labels[-1])
+    )
+    lab = lab.select("_bin", bucket.alias("bucket"))
+    return (
+        binned.join(F.broadcast(lab), "_bin")
+        .select(id_col, score_col, F.col("_bin").alias("score_bin"), "bucket")
+    )

@@ -1554,6 +1554,88 @@ def test_gopher_filters_rules(spark):
     assert got[7].n_words == 0 and not got[7].keep
 
 
+def test_robots_gate_matches_stdlib(spark):
+    """Property check: robots_gate verdicts == urllib.robotparser
+    can_fetch over bodies exercising named-beats-star selection,
+    first-match-wins order (a later more-specific Allow does NOT
+    rescue), empty-Disallow allow-all, multi-UA groups, comments,
+    agent normalization, and no-applicable-group defaults — for BOTH
+    a named agent and one that only the '*' groups cover."""
+    import urllib.robotparser as rp
+
+    from newspaper_spark.operators.robots import parse_robots, robots_gate
+
+    bodies = {
+        "a.com": ("# comment\nUser-agent: newsbot\nDisallow: /private/\n"
+                  "Allow: /private/ok.html\n\nUser-agent: *\n"
+                  "Disallow: /tmp/\nDisallow:\n"),
+        "b.com": "User-agent: *\nDisallow: /\n",
+        "c.com": "",
+        "d.com": ("User-agent: crawler\nUser-agent: newsbot\n"
+                  "Allow: /news/\nDisallow: /\n"),
+        "e.com": "User-agent: other\nDisallow: /\n",
+    }
+    paths = ["/private/ok.html", "/private/no.html", "/tmp/a",
+             "/news/x.html", "/open"]
+
+    robots = spark.createDataFrame(
+        list(bodies.items()), "host string, robots string"
+    )
+    rules = parse_robots(robots, robots_col="robots", host_col="host")
+
+    for agent in ("NewsBot/1.0", "somebody-else"):
+        expected = {}
+        for h, b in bodies.items():
+            r = rp.RobotFileParser()
+            r.parse(b.splitlines())
+            for p in paths:
+                expected[(h, p)] = r.can_fetch(agent, f"http://{h}{p}")
+        rows = [
+            (i, f"http://{h}{p}", h)
+            for i, (h, p) in enumerate((h, p) for h in bodies for p in paths)
+        ]
+        urls = spark.createDataFrame(rows, "doc_id long, url string, host string")
+        got = robots_gate(urls, rules, agent).collect()
+        assert len(got) == len(rows)
+        for r in got:
+            p = r.url.split(r.host, 1)[1]
+            assert r.allowed == expected[(r.host, p)], (agent, r)
+
+
+def test_quality_buckets(spark):
+    """CCNet tertile split: exact thirds on distinct bins, tie mass
+    follows its bin's starting bucket, integer-exact thresholds for
+    uneven weights, mismatched weights/labels rejected."""
+    import pytest as _pytest
+
+    from newspaper_spark.operators.textstats import quality_buckets
+
+    df = spark.createDataFrame(
+        [(i, -3.0 + i * 0.001) for i in range(30)],
+        "doc_id long, mean_logprob double",
+    )
+    got = {r.doc_id: r.bucket for r in quality_buckets(df).collect()}
+    assert [got[i] for i in (0, 9, 10, 19, 20, 29)] == [
+        "head", "head", "middle", "middle", "tail", "tail"]
+
+    # all rows share one bin -> the bin starts at rank 0 -> all head
+    ties = spark.createDataFrame(
+        [(i, -2.5) for i in range(9)], "doc_id long, mean_logprob double"
+    )
+    assert {r.bucket for r in quality_buckets(ties).collect()} == {"head"}
+
+    # 1:2:1 weights over 8 bins -> 2/4/2
+    df8 = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "doc_id long, mean_logprob double"
+    )
+    got8 = [r.bucket for r in
+            quality_buckets(df8, weights=(1, 2, 1)).orderBy("doc_id").collect()]
+    assert got8 == ["head"] * 2 + ["middle"] * 4 + ["tail"] * 2
+
+    with _pytest.raises(ValueError):
+        quality_buckets(df8, weights=(1, 1))
+
+
 def test_feed_operators(spark):
     """parse_feed_entries: real ET parse (entities + CDATA resolved,
     RSS and Atom shapes, empty/malformed/not-a-feed channels).
