@@ -1325,6 +1325,26 @@ def q_robots_gate(spark, sf_dir):
     return robots_gate(u, rules, "NewsBot/1.0")
 
 
+def q_frontier(spark, sf_dir):
+    """Per-host politeness scheduling (operators/frontier.py): each
+    URL's 0-based crawl wave within its host under (priority DESC, id)
+    order — the deterministic relational form of the per-host pacing
+    the reference's flat ThreadPool lacks (network.py:110-135).
+    Priority here = the synthetic path class (doc_id % 5). The oracle
+    is the identical window in DuckDB."""
+    from newspaper_spark.operators.frontier import frontier_schedule
+
+    u = _synth_urls(spark, sf_dir).select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 7).cast("string"), F.lit(".com")
+        ).alias("host"),
+        (F.col("doc_id") % 5).cast("int").alias("priority"),
+    )
+    return frontier_schedule(u, priority_col="priority")
+
+
 def q_quality_buckets(spark, sf_dir):
     """CCNet head/middle/tail corpus split (textstats.quality_buckets,
     Wenzek et al. 2020 §4.3) over the unigram-LM scores of
@@ -1620,6 +1640,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("feed_urls", q_feed_urls),
     ("quality_buckets", q_quality_buckets),
     ("robots_gate", q_robots_gate),
+    ("frontier", q_frontier),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -2326,6 +2347,22 @@ def oracle_sql() -> dict[str, str]:
                    t.n_sentences,
                    (t.n_sentences - coalesce(k.n_kept, 0))::BIGINT AS n_removed
             FROM tot t LEFT JOIN ka k USING (doc_id)
+        """,
+        "frontier": f"""
+            WITH u AS ({_SYNTH_URL_SQL}),
+            h AS (
+                SELECT doc_id, url,
+                       'site' || (doc_id % 7)::VARCHAR || '.com' AS host,
+                       (doc_id % 5)::INT AS priority
+                FROM u
+            )
+            SELECT doc_id, url, host, priority,
+                   (row_number() OVER (PARTITION BY host
+                        ORDER BY priority DESC, doc_id) - 1)::INT AS wave,
+                   (row_number() OVER (PARTITION BY host
+                        ORDER BY priority DESC, doc_id) - 1)::INT AS host_rank,
+                   (count(*) OVER (PARTITION BY host))::BIGINT AS n_host
+            FROM h
         """,
         "robots_gate": f"""
             WITH u AS ({_SYNTH_URL_SQL})

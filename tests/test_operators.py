@@ -1554,6 +1554,30 @@ def test_gopher_filters_rules(spark):
     assert got[7].n_words == 0 and not got[7].keep
 
 
+def test_frontier_schedule(spark):
+    """Per-host wave assignment: priority DESC then id, 0-based per
+    host, null priority last, n_host per host; wave < K is the
+    per-host depth cap."""
+    from newspaper_spark.operators.frontier import frontier_schedule
+
+    rows = [
+        (1, "a.com", 5), (2, "a.com", 9), (3, "a.com", 9),
+        (4, "a.com", None), (5, "b.com", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, priority int")
+    got = {r.doc_id: r for r in frontier_schedule(
+        df, priority_col="priority", id_col="doc_id").collect()}
+    assert [got[i].wave for i in (2, 3, 1, 4)] == [0, 1, 2, 3]  # 9,9-tie→id,5,null
+    assert got[5].wave == 0 and got[5].n_host == 1
+    assert all(got[i].n_host == 4 for i in (1, 2, 3, 4))
+    assert got[1].host_rank == got[1].wave
+
+    # without a priority column: plain id order
+    got2 = {r.doc_id: r.wave for r in frontier_schedule(
+        df.drop("priority")).collect()}
+    assert [got2[i] for i in (1, 2, 3, 4)] == [0, 1, 2, 3]
+
+
 def test_robots_gate_matches_stdlib(spark):
     """Property check: robots_gate verdicts == urllib.robotparser
     can_fetch over bodies exercising named-beats-star selection,
