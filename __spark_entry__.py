@@ -1325,6 +1325,28 @@ def q_robots_gate(spark, sf_dir):
     return robots_gate(u, rules, "NewsBot/1.0")
 
 
+def q_bpe_vocab(spark, sf_dir):
+    """REAL BPE tokenizer train + apply (operators/bpe.py, Sennrich et
+    al. 2016): distributed word counting → 8 driver-side merge rounds
+    over the bounded vocabulary (the HF/SentencePiece split; collect
+    is O(vocab)) → distributed Column-only apply through the merge
+    chain. Construction is EAGER (training collects word counts when
+    the plan is built — same documented behavior as
+    minhash_lsh_pairs(max_group_size)). The oracle replays all 8
+    rounds relationally: pair counts, (max count, lexicographically
+    smallest pair) argmax, and the identical single-pass sentinel
+    replacement per round."""
+    from newspaper_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+        bpe_word_counts,
+    )
+
+    wc = bpe_word_counts(_docs(spark, sf_dir).select("doc_id", "text"))
+    merges = bpe_train(wc, 8)
+    return bpe_apply(wc, merges)
+
+
 def q_frontier(spark, sf_dir):
     """Per-host politeness scheduling (operators/frontier.py): each
     URL's 0-based crawl wave within its host under (priority DESC, id)
@@ -1641,6 +1663,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("quality_buckets", q_quality_buckets),
     ("robots_gate", q_robots_gate),
     ("frontier", q_frontier),
+    ("bpe_vocab", q_bpe_vocab),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -1696,6 +1719,51 @@ _EXPECTED_TEXT = (
 )
 
 _PUNCT_SQL = "'!\"#$%&''()*+,-./:;<=>?@[\\]^_`{|}~'"
+
+
+def _bpe_oracle_sql(n_rounds: int) -> str:
+    """Unrolled relational replay of q_bpe_vocab's training loop: per
+    round, adjacency pair counts over the spaced vocabulary, the
+    (max count, lexicographically smallest pair) argmax, and the same
+    single-pass sentinel replacement (DuckDB replace == Python
+    str.replace == Spark F.replace: left-to-right, non-overlapping)."""
+    parts = [
+        """
+        WITH wc AS (
+            SELECT word, count(*)::BIGINT AS freq FROM (
+                SELECT unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS word
+                FROM documents
+            ) GROUP BY word
+        ), v0 AS (
+            SELECT word, freq,
+                   ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
+            FROM wc
+        )"""
+    ]
+    for i in range(n_rounds):
+        parts.append(
+            f""", p{i} AS (
+            SELECT t[i] AS l, t[i + 1] AS r, sum(freq)::BIGINT AS c
+            FROM (SELECT freq, string_split(trim(s), ' ') AS t FROM v{i}),
+                 unnest(range(1, len(t))) AS rr(i)
+            GROUP BY l, r
+        ), m{i} AS (
+            SELECT l, r FROM p{i} ORDER BY c DESC, l, r LIMIT 1
+        ), v{i + 1} AS (
+            SELECT word, freq,
+                   replace(s, ' ' || m{i}.l || ' ' || m{i}.r || ' ',
+                              ' ' || m{i}.l || m{i}.r || ' ') AS s
+            FROM v{i}, m{i}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT word, freq, trim(s) AS tokens,
+               (CASE WHEN trim(s) = '' THEN 0
+                     ELSE len(string_split(trim(s), ' ')) END)::BIGINT AS n_tokens
+        FROM v{n_rounds}"""
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2348,6 +2416,7 @@ def oracle_sql() -> dict[str, str]:
                    (t.n_sentences - coalesce(k.n_kept, 0))::BIGINT AS n_removed
             FROM tot t LEFT JOIN ka k USING (doc_id)
         """,
+        "bpe_vocab": _bpe_oracle_sql(8),
         "frontier": f"""
             WITH u AS ({_SYNTH_URL_SQL}),
             h AS (

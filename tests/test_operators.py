@@ -1554,6 +1554,52 @@ def test_gopher_filters_rules(spark):
     assert got[7].n_words == 0 and not got[7].keep
 
 
+def test_bpe_train_and_apply(spark):
+    """Classic Sennrich corpus learns the textbook merge sequence;
+    distributed apply reproduces the trained segmentation; repeated
+    adjacent pairs follow the documented single-pass semantics;
+    exhausted vocabularies raise instead of silently under-training."""
+    import pytest as _pytest
+
+    from newspaper_spark.operators.bpe import (
+        bpe_apply,
+        bpe_train,
+        bpe_word_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lowest new newer"), (2, "low newer newer")],
+        "doc_id long, text string",
+    )
+    wc = bpe_word_counts(df)
+    merges = bpe_train(wc, 6)
+    assert merges == [
+        ("l", "o"), ("lo", "w"), ("e", "r"),
+        ("e", "w"), ("n", "ew"), ("new", "er"),
+    ]
+    seg = {r.word: (r.tokens, r.n_tokens)
+           for r in bpe_apply(wc, merges).collect()}
+    assert seg["low"] == ("low", 1)
+    assert seg["lower"] == ("low er", 2)
+    assert seg["lowest"] == ("low e s t", 4)
+    assert seg["newer"] == ("newer", 1)
+
+    # single-pass sentinel replacement: 'papa' with merge (p,a) merges
+    # the FIRST occurrence only in that round (module-docstring
+    # divergence from canonical BPE) — and token boundaries never break
+    pa = spark.createDataFrame([("papa",)], "word string")
+    one = {r.word: r.tokens for r in bpe_apply(pa, [("p", "a")]).collect()}
+    assert one["papa"] == "pa p a"
+    two = {r.word: r.tokens
+           for r in bpe_apply(pa, [("p", "a"), ("p", "a")]).collect()}
+    assert two["papa"] == "pa pa"
+
+    # vocabulary with a single 1-char word has zero pairs -> raises
+    tiny = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bpe_train(bpe_word_counts(tiny), 1)
+
+
 def test_frontier_schedule(spark):
     """Per-host wave assignment: priority DESC then id, 0-based per
     host, null priority last, n_host per host; wave < K is the
