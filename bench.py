@@ -262,6 +262,14 @@ def query_timings(cores: int) -> tuple[dict, dict]:
         "url_blocklist",
         "paragraph_dedup",
         "corpus_prep",
+        "line_filters",
+        "bloom_seen",
+        "feed_entries",
+        "feed_urls",
+        "quality_buckets",
+        "robots_gate",
+        "frontier",
+        "bpe_vocab",
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)
