@@ -1325,6 +1325,19 @@ def q_robots_gate(spark, sf_dir):
     return robots_gate(u, rules, "NewsBot/1.0")
 
 
+def q_page_links(spark, sf_dir):
+    """DOM-mode link extraction (source_build.extract_page_links =
+    get_urls(titles=True), extractors.py:591-605) over the synthetic
+    pages through the REAL DOM parser: every page carries exactly the
+    five boilerplate anchors (navbar News/Sports/About, footer
+    Terms/Privacy) in document order, so the oracle enumerates them
+    per turn."""
+    from newspaper_spark.operators.source_build import extract_page_links
+
+    t = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    return extract_page_links(t)
+
+
 def q_bpe_vocab(spark, sf_dir):
     """REAL BPE tokenizer train + apply (operators/bpe.py, Sennrich et
     al. 2016): distributed word counting → 8 driver-side merge rounds
@@ -1664,6 +1677,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("robots_gate", q_robots_gate),
     ("frontier", q_frontier),
     ("bpe_vocab", q_bpe_vocab),
+    ("page_links", q_page_links),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -2415,6 +2429,17 @@ def oracle_sql() -> dict[str, str]:
                    t.n_sentences,
                    (t.n_sentences - coalesce(k.n_kept, 0))::BIGINT AS n_removed
             FROM tot t LEFT JOIN ka k USING (doc_id)
+        """,
+        "page_links": f"""
+            WITH t AS ({_TRANSCRIPT_BASE}),
+            l(link_idx, href, anchor) AS (
+                VALUES (0, '/news', 'News'), (1, '/sports', 'Sports'),
+                       (2, '/about', 'About'), (3, '/terms', 'Terms'),
+                       (4, '/privacy', 'Privacy')
+            )
+            SELECT conv_id, turn_idx, link_idx::INT AS link_idx,
+                   href, anchor
+            FROM t, l
         """,
         "bpe_vocab": _bpe_oracle_sql(8),
         "frontier": f"""

@@ -172,3 +172,46 @@ def build_sources(
     for p in parts[1:]:
         candidates = candidates.unionByName(p)
     return purge_and_dedup(candidates, seen_urls)
+
+
+def _page_links_batch(htmls):
+    from ..kernel.source import get_urls
+
+    out = []
+    for html in htmls:
+        try:
+            out.append(get_urls(html or "", titles=True))
+        except Exception:
+            out.append([])
+    return pd.Series(out, dtype="object")
+
+
+page_links_udf = F.pandas_udf(
+    _page_links_batch,
+    T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("href", T.StringType()),
+                T.StructField("anchor", T.StringType()),
+            ]
+        )
+    ),
+)
+
+
+def extract_page_links(
+    df: DataFrame, html_col: str = "text", key_cols=("conv_id", "turn_idx")
+) -> DataFrame:
+    """DOM-mode link extraction — the reference's
+    ``get_urls(doc, titles=True)`` (extractors.py:591-605): every
+    ``<a href>`` of the REAL DOM parse in document order with its
+    anchor text, one row per link (``link_idx`` 0-based; pages with no
+    hrefs emit no rows, matching the reference's ``[]``). Arrow-batched
+    pandas UDF + posexplode; map-only, pages never shuffle."""
+    arr = page_links_udf(F.col(html_col))
+    return df.select(*key_cols, F.posexplode(arr).alias("link_idx", "l")).select(
+        *key_cols,
+        "link_idx",
+        F.col("l.href").alias("href"),
+        F.col("l.anchor").alias("anchor"),
+    )

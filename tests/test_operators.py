@@ -1554,6 +1554,32 @@ def test_gopher_filters_rules(spark):
     assert got[7].n_words == 0 and not got[7].keep
 
 
+def test_extract_page_links(spark):
+    """DOM-mode get_urls(titles=True) parity (extractors.py:591-605):
+    document order, href-less anchors skipped, anchor text is lxml's
+    .text (text BEFORE the first child element — None when the anchor
+    starts with markup, the reference's own quirk), zero-link pages
+    emit no rows."""
+    from newspaper_spark.operators.source_build import extract_page_links
+
+    html = (
+        "<html><body><a href='/a'>first</a><a name='x'>no-href</a>"
+        "<a href='/b'><b>bold</b> tail</a><a href='/c'>plain</a>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [("c1", 0, html), ("c1", 1, "<html><body><p>no links</p></body></html>")],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = extract_page_links(df).orderBy("turn_idx", "link_idx").collect()
+    assert [(r.link_idx, r.href, r.anchor) for r in got] == [
+        (0, "/a", "first"),
+        (1, "/b", None),  # starts with <b> -> .text is None
+        (2, "/c", "plain"),
+    ]
+    assert all(r.turn_idx == 0 for r in got)  # link-less page: no rows
+
+
 def test_bpe_train_and_apply(spark):
     """Classic Sennrich corpus learns the textbook merge sequence;
     distributed apply reproduces the trained segmentation; repeated
