@@ -1325,6 +1325,24 @@ def q_robots_gate(spark, sf_dir):
     return robots_gate(u, rules, "NewsBot/1.0")
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Document-level BPE encoding (bpe.bpe_encode_docs): per-doc word
+    and BPE-token counts under the same 8-merge table bpe_vocab
+    trains — the number sequence packing actually consumes. Distinct
+    words are segmented once and broadcast back; raw text never
+    shuffles. The oracle extends the bpe_vocab replay with the
+    per-(doc, word) join."""
+    from newspaper_spark.operators.bpe import (
+        bpe_encode_docs,
+        bpe_train,
+        bpe_word_counts,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = bpe_train(bpe_word_counts(d), 8)
+    return bpe_encode_docs(d, merges)
+
+
 def q_page_links(spark, sf_dir):
     """DOM-mode link extraction (source_build.extract_page_links =
     get_urls(titles=True), extractors.py:591-605) over the synthetic
@@ -1678,6 +1696,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("frontier", q_frontier),
     ("bpe_vocab", q_bpe_vocab),
     ("page_links", q_page_links),
+    ("bpe_encode", q_bpe_encode),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -1735,7 +1754,7 @@ _EXPECTED_TEXT = (
 _PUNCT_SQL = "'!\"#$%&''()*+,-./:;<=>?@[\\]^_`{|}~'"
 
 
-def _bpe_oracle_sql(n_rounds: int) -> str:
+def _bpe_oracle_sql(n_rounds: int, doc_level: bool = False) -> str:
     """Unrolled relational replay of q_bpe_vocab's training loop: per
     round, adjacency pair counts over the spaced vocabulary, the
     (max count, lexicographically smallest pair) argmax, and the same
@@ -1770,13 +1789,29 @@ def _bpe_oracle_sql(n_rounds: int) -> str:
             FROM v{i}, m{i}
         )"""
         )
-    parts.append(
-        f"""
+    if doc_level:
+        parts.append(
+            f""", dt AS (
+            SELECT doc_id, word, count(*)::BIGINT AS k FROM (
+                SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS word
+                FROM documents
+            ) GROUP BY doc_id, word
+        )
+        SELECT dt.doc_id,
+               sum(dt.k)::BIGINT AS n_words,
+               sum(dt.k * (CASE WHEN trim(v{n_rounds}.s) = '' THEN 0
+                                ELSE len(string_split(trim(v{n_rounds}.s), ' ')) END))::BIGINT AS n_bpe_tokens
+        FROM dt JOIN v{n_rounds} USING (word)
+        GROUP BY dt.doc_id"""
+        )
+    else:
+        parts.append(
+            f"""
         SELECT word, freq, trim(s) AS tokens,
                (CASE WHEN trim(s) = '' THEN 0
                      ELSE len(string_split(trim(s), ' ')) END)::BIGINT AS n_tokens
         FROM v{n_rounds}"""
-    )
+        )
     return "".join(parts)
 
 
@@ -2442,6 +2477,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t, l
         """,
         "bpe_vocab": _bpe_oracle_sql(8),
+        "bpe_encode": _bpe_oracle_sql(8, doc_level=True),
         "frontier": f"""
             WITH u AS ({_SYNTH_URL_SQL}),
             h AS (

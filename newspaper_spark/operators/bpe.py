@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from .textstats import _tokens
 
-__all__ = ["bpe_word_counts", "bpe_train", "bpe_apply"]
+__all__ = ["bpe_word_counts", "bpe_train", "bpe_apply", "bpe_encode_docs"]
 
 
 def _spaced(col):
@@ -114,4 +114,43 @@ def bpe_apply(
         F.when(tokens == "", F.lit(0)).otherwise(
             F.size(F.split(tokens, " "))
         ).cast("long"),
+    )
+
+
+def bpe_encode_docs(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level BPE encoding summary: ``(id, n_words,
+    n_bpe_tokens)`` — the number the packing stage actually needs.
+
+    Scale shape: per-(doc, word) counts shuffle once (the same small
+    rows unigram_logprob moves), the DISTINCT word relation is
+    segmented through the merge chain ONCE (vocab-bounded — never
+    re-segment every running token), and the segmentation broadcasts
+    back. Raw text never shuffles; the merge chain is Column-only."""
+    words = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("word"),
+    )
+    doc_words = words.groupBy("_id", "word").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    seg = bpe_apply(doc_words.select("word").distinct(), merges).select(
+        "word", "n_tokens"
+    )
+    return (
+        doc_words.join(F.broadcast(seg), "word")
+        .groupBy("_id")
+        .agg(
+            F.sum("k").alias("n_words"),
+            F.sum(F.col("k") * F.col("n_tokens")).alias("n_bpe_tokens"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
     )

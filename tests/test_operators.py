@@ -1625,6 +1625,15 @@ def test_bpe_train_and_apply(spark):
     with _pytest.raises(ValueError):
         bpe_train(bpe_word_counts(tiny), 1)
 
+    # doc-level encoding: token counts follow the trained segmentation
+    from newspaper_spark.operators.bpe import bpe_encode_docs
+
+    enc = {r.doc_id: r for r in bpe_encode_docs(df, merges).collect()}
+    # doc 1: low(1)*3 + lower(2) + lowest(4) + new(1) + newer(1) = 11
+    assert enc[1].n_words == 7 and enc[1].n_bpe_tokens == 11
+    # doc 2: low(1) + newer(1)*2 = 3
+    assert enc[2].n_words == 3 and enc[2].n_bpe_tokens == 3
+
 
 def test_frontier_schedule(spark):
     """Per-host wave assignment: priority DESC then id, 0-based per
