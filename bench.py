@@ -270,6 +270,8 @@ def query_timings(cores: int) -> tuple[dict, dict]:
         "robots_gate",
         "frontier",
         "bpe_vocab",
+        "page_links",
+        "bpe_encode",
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)
