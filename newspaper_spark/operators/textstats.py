@@ -463,7 +463,15 @@ def quality_buckets(
     if len(weights) != len(labels):
         raise ValueError("weights and labels must align")
     scale = float(10**bin_dp)
-    binned = df.withColumn("_bin", F.floor(F.col(score_col) * scale).cast("long"))
+    # persist: binned feeds BOTH the histogram branch and the join-back
+    # branch — unpersisted, the caller's (possibly expensive) score
+    # plan executes twice. Tracked so tracking_scope()/release() frees
+    # it once the output is consumed (cache.py contract).
+    binned = cache.track(
+        df.withColumn(
+            "_bin", F.floor(F.col(score_col) * scale).cast("long")
+        ).persist()
+    )
     hist = binned.groupBy("_bin").agg(F.count("*").cast("long").alias("_c"))
     w = W.orderBy("_bin").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = hist.select(
