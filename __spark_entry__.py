@@ -1398,6 +1398,79 @@ def q_frontier(spark, sf_dir):
     return frontier_schedule(u, priority_col="priority")
 
 
+def q_crawl_prep(spark, sf_dir):
+    """End-to-end CRAWL-side pipeline composition — the frontier
+    analog of corpus_prep: the synthetic URL universe through the
+    domain-suffix blocklist, the robots.txt gate (agent newsbot, the
+    q_robots_gate rule set), and the Bloom seen-URL filter
+    (m=1024/k=4, seen = doc_id%4==0), with survivors scheduled into
+    per-host politeness waves. Every stage is an already-individually-
+    verified operator; this query proves the composition's verdicts
+    and schedule stay exact end to end (wave is NULL for dropped
+    URLs). All joins are id-keyed narrow verdict rows — pages never
+    move."""
+    from newspaper_spark.operators.bloom import bloom_seen_filter
+    from newspaper_spark.operators.frontier import frontier_schedule
+    from newspaper_spark.operators.robots import parse_robots, robots_gate
+    from newspaper_spark.operators.urlops import url_blocklist_filter
+
+    u = _synth_urls(spark, sf_dir).withColumn(
+        "host",
+        F.concat(
+            F.lit("site"), (F.col("doc_id") % 7).cast("string"), F.lit(".com")
+        ),
+    )
+    bl = url_blocklist_filter(
+        u.select("doc_id", "url"), ["site2.com", "site5.com"]
+    ).select("doc_id", "blocked")
+
+    hosts = u.select((F.col("doc_id") % 7).alias("k"), "host").distinct()
+    body = (
+        F.when(
+            F.col("k") % 3 == 0,
+            F.lit(
+                "User-agent: newsbot\nDisallow: /news/\nDisallow: /gallery/"
+                "\n\nUser-agent: *\nDisallow: /"
+            ),
+        )
+        .when(
+            F.col("k") % 3 == 1,
+            F.lit("# site robots\nUser-agent: *\nDisallow: /tag-\nDisallow:"),
+        )
+        .otherwise(F.lit("User-agent: other\nDisallow: /"))
+    )
+    rb = robots_gate(
+        u,
+        parse_robots(hosts.select("host", body.alias("robots"))),
+        "NewsBot/1.0",
+    ).select("doc_id", "allowed")
+
+    seen = u.filter(F.col("doc_id") % 4 == 0).select("url")
+    bo = bloom_seen_filter(
+        u.select("doc_id", "url"), seen, m=1024, k=4
+    ).select("doc_id", "possibly_seen")
+
+    gated = (
+        u.join(bl, "doc_id")
+        .join(rb, "doc_id")
+        .join(bo, "doc_id")
+        .withColumn(
+            "kept",
+            ~F.col("blocked") & F.col("allowed") & ~F.col("possibly_seen"),
+        )
+    )
+    sched = frontier_schedule(
+        gated.filter("kept").select(
+            "doc_id", "host", (F.col("doc_id") % 5).cast("int").alias("priority")
+        ),
+        priority_col="priority",
+    ).select("doc_id", "wave")
+    return gated.join(sched, "doc_id", "left").select(
+        "doc_id", "url", "host", "blocked", "allowed", "possibly_seen",
+        "kept", "wave",
+    )
+
+
 def q_quality_buckets(spark, sf_dir):
     """CCNet head/middle/tail corpus split (textstats.quality_buckets,
     Wenzek et al. 2020 §4.3) over the unigram-LM scores of
@@ -1697,6 +1770,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("bpe_vocab", q_bpe_vocab),
     ("page_links", q_page_links),
     ("bpe_encode", q_bpe_encode),
+    ("crawl_prep", q_crawl_prep),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -2507,6 +2581,56 @@ def oracle_sql() -> dict[str, str]:
                         WHEN (doc_id % 7) % 3 = 1 THEN ''
                         ELSE NULL END AS matched_rule
             FROM u
+        """,
+        "crawl_prep": f"""
+            WITH u AS ({_SYNTH_URL_SQL}),
+            probes AS (SELECT unnest(range(0, 4)) AS i),
+            bits AS (
+                SELECT DISTINCT
+                       (('0x' || substring(md5(i::VARCHAR || ':' || url), 1, 15))::BIGINT % 1024) AS pos
+                FROM u, probes WHERE doc_id % 4 = 0
+            ),
+            words AS (
+                SELECT pos // 32 AS word_idx,
+                       bit_or(1::BIGINT << (pos % 32)::INT) AS word
+                FROM bits GROUP BY 1
+            ),
+            probed AS (
+                SELECT u.doc_id,
+                       (('0x' || substring(md5(i::VARCHAR || ':' || url), 1, 15))::BIGINT % 1024) AS pos
+                FROM u, probes
+            ),
+            bloomv AS (
+                SELECT doc_id,
+                       min(CASE WHEN coalesce(w.word, 0) & (1::BIGINT << (pos % 32)::INT) <> 0
+                                THEN 1 ELSE 0 END) = 1 AS possibly_seen
+                FROM probed LEFT JOIN words w ON w.word_idx = pos // 32
+                GROUP BY doc_id
+            ),
+            k AS (
+                SELECT u.doc_id, u.url,
+                       'site' || (doc_id % 7)::VARCHAR || '.com' AS host,
+                       (doc_id % 7) IN (2, 5) AS blocked,
+                       CASE WHEN (doc_id % 7) % 3 = 0 THEN NOT (doc_id % 5 IN (0, 3))
+                            WHEN (doc_id % 7) % 3 = 1 THEN NOT (doc_id % 5 = 4)
+                            ELSE TRUE END AS allowed,
+                       b.possibly_seen,
+                       (NOT (doc_id % 7) IN (2, 5)
+                        AND (CASE WHEN (doc_id % 7) % 3 = 0 THEN NOT (doc_id % 5 IN (0, 3))
+                                  WHEN (doc_id % 7) % 3 = 1 THEN NOT (doc_id % 5 = 4)
+                                  ELSE TRUE END)
+                        AND NOT b.possibly_seen) AS kept
+                FROM u JOIN bloomv b USING (doc_id)
+            ),
+            s AS (
+                SELECT doc_id,
+                       (row_number() OVER (PARTITION BY host
+                            ORDER BY (doc_id % 5) DESC, doc_id) - 1)::INT AS wave
+                FROM k WHERE kept
+            )
+            SELECT k.doc_id, k.url, k.host, k.blocked, k.allowed,
+                   k.possibly_seen, k.kept, s.wave
+            FROM k LEFT JOIN s USING (doc_id)
         """,
         "quality_buckets": """
             WITH n AS (

@@ -272,6 +272,7 @@ def query_timings(cores: int) -> tuple[dict, dict]:
         "bpe_vocab",
         "page_links",
         "bpe_encode",
+        "crawl_prep",
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)
