@@ -140,3 +140,68 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert out.count() == n_unique, f"{out.count()} != {n_unique}"
     # one row per fingerprint
     assert out.select("fingerprint").distinct().count() == n_unique
+
+
+def test_streaming_stateless_quality_ops(spark, tmp_path):
+    """The round-5 map-only quality/crawl operators (line_filters,
+    gopher_filters, feed_urls) are stateless Column stages, so they
+    compose with Structured Streaming unchanged — no watermark, no
+    state store. Batch output over the same input must match exactly."""
+    import pyspark.sql.functions as F
+
+    from newspaper_spark.operators.feeds import feed_urls
+    from newspaper_spark.operators.filters import gopher_filters, line_filters
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = [
+        (1, "NAV MENU\n" + "the data and the model we built with care " * 9
+            + "\n42 likes"),
+        (2, "READ MORE\nSubscribe now\nshort"),
+        (3, "plain text line with several ordinary words here"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    cleaned = line_filters(stream)
+    gated = gopher_filters(
+        cleaned.select("doc_id", F.col("cleaned_text").alias("text"))
+    ).select("doc_id", "n_words", "word_count_ok", "keep")
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {r.doc_id: r for r in spark.read.parquet(out_dir).collect()}
+    batch_in = spark.read.parquet(in_dir)
+    batch = {
+        r.doc_id: r
+        for r in gopher_filters(
+            line_filters(batch_in).select(
+                "doc_id", F.col("cleaned_text").alias("text")
+            )
+        ).select("doc_id", "n_words", "word_count_ok", "keep").collect()
+    }
+    assert set(streamed) == {1, 2, 3}
+    for i in streamed:
+        assert (streamed[i].n_words, streamed[i].word_count_ok,
+                streamed[i].keep) == (
+            batch[i].n_words, batch[i].word_count_ok, batch[i].keep)
+
+    # feed_urls is likewise a pure select (posexplode is streaming-
+    # supported): the plan must build against a streaming source
+    feeds = feed_urls(
+        spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+        .select(F.col("doc_id").alias("feed_id"), F.col("text").alias("xml"))
+    )
+    assert feeds.isStreaming
+    assert feeds.columns == ["feed_id", "url_idx", "url"]
