@@ -3,7 +3,8 @@ real corpus-prep chain once —
 
     documents → dedup_exact → paragraph_dedup →
     minhash_lsh_pairs(max_group_size=64)  [side audit branch]
-    → gopher word-count gate → token counts → pack_offsets
+    → line_filters (RefinedWeb line-wise, round 5) →
+    gopher word-count gate → token counts → pack_offsets
 
 — and run the IDENTICAL composition at two data rungs (sf0.1 ×4 and
 ×16: 20k vs 80k docs) to show per-row cost stays flat, i.e. the claim
@@ -68,7 +69,7 @@ def run_rung(spark, k: int) -> dict:
 
     from newspaper_spark import cache
     from newspaper_spark.operators.dedup import dedup_exact, minhash_lsh_pairs
-    from newspaper_spark.operators.filters import gopher_filters
+    from newspaper_spark.operators.filters import gopher_filters, line_filters
     from newspaper_spark.operators.packing import pack_offsets
     from newspaper_spark.operators.span_dedup import paragraph_dedup
     from newspaper_spark.operators.textstats import token_count_col
@@ -85,10 +86,13 @@ def run_rung(spark, k: int) -> dict:
                 "doc_id", F.col("cleaned_text").alias("text")
             )
             n_pairs = minhash_lsh_pairs(para, max_group_size=64).count()
-            passing = gopher_filters(para).filter("word_count_ok").select(
+            lined = line_filters(para).select(
+                "doc_id", F.col("cleaned_text").alias("text")
+            )
+            passing = gopher_filters(lined).filter("word_count_ok").select(
                 "doc_id"
             )
-            gated = para.join(passing, "doc_id").select(
+            gated = lined.join(passing, "doc_id").select(
                 "doc_id", token_count_col(F.col("text")).alias("n_tokens")
             )
             packed = pack_offsets(gated, seq_len=2048)
