@@ -79,7 +79,10 @@ def parse_feed_entries(
     A feed that parses but has no entries emits a single
     ``fmt='empty'`` row; unparseable XML emits a single
     ``error='malformed-xml'`` row; an XML root that is neither
-    ``<rss>`` nor Atom ``<feed>`` emits ``error='not-a-feed'``."""
+    ``<rss>`` nor Atom ``<feed>`` emits ``error='not-a-feed'``; any
+    DOCTYPE/ENTITY declaration emits ``error='dtd-rejected'`` without
+    reaching the parser (stdlib ET has no entity-expansion budget — a
+    billion-laughs feed would DoS the executor)."""
     spark = df.sparkSession  # noqa: F841  (documents the session tie)
     out_schema = (
         f"{id_col} long, fmt string, entry_idx int, title string, "
@@ -97,6 +100,16 @@ def parse_feed_entries(
                 fid = int(fid)
                 if xml is None or not str(xml).strip():
                     rows.append((fid, None, None, None, None, None, "malformed-xml"))
+                    continue
+                # stdlib ET expands internal entities with no budget
+                # (billion-laughs DoS); no real feed carries a DTD, so
+                # any DOCTYPE/ENTITY declaration routes to the error
+                # channel BEFORE the parser ever sees it (conservative:
+                # the literal token inside CDATA also rejects — a
+                # documented trade for a hostile-input corpus)
+                up = str(xml).upper()
+                if "<!DOCTYPE" in up or "<!ENTITY" in up:
+                    rows.append((fid, None, None, None, None, None, "dtd-rejected"))
                     continue
                 try:
                     root = ET.fromstring(xml)

@@ -1771,6 +1771,12 @@ def test_feed_operators(spark):
             (4, '<rss version="2.0"><channel><title>E</title></channel></rss>'),
             (5, "<html><body>hi</body></html>"),
             (6, None),
+            # entity-expansion bomb: must hit the dtd-rejected channel
+            # WITHOUT being parsed (stdlib ET has no expansion budget)
+            (7, '<?xml version="1.0"?><!DOCTYPE lolz [<!ENTITY a "ha">'
+                '<!ENTITY b "&a;&a;&a;&a;&a;&a;&a;&a;&a;&a;">]>'
+                "<rss><channel><item><title>&b;&b;</title></item>"
+                "</channel></rss>"),
         ],
         "feed_id long, xml string",
     )
@@ -1788,6 +1794,7 @@ def test_feed_operators(spark):
     assert ent[(4, None)].fmt == "empty" and ent[(4, None)].error is None
     assert ent[(5, None)].error == "not-a-feed"
     assert ent[(6, None)].error == "malformed-xml"
+    assert ent[(7, None)].error == "dtd-rejected"
 
     urls = [(r.feed_id, r.url_idx, r.url)
             for r in feed_urls(df).orderBy("feed_id", "url_idx").collect()]
