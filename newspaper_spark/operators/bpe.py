@@ -66,12 +66,26 @@ def bpe_word_counts(
     )
 
 
-def bpe_train(word_counts: DataFrame, n_merges: int) -> list[tuple[str, str]]:
+def bpe_train(
+    word_counts: DataFrame, n_merges: int, max_vocab: int | None = None
+) -> list[tuple[str, str]]:
     """Learn ``n_merges`` merges from a ``(word, freq)`` relation.
     Driver-side over the collected vocabulary (bounded — see module
     docstring); raises if the vocabulary exhausts its pairs before
     ``n_merges`` rounds, so a caller can never silently train a
-    shorter table than the oracle replays."""
+    shorter table than the oracle replays.
+
+    ``max_vocab`` is the hostile-corpus guard: natural-language
+    vocabularies are bounded, but a corpus of random strings has one
+    "word" per row and the collect would OOM the driver. When set,
+    training considers only the top ``max_vocab`` words by
+    (freq DESC, word) — a deterministic TakeOrdered (top-N per
+    partition, merged), never a full sort — which is also what real
+    BPE trainers do with their min-frequency cutoffs."""
+    if max_vocab is not None:
+        word_counts = word_counts.orderBy(
+            F.desc("freq"), F.asc("word")
+        ).limit(max_vocab)
     vocab = [(r["word"], int(r["freq"])) for r in word_counts.collect()]
     spaced = {w: " " + " ".join(w) + " " for w, _ in vocab}
     merges: list[tuple[str, str]] = []

@@ -1625,6 +1625,11 @@ def test_bpe_train_and_apply(spark):
     with _pytest.raises(ValueError):
         bpe_train(bpe_word_counts(tiny), 1)
 
+    # max_vocab guard: training on the top-2 words by (freq, word)
+    # (low x4, newer x3) sees only l/o/w/n/e/r pairs
+    capped = bpe_train(wc, 2, max_vocab=2)
+    assert capped == [("l", "o"), ("lo", "w")]
+
     # doc-level encoding: token counts follow the trained segmentation
     from newspaper_spark.operators.bpe import bpe_encode_docs
 
