@@ -1712,6 +1712,27 @@ def test_robots_gate_matches_stdlib(spark):
             assert r.allowed == expected[(r.host, p)], (agent, r)
 
 
+def test_crawl_prep_composition_invariants(spark):
+    """The composed crawl gate (q_crawl_prep): kept ⇔ wave assigned,
+    waves dense 0..n-1 per host among kept rows, dropped rows carry a
+    NULL wave and at least one failing gate flag."""
+    import __spark_entry__ as E
+    from tests.conftest import SF0001
+
+    rows = E.queries()["crawl_prep"](spark, SF0001).collect()
+    assert rows
+    by_host = {}
+    for r in rows:
+        assert r.kept == (not r.blocked and r.allowed and not r.possibly_seen)
+        if r.kept:
+            assert r.wave is not None
+            by_host.setdefault(r.host, []).append(r.wave)
+        else:
+            assert r.wave is None
+    for host, waves in by_host.items():
+        assert sorted(waves) == list(range(len(waves))), host
+
+
 def test_quality_buckets(spark):
     """CCNet tertile split: exact thirds on distinct bins, tie mass
     follows its bin's starting bucket, integer-exact thresholds for
