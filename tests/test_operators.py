@@ -1712,6 +1712,71 @@ def test_robots_gate_matches_stdlib(spark):
             assert r.allowed == expected[(r.host, p)], (agent, r)
 
 
+def test_line_filters_matches_python_model(spark):
+    """line_filters vs an independent sequential model on random
+    corpora mixing every line class (numeric, counter, all-caps,
+    boilerplate markers, padded/tabbed, empty, plain prose)."""
+    import random
+    import re
+
+    from newspaper_spark.operators.filters import LINE_BOILERPLATE, line_filters
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    trim = re.compile(r"^[ \t\r]+|[ \t\r]+$")
+    num = re.compile(r"^[0-9 .,:%/+-]+$")
+    cnt = re.compile(
+        r"^[0-9]+ (likes?|comments?|shares?|views?|retweets?|replies)$"
+    )
+
+    def wc(line):
+        col = ws.sub(" ", line.lower()).strip(" ")
+        return 0 if col == "" else len(col.split(" "))
+
+    def bad(line):
+        low = line.lower()
+        return bool(
+            (num.search(line) and re.search("[0-9]", line))
+            or cnt.search(low)
+            or (re.search("[A-Z]", line) and not re.search("[a-z]", line))
+            or (wc(line) <= 10 and any(m in low for m in LINE_BOILERPLATE))
+        )
+
+    def model(text):
+        lines = [trim.sub("", l) for l in (text or "").split("\n")]
+        flags = [bad(l) for l in lines]
+        removed = sum(wc(l) for l, b in zip(lines, flags) if b)
+        total = sum(wc(l) for l in lines)
+        return (
+            "\n".join(l for l, b in zip(lines, flags) if not b),
+            len(lines), sum(flags), removed, total,
+            20 * removed <= total,
+        )
+
+    pool = [
+        "NAV MENU", "42", "12.5%", "2 / 10", "37 likes", "9 comments",
+        "Subscribe now", "please read more again today and tomorrow",
+        "plain words in a line here", "", "  padded line  ",
+        "\tTabbed words\t", "mixed Case Words", "10 likes and counting",
+        "%%..,", "sign in", "terms of use apply to all visitors of "
+        "this site and every page within it always",
+    ]
+    for seed in range(5):
+        rng = random.Random(300 + seed)
+        rows = [
+            (i, "\n".join(rng.choice(pool)
+                          for _ in range(rng.randint(0, 8))))
+            for i in range(rng.randint(3, 7))
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.cleaned_text, r.n_lines, r.n_removed_lines,
+                       r.removed_words, r.total_words, r.keep)
+            for r in line_filters(df).collect()
+        }
+        want = {i: model(t) for i, t in rows}
+        assert got == want, f"seed {seed}"
+
+
 def test_crawl_prep_composition_invariants(spark):
     """The composed crawl gate (q_crawl_prep): kept ⇔ wave assigned,
     waves dense 0..n-1 per host among kept rows, dropped rows carry a
