@@ -1712,6 +1712,37 @@ def test_robots_gate_matches_stdlib(spark):
             assert r.allowed == expected[(r.host, p)], (agent, r)
 
 
+def test_bloom_matches_python_model(spark):
+    """bloom_seen_filter vs an independent hashlib model of the exact
+    bit layout (md5-derived probe positions, membership = all k bits)
+    — pins the filter semantics independently of the DuckDB oracle,
+    including which non-members false-positive at a tight m."""
+    import hashlib
+
+    from newspaper_spark.operators.bloom import bloom_seen_filter
+
+    m, k = 512, 4
+
+    def pos(i, v):
+        return int(hashlib.md5(f"{i}:{v}".encode()).hexdigest()[:15], 16) % m
+
+    urls = [f"http://h{i % 5}.com/p{i}" for i in range(240)]
+    seen = [u for i, u in enumerate(urls) if i % 3 == 0]
+    bits = {pos(i, s) for s in seen for i in range(k)}
+
+    def model(u):
+        return all(pos(i, u) in bits for i in range(k))
+
+    df = spark.createDataFrame(list(enumerate(urls)), "doc_id long, url string")
+    got = {r.url: r.possibly_seen for r in bloom_seen_filter(
+        df, df.filter("doc_id % 3 = 0").select("url"), m=m, k=k).collect()}
+    want = {u: model(u) for u in urls}
+    assert got == want
+    # the tight m must actually produce false positives for this to
+    # have exercised the interesting branch
+    assert any(want[u] for i, u in enumerate(urls) if i % 3 != 0)
+
+
 def test_line_filters_matches_python_model(spark):
     """line_filters vs an independent sequential model on random
     corpora mixing every line class (numeric, counter, all-caps,
