@@ -1673,48 +1673,30 @@ def _round_no() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-# Canonical query order, FROZEN in round-4's dict order (so round 4's
-# artifact corresponds to rotation offset 0). ROTATION POLICY (see
+# Canonical query order, FROZEN in round-5's emitted order (so round 5's
+# artifact corresponds to rotation offset 0 — the round-4 canonical was
+# folded forward per the recipe in CLAUDE.md). ROTATION POLICY (see
 # ROTATION.md): the external driver hash-verifies only the FIRST 50
 # queries() entries, so the returned order rotates this list by
-# 19 × (round − 4) positions each round. 19 = len(canonical) − window,
+# 30 × (round − 5) positions each round. 30 = len(canonical) − window,
 # which makes consecutive rounds' unsampled tails DISJOINT: every query
-# gets a driver row at least 2 of every 3 rounds and never misses two
+# gets a driver row at least 1 of every 2 rounds and never misses two
 # rounds in a row. New queries are appended to _NEW_THIS_ROUND (always
 # emitted first → always inside the window) and folded into the
 # canonical list the following round. Every entry is additionally
 # checked every round by scripts/verify_oracle.py.
 _CANONICAL_QUERIES: list[tuple[str, Callable]] = [
-    ("nlp_summary", q_nlp_summary),
-    ("nlp_sentence_scores", q_nlp_sentence_scores),
-    ("text_entropy", q_text_entropy),
-    ("nlp_keywords", q_nlp_keywords),
-    ("prepare_url", q_prepare_url),
-    ("array_ops", q_array_ops),
-    ("conversation_text", q_conversation_text),
-    ("link_hash", q_link_hash),
-    ("dedup_url", q_dedup_url),
-    ("pdf_skip", q_pdf_skip),
-    ("corpus_prep", q_corpus_prep),
-    ("media_decode_jpeg", q_media_decode_jpeg),
-    ("dsir", q_dsir),
-    ("gopher_filters", q_gopher_filters),
-    ("url_blocklist", q_url_blocklist),
-    ("paragraph_dedup", q_paragraph_dedup),
-    ("media_audio", q_media_audio),
-    ("media_video", q_media_video),
-    ("semantic_clusters", q_semantic_clusters),
-    ("extract_fulltext", q_extract_fulltext),
-    ("extract_title", q_extract_title),
-    ("extract_meta", q_extract_meta),
-    ("dedup_exact", q_dedup_exact),
-    ("keywords_topk", q_keywords_topk),
-    ("minhash_pairs", q_minhash_pairs),
-    ("dedup_clusters", q_dedup_clusters),
-    ("sample_stratified", q_sample_stratified),
-    ("ngram_jaccard", q_ngram_jaccard),
-    ("simhash", q_simhash),
-    ("simhash_near_dups", q_simhash_near_dups),
+    ("line_filters", q_line_filters),
+    ("bloom_seen", q_bloom_seen),
+    ("feed_entries", q_feed_entries),
+    ("feed_urls", q_feed_urls),
+    ("quality_buckets", q_quality_buckets),
+    ("robots_gate", q_robots_gate),
+    ("frontier", q_frontier),
+    ("bpe_vocab", q_bpe_vocab),
+    ("page_links", q_page_links),
+    ("bpe_encode", q_bpe_encode),
+    ("crawl_prep", q_crawl_prep),
     ("ann_topk", q_ann_topk),
     ("ann_lsh", q_ann_lsh),
     ("ann_ivf", q_ann_ivf),
@@ -1754,44 +1736,91 @@ _CANONICAL_QUERIES: list[tuple[str, Callable]] = [
     ("anti_join_seen", q_anti_join_seen),
     ("limit_per_source", q_limit_per_source),
     ("domain_counters", q_domain_counters),
+    ("nlp_summary", q_nlp_summary),
+    ("nlp_sentence_scores", q_nlp_sentence_scores),
+    ("text_entropy", q_text_entropy),
+    ("nlp_keywords", q_nlp_keywords),
+    ("prepare_url", q_prepare_url),
+    ("array_ops", q_array_ops),
+    ("conversation_text", q_conversation_text),
+    ("link_hash", q_link_hash),
+    ("dedup_url", q_dedup_url),
+    ("pdf_skip", q_pdf_skip),
+    ("corpus_prep", q_corpus_prep),
+    ("media_decode_jpeg", q_media_decode_jpeg),
+    ("dsir", q_dsir),
+    ("gopher_filters", q_gopher_filters),
+    ("url_blocklist", q_url_blocklist),
+    ("paragraph_dedup", q_paragraph_dedup),
+    ("media_audio", q_media_audio),
+    ("media_video", q_media_video),
+    ("semantic_clusters", q_semantic_clusters),
+    ("extract_fulltext", q_extract_fulltext),
+    ("extract_title", q_extract_title),
+    ("extract_meta", q_extract_meta),
+    ("dedup_exact", q_dedup_exact),
+    ("keywords_topk", q_keywords_topk),
+    ("minhash_pairs", q_minhash_pairs),
+    ("dedup_clusters", q_dedup_clusters),
+    ("sample_stratified", q_sample_stratified),
+    ("ngram_jaccard", q_ngram_jaccard),
+    ("simhash", q_simhash),
+    ("simhash_near_dups", q_simhash_near_dups),
 ]
 
 # Queries ADDED this round (not yet in _CANONICAL_QUERIES): emitted
 # first so they always land inside the driver's 50-row window. Fold
 # into _CANONICAL_QUERIES next round and empty this list.
 _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
-    ("line_filters", q_line_filters),
-    ("bloom_seen", q_bloom_seen),
-    ("feed_entries", q_feed_entries),
-    ("feed_urls", q_feed_urls),
-    ("quality_buckets", q_quality_buckets),
-    ("robots_gate", q_robots_gate),
-    ("frontier", q_frontier),
-    ("bpe_vocab", q_bpe_vocab),
-    ("page_links", q_page_links),
-    ("bpe_encode", q_bpe_encode),
-    ("crawl_prep", q_crawl_prep),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
-_ROTATION_STEP = 19  # = len(canonical) − window → disjoint consecutive tails
-_ROTATION_BASE_ROUND = 4  # round whose artifact froze the canonical order
+_ROTATION_STEP = 30  # = len(canonical) − window → disjoint consecutive tails
+_ROTATION_BASE_ROUND = 5  # round whose artifact froze the canonical order
+# The round the lists above were AUTHORED for. The fold of
+# _NEW_THIS_ROUND into _CANONICAL_QUERIES is only valid through this
+# round; if the inferred round advances past it with debuts still
+# unfolded (the manual fold was forgotten — ADVICE r5 finding 1),
+# queries() folds them forward automatically so the no-two-consecutive-
+# misses guarantee survives without code changes.
+_AUTHORED_FOR_ROUND = 6
+
+
+def _folded_lists(
+    round_no: int,
+) -> tuple[list[tuple[str, Callable]], list[tuple[str, Callable]], int, int]:
+    """Return (canonical, new, base_round, step) valid for `round_no`,
+    auto-folding _NEW_THIS_ROUND forward if the authored round has
+    passed. The fold reproduces the authored round's emitted order
+    exactly (debuts first, rotation offset advanced by len(new)), then
+    resets step = len − window so consecutive tails stay disjoint."""
+    canonical = list(_CANONICAL_QUERIES)
+    new = list(_NEW_THIS_ROUND)
+    base, step = _ROTATION_BASE_ROUND, _ROTATION_STEP
+    if round_no > _AUTHORED_FOR_ROUND and new:
+        n = len(canonical)
+        off = (step * (_AUTHORED_FOR_ROUND - base) + len(new)) % n
+        rotated = canonical[off:] + canonical[:off]
+        new_names = {nm for nm, _ in new}
+        canonical = new + [e for e in rotated if e[0] not in new_names]
+        new = []
+        base = _AUTHORED_FOR_ROUND
+        step = len(canonical) - _DRIVER_WINDOW
+    return canonical, new, base, step
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    n = len(_CANONICAL_QUERIES)
+    canonical, new, base, step = _folded_lists(_round_no())
+    n = len(canonical)
     # Debut queries are emitted FIRST (always in-window), which shrinks
-    # the canonical share of the window by len(_NEW_THIS_ROUND) — so the
-    # offset advances by the same amount, keeping the previous round's
+    # the canonical share of the window by len(new) — so the offset
+    # advances by the same amount, keeping the previous round's
     # unsampled tail fully inside this round's window (the no-query-
     # misses-two-consecutive-rounds guarantee, property-tested).
-    off = (
-        _ROTATION_STEP * (_round_no() - _ROTATION_BASE_ROUND)
-        + len(_NEW_THIS_ROUND)
-    ) % n
-    rotated = _CANONICAL_QUERIES[off:] + _CANONICAL_QUERIES[:off]
-    new_names = {nm for nm, _ in _NEW_THIS_ROUND}
-    out: dict[str, Callable] = dict(_NEW_THIS_ROUND)
+    off = (step * (_round_no() - base) + len(new)) % n
+    rotated = canonical[off:] + canonical[:off]
+    new_names = {nm for nm, _ in new}
+    out: dict[str, Callable] = dict(new)
     out.update((nm, fn) for nm, fn in rotated if nm not in new_names)
     return out
 

@@ -66,22 +66,35 @@ def bpe_word_counts(
     )
 
 
+#: Default driver-side vocabulary bound for :func:`bpe_train`. Natural-
+#: language vocabularies sit well under this (BNC ~0.6M tokens has
+#: ~90k distinct words), so at the default the cap is a no-op on real
+#: text — it exists because web-scale corpora also contain junk whose
+#: distinct-"word" count grows with corpus size (base64 blobs, session
+#: ids), and an unbounded collect of those is the canonical driver-OOM.
+DEFAULT_MAX_VOCAB = 1 << 18
+
+
 def bpe_train(
-    word_counts: DataFrame, n_merges: int, max_vocab: int | None = None
+    word_counts: DataFrame,
+    n_merges: int,
+    max_vocab: int | None = DEFAULT_MAX_VOCAB,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` merges from a ``(word, freq)`` relation.
     Driver-side over the collected vocabulary (bounded — see module
-    docstring); raises if the vocabulary exhausts its pairs before
-    ``n_merges`` rounds, so a caller can never silently train a
-    shorter table than the oracle replays.
+    docstring; this is the HuggingFace-tokenizers/SentencePiece split:
+    distributed counting, single-process merge learning); raises if
+    the vocabulary exhausts its pairs before ``n_merges`` rounds, so a
+    caller can never silently train a shorter table than the oracle
+    replays.
 
-    ``max_vocab`` is the hostile-corpus guard: natural-language
-    vocabularies are bounded, but a corpus of random strings has one
-    "word" per row and the collect would OOM the driver. When set,
-    training considers only the top ``max_vocab`` words by
-    (freq DESC, word) — a deterministic TakeOrdered (top-N per
-    partition, merged), never a full sort — which is also what real
-    BPE trainers do with their min-frequency cutoffs."""
+    ``max_vocab`` bounds the driver-side collect and is ON by default
+    (the standard min-frequency cutoff of real BPE trainers, spelled
+    as a top-N): training considers only the top ``max_vocab`` words
+    by (freq DESC, word) — a deterministic TakeOrdered (top-N per
+    partition, merged), never a full sort. Passing ``None`` opts OUT
+    of the bound and is only safe on corpora whose distinct-word count
+    is known to be driver-sized."""
     if max_vocab is not None:
         word_counts = word_counts.orderBy(
             F.desc("freq"), F.asc("word")

@@ -11,7 +11,10 @@ prefix-match rules, verified against it in tests:
 * group selection for an agent: the first group (file order) whose
   user-agent token is ``*`` or a substring of the agent name, with
   ``*`` groups considered only after every named group (robotparser's
-  ``default_entry``-last behavior);
+  ``default_entry``-last behavior); a group listing ``*`` among its
+  user-agents is DEMOTED to the default entry even when it also names
+  the agent, and only the first such group counts (robotparser's
+  ``_add_entry`` keeps one ``default_entry`` and discards later ones);
 * rule evaluation INSIDE the group: **first rule in line order whose
   path is a prefix of the URL path wins** — a later, more specific
   ``Allow`` does NOT override an earlier ``Disallow`` (stdlib
@@ -67,7 +70,15 @@ def parse_robots(
     ).select(
         host_col,
         "line_no",
-        F.regexp_replace(F.col("raw"), "#.*$", "").alias("clean"),
+        # robotparser strips each line after comment removal, so an
+        # INDENTED directive ('  Disallow: /x') still parses — strip
+        # leading whitespace before the anchored directive match
+        # (ADVICE r5)
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), "#.*$", ""),
+            "^" + _HWS + "+",
+            "",
+        ).alias("clean"),
     ).select(
         host_col,
         "line_no",
@@ -112,16 +123,31 @@ def robots_gate(
     ua = rules.filter(F.col("directive") == "user-agent").select(
         host_col, "entry_id", F.lower(F.col("value")).alias("ua")
     )
-    applies = ua.filter(
-        (F.col("ua") == "*") | F.lit(agent_norm).contains(F.col("ua"))
+    # robotparser DEMOTES any entry listing '*' among its user-agents
+    # to the default ('*') entry — even when it also names the agent —
+    # and keeps only the FIRST such entry (ADVICE r5: the demotion is
+    # per ENTRY, not per user-agent line, so flags aggregate per entry
+    # before selection). Named groups beat the default; earlier groups
+    # beat later ones; rule evaluation is first-match inside the group.
+    entry_flags = ua.groupBy(host_col, "entry_id").agg(
+        F.max((F.col("ua") == "*").cast("int")).alias("has_star"),
+        F.max(
+            (
+                (F.col("ua") != "*")
+                & F.lit(agent_norm).contains(F.col("ua"))
+            ).cast("int")
+        ).alias("named_match"),
     )
-    # named groups beat '*' groups; earlier groups beat later ones
     pick = (
-        applies.groupBy(host_col)
+        entry_flags.filter(
+            ((F.col("has_star") == 0) & (F.col("named_match") == 1))
+            | (F.col("has_star") == 1)
+        )
+        .groupBy(host_col)
         .agg(
             F.min(
                 F.struct(
-                    (F.col("ua") == "*").cast("int").alias("is_star"),
+                    F.col("has_star").alias("is_star"),
                     F.col("entry_id").alias("entry_id"),
                 )
             ).alias("p")
@@ -143,8 +169,12 @@ def robots_gate(
     )
     # path = everything from the first '/' after the authority; the
     # synthetic-universe URLs are plain ASCII so robotparser's quoting
-    # round-trip is a byte no-op (module docstring)
-    path = F.regexp_extract(F.col(url_col), "^[a-z]+://[^/]*(/.*)?$", 1)
+    # round-trip is a byte no-op (module docstring). A URL with no path
+    # component ('http://host.com') probes as '/' — robotparser
+    # defaults the empty probe path to '/', so 'Disallow: /' must
+    # match it (ADVICE r5)
+    raw_path = F.regexp_extract(F.col(url_col), "^[a-z]+://[^/]*(/.*)?$", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     probe = urls.withColumn("_path", path)
     matched = (
         probe.join(grp, on=[host_col], how="left")

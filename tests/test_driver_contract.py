@@ -81,9 +81,10 @@ def test_every_oracle_parses_in_duckdb():
 
 
 def test_rotation_policy_invariants(monkeypatch):
-    """ROTATION.md: window = first 50; rotation step 19 makes
+    """ROTATION.md: window = first 50; rotation step 30 makes
     consecutive rounds' unsampled tails disjoint, so no query misses
-    two consecutive driver rounds; round 4 reproduces offset 0."""
+    two consecutive driver rounds; round 5 reproduces offset 0 (the
+    canonical list was folded forward to round-5 emitted order)."""
     import __spark_entry__ as E
 
     # the canonical-rotation invariants are independent of this round's
@@ -99,13 +100,55 @@ def test_rotation_policy_invariants(monkeypatch):
         assert sorted(names) == sorted(all_names)  # rotation, not loss
         return set(names[: E._DRIVER_WINDOW])
 
-    for r in range(4, 14):
+    for r in range(5, 15):
         w1, w2 = window(r), window(r + 1)
         assert not [q for q in all_names if q not in w1 and q not in w2]
 
-    monkeypatch.setenv("SPARK_GRAFT_ROUND", "4")
-    r4 = list(E.queries())
-    assert r4[0] == "nlp_summary" and r4[49] == "winnow"
+    # round 5 ≙ offset 0: the fold preserved round-5's emitted order
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "5")
+    r5 = list(E.queries())
+    assert r5[0] == "line_filters" and r5[49] == "domain_counters"
+    # round 6's window covers round 5's entire unsampled tail (the
+    # VERDICT r5 done-criterion: extract_fulltext, dsir, media_video,
+    # semantic_clusters, nlp_summary all get driver rows this round)
+    r5_tail = set(r5[E._DRIVER_WINDOW:])
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "6")
+    r6_window = set(list(E.queries())[: E._DRIVER_WINDOW])
+    assert r5_tail <= r6_window, r5_tail - r6_window
+    for heavy in ("extract_fulltext", "dsir", "media_video",
+                  "semantic_clusters", "nlp_summary"):
+        assert heavy in r6_window
+
+
+def test_forgotten_fold_auto_folds(monkeypatch):
+    """ADVICE r5 finding 1: if the round advances past
+    _AUTHORED_FOR_ROUND with _NEW_THIS_ROUND still unfolded, queries()
+    must fold forward automatically — the authored round's unsampled
+    tail must still be fully inside the next round's window."""
+    import __spark_entry__ as E
+
+    sentinel = object()
+    debuts = [("late_fold_op_a", sentinel), ("late_fold_op_b", sentinel)]
+    monkeypatch.setattr(E, "_NEW_THIS_ROUND", debuts)
+    authored = E._AUTHORED_FOR_ROUND
+
+    # authored round: debuts lead, all canonical entries present
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", str(authored))
+    names_now = list(E.queries())
+    assert names_now[0] == "late_fold_op_a"
+    tail_now = set(names_now[E._DRIVER_WINDOW:])
+
+    # next round WITHOUT the manual fold: auto-fold must kick in
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", str(authored + 1))
+    names_next = list(E.queries())
+    assert sorted(names_next) == sorted(names_now)  # nothing lost
+    window_next = set(names_next[: E._DRIVER_WINDOW])
+    assert tail_now <= window_next, tail_now - window_next
+    # and the guarantee keeps holding one more round after that
+    tail_next = set(names_next[E._DRIVER_WINDOW:])
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", str(authored + 2))
+    window_after = set(list(E.queries())[: E._DRIVER_WINDOW])
+    assert tail_next <= window_after, tail_next - window_after
 
 
 def test_new_queries_enter_window_first(monkeypatch):
@@ -115,16 +158,19 @@ def test_new_queries_enter_window_first(monkeypatch):
     monkeypatch.setattr(
         E, "_NEW_THIS_ROUND", [("brand_new_op", sentinel)]
     )
-    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+    # debut-first only holds through the authored round — past it the
+    # auto-fold (test_forgotten_fold_auto_folds) takes over
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", str(E._AUTHORED_FOR_ROUND))
     names = list(E.queries())
     assert names[0] == "brand_new_op"
     assert len(names) == len(E._CANONICAL_QUERIES) + 1
 
     # a debut query must not evict the previous round's unsampled tail
     # from the window: the offset advances by len(_NEW_THIS_ROUND), so
-    # for every round r, round r+1's window still covers round r's tail
+    # for every round r ≤ authored, round r+1's window still covers
+    # round r's tail (debuts at r+1 ≤ authored — manual-fold regime)
     canonical = [nm for nm, _ in E._CANONICAL_QUERIES]
-    for r in range(4, 14):
+    for r in range(4, E._AUTHORED_FOR_ROUND):
         monkeypatch.setattr(E, "_NEW_THIS_ROUND", [])
         monkeypatch.setenv("SPARK_GRAFT_ROUND", str(r))
         prev_tail = set(list(E.queries())[E._DRIVER_WINDOW:])
