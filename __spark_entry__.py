@@ -1487,6 +1487,49 @@ def q_quality_buckets(spark, sf_dir):
     return quality_buckets(scores, score_col="mean_logprob", id_col="doc_id")
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Trained quality classifier (operators/quality_nb.py): hashed
+    unigram+bigram multinomial Naive Bayes — the DCLM/GPT-3-style
+    TRAINED gate, vs dsir's importance resampling. Trains on the
+    deterministic labeled split doc_id%2==0 (positive exemplars =
+    doc_id%10==0, the same slice dsir uses as its target corpus) and
+    scores the FULL corpus, so odd doc_ids are genuinely held out.
+    The oracle replays the count tables, the one-log10-per-bucket
+    exact-integer-ratio arithmetic, the class priors, and the
+    unseen-bucket smoothing constant."""
+    from newspaper_spark.operators.quality_nb import nb_quality_scores
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    labeled = d.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "is_pos", F.col("doc_id") % 10 == 0
+    )
+    return nb_quality_scores(d, labeled, n_buckets=1024)
+
+
+def q_ccnet_prep(spark, sf_dir):
+    """CCNet full-pipeline composition (Wenzek et al. 2020): language
+    ID → PER-LANGUAGE unigram-LM scoring (each language under its own
+    vocabulary/total, the paper's per-language KenLM shape) →
+    per-language head/middle/tail tercile buckets. Composes lang_id,
+    unigram_logprob(group_col=...) and quality_buckets(group_col=...)
+    the way crawl_prep/corpus_prep compose their families; the oracle
+    reuses the lang-ID fragment and replays the grouped LM + histogram
+    split relationally."""
+    from newspaper_spark.operators.textstats import (
+        lang_id_col,
+        quality_buckets,
+        unigram_logprob,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", lang_id_col(F.col("text")).alias("lang_id")
+    )
+    scores = unigram_logprob(d, group_col="lang_id")
+    return quality_buckets(
+        scores, score_col="mean_logprob", id_col="doc_id", group_col="lang_id"
+    )
+
+
 def q_bloom_seen(spark, sf_dir):
     """Deterministic Bloom-filter seen-URL gate (operators/bloom.py) —
     the bounded-state replacement for the exact anti-join memoize at
@@ -1772,6 +1815,8 @@ _CANONICAL_QUERIES: list[tuple[str, Callable]] = [
 # first so they always land inside the driver's 50-row window. Fold
 # into _CANONICAL_QUERIES next round and empty this list.
 _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
+    ("quality_classifier", q_quality_classifier),
+    ("ccnet_prep", q_ccnet_prep),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -2961,6 +3006,60 @@ def oracle_sql() -> dict[str, str]:
             FROM fr JOIN lr USING (b)
             GROUP BY fr.doc_id
         """,
+        "quality_classifier": """
+            WITH n AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_concat(t,
+                           CASE WHEN len(t) >= 2
+                                THEN list_transform(generate_series(1, len(t) - 1),
+                                                    i -> t[i] || ' ' || t[i + 1])
+                                ELSE []::VARCHAR[] END)) AS gram
+                FROM n
+            ), bk AS (
+                SELECT doc_id,
+                       ('0x' || substring(md5(gram), 1, 15))::BIGINT % 1024 AS b
+                FROM g
+            ), fr AS (
+                SELECT doc_id, b, count(*)::BIGINT AS k FROM bk GROUP BY doc_id, b
+            ), cb AS (
+                SELECT b,
+                       sum(CASE WHEN doc_id % 10 = 0 THEN k ELSE 0 END)::BIGINT AS c_p,
+                       sum(CASE WHEN doc_id % 10 <> 0 THEN k ELSE 0 END)::BIGINT AS c_n
+                FROM fr WHERE doc_id % 2 = 0 GROUP BY b
+            ), tot AS (
+                SELECT coalesce(sum(c_p), 0)::BIGINT AS n_p,
+                       coalesce(sum(c_n), 0)::BIGINT AS n_n
+                FROM cb
+            ), dc AS (
+                SELECT count(DISTINCT CASE WHEN doc_id % 10 = 0 THEN doc_id END)::BIGINT AS d_p,
+                       count(DISTINCT CASE WHEN doc_id % 10 <> 0 THEN doc_id END)::BIGINT AS d_n
+                FROM documents WHERE doc_id % 2 = 0
+            ), consts AS (
+                SELECT log10((n_n + 1024)::DOUBLE / (n_p + 1024)::DOUBLE) AS lr0,
+                       log10(d_p::DOUBLE / d_n::DOUBLE) AS prior
+                FROM tot, dc
+            ), lr AS (
+                SELECT cb.b,
+                       log10(((cb.c_p + 1)::DOUBLE * (n_n + 1024)::DOUBLE)
+                             / ((cb.c_n + 1)::DOUBLE * (n_p + 1024)::DOUBLE)) AS lr
+                FROM cb, tot
+            ), sc AS (
+                SELECT fr.doc_id,
+                       sum(fr.k)::BIGINT AS n_feats,
+                       floor((consts.prior
+                              + sum(fr.k * coalesce(lr.lr, consts.lr0)))
+                             * 1000000.0 + 0.5) / 1000000.0 AS nb_logodds
+                FROM fr LEFT JOIN lr USING (b), consts
+                GROUP BY fr.doc_id, consts.prior, consts.lr0
+            )
+            SELECT doc_id, n_feats, nb_logodds,
+                   nb_logodds > 0 AS pred_hq
+            FROM sc
+        """,
         "unigram_logprob": """
             WITH n AS (
                 SELECT doc_id,
@@ -3068,6 +3167,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "corpus_prep": _corpus_prep_oracle(),
+        "ccnet_prep": _ccnet_prep_oracle(),
     }
 
 
@@ -3107,6 +3207,63 @@ def _corpus_prep_oracle() -> str:
         WHERE s.quality >= 0.5 AND s.n_tokens >= 10
     """
 
+
+
+def _ccnet_prep_oracle() -> str:
+    """Per-language CCNet pipeline: the lang-ID fragment feeds a
+    per-language unigram LM (vocabulary and corpus total partitioned
+    by lang_id) and a per-language histogram tercile split — the same
+    formulas as the unigram_logprob and quality_buckets oracles with
+    lang_id added to every grouping key."""
+    lang_sql = _lang_id_oracle()
+    return f"""
+        WITH lang AS (
+            SELECT doc_id, lang_id FROM ({lang_sql})
+        ), n AS (
+            SELECT d.doc_id, lang.lang_id,
+                   string_split(trim(regexp_replace(lower(d.text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+            FROM documents d JOIN lang USING (doc_id)
+        ), tok AS (
+            SELECT doc_id, lang_id, unnest(t) AS tok FROM n
+        ), dt AS (
+            SELECT doc_id, lang_id, tok, count(*)::BIGINT AS k
+            FROM tok GROUP BY doc_id, lang_id, tok
+        ), vocab AS (
+            SELECT lang_id, tok, sum(k)::BIGINT AS cnt
+            FROM dt GROUP BY lang_id, tok
+        ), tot AS (
+            SELECT lang_id, sum(cnt)::BIGINT AS n_corpus
+            FROM vocab GROUP BY lang_id
+        ), lp AS (
+            SELECT vocab.lang_id, vocab.tok,
+                   log10(cnt::DOUBLE / n_corpus) AS logp
+            FROM vocab JOIN tot USING (lang_id)
+        ), s AS (
+            SELECT dt.doc_id, dt.lang_id,
+                   floor((sum(dt.k * lp.logp) / sum(dt.k))::DOUBLE * 1000000.0 + 0.5)
+                     / 1000000.0 AS mean_logprob
+            FROM dt JOIN lp ON lp.lang_id = dt.lang_id AND lp.tok = dt.tok
+            GROUP BY dt.doc_id, dt.lang_id
+        ), b AS (
+            SELECT doc_id, lang_id, mean_logprob,
+                   floor(mean_logprob * 1000.0)::BIGINT AS score_bin
+            FROM s
+        ), hist AS (
+            SELECT lang_id, score_bin, count(*)::BIGINT AS c
+            FROM b GROUP BY lang_id, score_bin
+        ), cum AS (
+            SELECT lang_id, score_bin,
+                   (sum(c) OVER (PARTITION BY lang_id ORDER BY score_bin))::BIGINT - c AS c_lt
+            FROM hist
+        ), t2 AS (
+            SELECT lang_id, count(*)::BIGINT AS n FROM b GROUP BY lang_id
+        )
+        SELECT b.doc_id, b.lang_id, b.mean_logprob, b.score_bin,
+               CASE WHEN cum.c_lt < (t2.n * 1) // 3 THEN 'head'
+                    WHEN cum.c_lt < (t2.n * 2) // 3 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM b JOIN cum USING (lang_id, score_bin) JOIN t2 USING (lang_id)
+    """
 
 
 def _nlp_stop_list() -> str:

@@ -290,7 +290,10 @@ def repetition_stats(
 
 
 def unigram_logprob(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality proxy: the mean unigram
     log10-probability of a document under the corpus's own token
@@ -310,15 +313,25 @@ def unigram_logprob(
     the small-sum + 6dp-round regime text_entropy already proved
     engine-portable; the final round is the portable
     floor(x·1e6 + 0.5)/1e6 spelled identically in the oracle.
+
+    ``group_col`` (CCNet's actual shape — Wenzek et al. 2020 score each
+    LANGUAGE under its own LM): when set, the vocabulary, corpus total
+    and therefore every probability are computed PER GROUP, and the
+    output carries the group column. The group is a per-document
+    attribute (each id has one group value), so the grouping adds no
+    new shuffle axis — vocab keys become (group, token), still
+    vocab-bounded per group.
     """
+    grp = [group_col] if group_col else []
     # coalesce: explode(null) would silently DROP the document from the
     # output — null text scores as the one-empty-token document instead
     tok_rows = df.select(
         F.col(id_col).alias("id"),
+        *grp,
         F.explode(_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
     )
     doc_tok = cache.track(
-        tok_rows.groupBy("id", "tok")
+        tok_rows.groupBy("id", *grp, "tok")
         .agg(F.count("*").cast("long").alias("k"))
         .persist()
     )
@@ -326,20 +339,30 @@ def unigram_logprob(
     # vocabulary AND (via vocab) the corpus total, and the runtime
     # broadcasts defeat ReuseExchange — unpersisted, the plan scans and
     # explodes the whole corpus three times (verified via explain).
-    vocab = doc_tok.groupBy("tok").agg(F.sum("k").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("n_corpus"))
-    logp = vocab.crossJoin(F.broadcast(total)).select(
-        "tok", F.log10(F.col("cnt") / F.col("n_corpus")).alias("logp")
-    )
-    scored = doc_tok.join(F.broadcast(logp), "tok")
+    vocab = doc_tok.groupBy(*grp, "tok").agg(F.sum("k").alias("cnt"))
+    if group_col:
+        total = vocab.groupBy(group_col).agg(F.sum("cnt").alias("n_corpus"))
+        logp = vocab.join(F.broadcast(total), group_col).select(
+            group_col,
+            "tok",
+            F.log10(F.col("cnt") / F.col("n_corpus")).alias("logp"),
+        )
+        scored = doc_tok.join(F.broadcast(logp), [group_col, "tok"])
+    else:
+        total = vocab.agg(F.sum("cnt").alias("n_corpus"))
+        logp = vocab.crossJoin(F.broadcast(total)).select(
+            "tok", F.log10(F.col("cnt") / F.col("n_corpus")).alias("logp")
+        )
+        scored = doc_tok.join(F.broadcast(logp), "tok")
     return (
-        scored.groupBy("id")
+        scored.groupBy("id", *grp)
         .agg(
             F.sum("k").alias("n_tok"),
             F.sum(F.col("k") * F.col("logp")).alias("s"),
         )
         .select(
             F.col("id").alias(id_col),
+            *grp,
             F.col("n_tok").alias("n_tokens"),
             (
                 F.floor((F.col("s") / F.col("n_tok")) * F.lit(1000000.0) + F.lit(0.5))
@@ -434,6 +457,7 @@ def quality_buckets(
     weights: tuple[int, ...] = (1, 1, 1),
     labels: tuple[str, ...] = ("head", "middle", "tail"),
     bin_dp: int = 3,
+    group_col: str | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3:
     documents are binned by LM score and the corpus cut into quality
@@ -457,11 +481,18 @@ def quality_buckets(
     single-partition step, O(bins) rows — the same documented bound as
     pack_offsets' partition-totals pass), then a broadcast join back.
     Raw text/scores never shuffle wide.
+
+    ``group_col`` (CCNet's actual shape: head/middle/tail cuts are
+    taken PER LANGUAGE): when set, the histogram, cumulative window
+    and thresholds all partition by the group — the window becomes
+    per-group (still O(bins-per-group) rows under a partition key, no
+    single-partition step at all), and the output carries the group.
     """
     from pyspark.sql import Window as W
 
     if len(weights) != len(labels):
         raise ValueError("weights and labels must align")
+    grp = [group_col] if group_col else []
     scale = float(10**bin_dp)
     # persist: binned feeds BOTH the histogram branch and the join-back
     # branch — unpersisted, the caller's (possibly expensive) score
@@ -472,15 +503,23 @@ def quality_buckets(
             "_bin", F.floor(F.col(score_col) * scale).cast("long")
         ).persist()
     )
-    hist = binned.groupBy("_bin").agg(F.count("*").cast("long").alias("_c"))
-    w = W.orderBy("_bin").rowsBetween(W.unboundedPreceding, W.currentRow)
-    cum = hist.select(
-        "_bin", (F.sum("_c").over(w) - F.col("_c")).alias("_c_lt")
+    hist = binned.groupBy(*grp, "_bin").agg(
+        F.count("*").cast("long").alias("_c")
     )
-    total = hist.agg(F.sum("_c").alias("_n"))
+    w = (W.partitionBy(group_col) if group_col else W).orderBy(
+        "_bin"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        *grp, "_bin", (F.sum("_c").over(w) - F.col("_c")).alias("_c_lt")
+    )
     tot_w = sum(weights)
     cum_w = [sum(weights[: i + 1]) for i in range(len(weights))]
-    lab = cum.crossJoin(F.broadcast(total))
+    if group_col:
+        total = hist.groupBy(group_col).agg(F.sum("_c").alias("_n"))
+        lab = cum.join(F.broadcast(total), group_col)
+    else:
+        total = hist.agg(F.sum("_c").alias("_n"))
+        lab = cum.crossJoin(F.broadcast(total))
     expr = None
     for cw, name in zip(cum_w[:-1], labels[:-1]):
         cond = F.col("_c_lt") < F.expr(f"_n * {cw} div {tot_w}")
@@ -488,8 +527,14 @@ def quality_buckets(
     bucket = (
         expr.otherwise(labels[-1]) if expr is not None else F.lit(labels[-1])
     )
-    lab = lab.select("_bin", bucket.alias("bucket"))
+    lab = lab.select(*grp, "_bin", bucket.alias("bucket"))
     return (
-        binned.join(F.broadcast(lab), "_bin")
-        .select(id_col, score_col, F.col("_bin").alias("score_bin"), "bucket")
+        binned.join(F.broadcast(lab), grp + ["_bin"])
+        .select(
+            id_col,
+            *grp,
+            score_col,
+            F.col("_bin").alias("score_bin"),
+            "bucket",
+        )
     )

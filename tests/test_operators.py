@@ -3465,3 +3465,147 @@ def test_review_fix_regressions(spark, tmp_path):
         probe_image_dims(bad)
     with pytest.raises(ValueError):
         _decode_ppm(bad)
+
+
+def test_nb_quality_matches_python_model(spark):
+    """nb_quality_scores vs an independent hashlib/math model of the
+    exact NB arithmetic (md5 bucket hash, add-one smoothing, priors,
+    unseen-bucket constant) — pins the classifier semantics
+    independently of the DuckDB oracle, including held-out docs whose
+    grams never appear in training."""
+    import hashlib
+    import math
+
+    from newspaper_spark.operators.quality_nb import nb_quality_scores
+
+    B = 64  # tight bucket count so collisions genuinely occur
+
+    def bucket(gram):
+        return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16) % B
+
+    def grams(text):
+        t = text.lower().split(" ")
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    docs = {
+        0: "the good quality article text flows well",
+        1: "buy now click here spam spam buy",
+        2: "the article reads well and flows",
+        3: "click buy click buy now",
+        4: "a completely novel heldout document zzz qqq",
+        5: "the good article",
+    }
+    labels = {0: True, 1: False, 2: True, 3: False}  # 4,5 held out
+
+    # python model
+    cb = {}
+    for i, pos in labels.items():
+        for g in grams(docs[i]):
+            b = bucket(g)
+            c = cb.setdefault(b, [0, 0])
+            c[0 if pos else 1] += 1
+    n_p = sum(v[0] for v in cb.values())
+    n_n = sum(v[1] for v in cb.values())
+    d_p = sum(1 for v in labels.values() if v)
+    d_n = sum(1 for v in labels.values() if not v)
+    prior = math.log10(d_p / d_n)
+    lr0 = math.log10((n_n + B) / (n_p + B))
+
+    def score(text):
+        ks = {}
+        for g in grams(text):
+            ks[bucket(g)] = ks.get(bucket(g), 0) + 1
+        s = 0.0
+        for b, k in ks.items():
+            if b in cb:
+                c_p, c_n = cb[b]
+                s += k * math.log10(
+                    ((c_p + 1) * (n_n + B)) / ((c_n + 1) * (n_p + B))
+                )
+            else:
+                s += k * lr0
+        v = math.floor((prior + s) * 1000000.0 + 0.5) / 1000000.0
+        return sum(ks.values()), v, v > 0
+
+    d = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    lab = spark.createDataFrame(
+        [(i, docs[i], p) for i, p in labels.items()],
+        "doc_id long, text string, is_pos boolean",
+    )
+    got = {
+        r.doc_id: r
+        for r in nb_quality_scores(d, lab, n_buckets=B).collect()
+    }
+    assert len(got) == len(docs)
+    for i, text in docs.items():
+        n_feats, logodds, pred = score(text)
+        assert got[i].n_feats == n_feats, i
+        assert abs(got[i].nb_logodds - logodds) < 1e-9, (i, got[i], logodds)
+        assert got[i].pred_hq == pred, i
+    # sanity: the training docs classify to their own labels
+    for i, pos in labels.items():
+        assert got[i].pred_hq == pos, (i, got[i])
+
+
+def test_grouped_unigram_logprob_and_buckets_equal_per_slice(spark):
+    """group_col semantics: running unigram_logprob / quality_buckets
+    with group_col must equal running the ungrouped versions on each
+    group slice independently (same scores, same bucket labels)."""
+    from newspaper_spark.operators.textstats import (
+        quality_buckets,
+        unigram_logprob,
+    )
+
+    rows = [
+        (i, "en" if i % 2 == 0 else "fr",
+         " ".join(f"w{(i * 7 + j) % 13}" for j in range(5 + i % 4)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    grouped = {
+        r.doc_id: r
+        for r in unigram_logprob(df, group_col="lang").collect()
+    }
+    assert len(grouped) == 40
+    for lang in ("en", "fr"):
+        sliced = {
+            r.doc_id: r
+            for r in unigram_logprob(
+                df.filter(F.col("lang") == lang)
+            ).collect()
+        }
+        for i, r in sliced.items():
+            assert grouped[i].lang == lang
+            assert grouped[i].n_tokens == r.n_tokens
+            assert grouped[i].mean_logprob == r.mean_logprob, i
+
+    scores = unigram_logprob(df, group_col="lang")
+    gb = {
+        r.doc_id: r
+        for r in quality_buckets(
+            scores, score_col="mean_logprob", group_col="lang"
+        ).collect()
+    }
+    assert len(gb) == 40
+    for lang in ("en", "fr"):
+        sl = {
+            r.doc_id: r
+            for r in quality_buckets(
+                scores.filter(F.col("lang") == lang),
+                score_col="mean_logprob",
+            ).collect()
+        }
+        for i, r in sl.items():
+            assert gb[i].lang == lang
+            assert gb[i].score_bin == r.score_bin
+            assert gb[i].bucket == r.bucket, i
+    # per-group terciles actually differ from the corpus-wide cut for
+    # at least one doc (the grouping is load-bearing in this fixture)
+    corpus = {
+        r.doc_id: r.bucket
+        for r in quality_buckets(scores, score_col="mean_logprob").collect()
+    }
+    assert any(gb[i].bucket != corpus[i] for i in corpus)
