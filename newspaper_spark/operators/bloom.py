@@ -37,7 +37,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_build", "bloom_probe", "bloom_seen_filter"]
+__all__ = [
+    "bloom_build",
+    "bloom_probe",
+    "bloom_probe_stream",
+    "bloom_seen_filter",
+]
 
 #: bit mask for the in-scope ``pos`` column (pyspark's shiftleft wrapper
 #: only takes a literal bit count, so the column form goes through expr)
@@ -110,6 +115,61 @@ def bloom_probe(
     return df.join(verdict, id_col, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(False))
     )
+
+
+def bloom_probe_stream(
+    df: DataFrame,
+    words: DataFrame,
+    col: str,
+    id_col: str,
+    m: int = 1 << 20,
+    k: int = 4,
+    out_col: str = "possibly_seen",
+) -> DataFrame:
+    """Map-only twin of :func:`bloom_probe` for Structured Streaming:
+    the batch probe's explode + groupBy(id) is a stateful streaming
+    aggregation, but membership is just an AND of k bounded bit
+    checks — so this variant computes each probe position as a column
+    and resolves it with its own stream-static BROADCAST join against
+    the (≤ m/32 row) words relation. k joins, zero aggregations, zero
+    state: legal in append mode with no watermark, exactly what a
+    streaming crawl loop needs (``df`` may be a streaming DataFrame;
+    ``words`` is the batch-built filter state).
+
+    Bit-for-bit the same verdicts as bloom_probe (same positions, same
+    words) — proven by the batch-equivalence test. Works on batch
+    DataFrames too; the batch probe stays preferable there only when k
+    joins cost more than one shuffle-free explode+agg (they rarely do
+    — both are broadcast — so this is also a fine batch plan).
+    """
+    out = df
+    hit_cols = []
+    for i in range(k):
+        wi, w, p, h = f"_wi{i}", f"_w{i}", f"_pos{i}", f"_hit{i}"
+        side = words.select(
+            F.col("word_idx").alias(wi), F.col("word").alias(w)
+        )
+        out = out.withColumn(p, _bit_pos(F.col(col), i, m)).withColumn(
+            wi, F.shiftright(p, 5)
+        )
+        out = out.join(F.broadcast(side), wi, "left")
+        mask = F.expr(
+            f"shiftleft(cast(1 as bigint), cast({p} % 32 as int))"
+        )
+        # null col -> null pos -> null mask -> hit false (not seen),
+        # matching the batch probe's min(hit)==1 over k null probes
+        out = out.withColumn(
+            h,
+            F.coalesce(
+                F.coalesce(F.col(w), F.lit(0)).bitwiseAND(mask) != 0,
+                F.lit(False),
+            ),
+        ).drop(p, wi, w)
+        hit_cols.append(h)
+    verdict = F.col(hit_cols[0])
+    for h in hit_cols[1:]:
+        verdict = verdict & F.col(h)
+    return out.withColumn(out_col, verdict).drop(*hit_cols)
 
 
 def bloom_seen_filter(

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_robots", "robots_gate"]
+__all__ = ["parse_robots", "robots_gate", "robots_gate_stream"]
 
 #: explicit horizontal-whitespace class — NEVER \\s cross-engine
 #: (CLAUDE.md); robots directives are single-line so \\n can't occur
@@ -104,20 +104,11 @@ def parse_robots(
     )
 
 
-def robots_gate(
-    urls: DataFrame,
-    rules: DataFrame,
-    agent: str,
-    url_col: str = "url",
-    id_col: str = "doc_id",
-    host_col: str = "host",
-) -> DataFrame:
-    """Gate ``urls`` (must carry ``host_col`` and ``url_col``) against
-    a :func:`parse_robots` relation for ``agent``. Returns the input
-    id/url/host plus ``allowed`` (boolean; hosts with no robots rules
-    default to allowed) and ``matched_rule`` (the deciding rule's path
-    prefix, NULL when no rule matched). ``agent`` is normalized the
-    robotparser way: text before the first '/' lowercased."""
+def _chosen_rules(rules: DataFrame, agent: str, host_col: str) -> DataFrame:
+    """The selected group's rules for ``agent``, per host:
+    ``(host, line_no, rule_path, rule_allow)`` — group selection per
+    the module-docstring semantics (named beats demoted-star, earlier
+    beats later, mixed groups demoted)."""
     agent_norm = agent.split("/")[0].lower()
 
     ua = rules.filter(F.col("directive") == "user-agent").select(
@@ -154,7 +145,7 @@ def robots_gate(
         )
         .select(host_col, F.col("p.entry_id").alias("picked_entry"))
     )
-    grp = rules.filter(F.col("directive") != "user-agent").join(
+    return rules.filter(F.col("directive") != "user-agent").join(
         pick,
         on=[host_col],
     ).filter(F.col("entry_id") == F.col("picked_entry")).select(
@@ -167,15 +158,35 @@ def robots_gate(
             "rule_allow"
         ),
     )
-    # path = everything from the first '/' after the authority; the
-    # synthetic-universe URLs are plain ASCII so robotparser's quoting
-    # round-trip is a byte no-op (module docstring). A URL with no path
-    # component ('http://host.com') probes as '/' — robotparser
-    # defaults the empty probe path to '/', so 'Disallow: /' must
-    # match it (ADVICE r5)
+
+
+def _probe_path(url_col: str):
+    """URL → probe path — everything from the first '/' after the
+    authority, defaulting to '/' for path-less URLs (robotparser
+    defaults the empty probe path to '/', so 'Disallow: /' matches —
+    ADVICE r5). The synthetic-universe URLs are plain ASCII so
+    robotparser's quoting round-trip is a byte no-op (module
+    docstring)."""
     raw_path = F.regexp_extract(F.col(url_col), "^[a-z]+://[^/]*(/.*)?$", 1)
-    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
-    probe = urls.withColumn("_path", path)
+    return F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+
+
+def robots_gate(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+) -> DataFrame:
+    """Gate ``urls`` (must carry ``host_col`` and ``url_col``) against
+    a :func:`parse_robots` relation for ``agent``. Returns the input
+    id/url/host plus ``allowed`` (boolean; hosts with no robots rules
+    default to allowed) and ``matched_rule`` (the deciding rule's path
+    prefix, NULL when no rule matched). ``agent`` is normalized the
+    robotparser way: text before the first '/' lowercased."""
+    grp = _chosen_rules(rules, agent, host_col)
+    probe = urls.withColumn("_path", _probe_path(url_col))
     matched = (
         probe.join(grp, on=[host_col], how="left")
         .filter(
@@ -208,4 +219,62 @@ def robots_gate(
         host_col,
         F.coalesce(F.col("allowed"), F.lit(True)).alias("allowed"),
         "matched_rule",
+    )
+
+
+def robots_gate_stream(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+) -> DataFrame:
+    """Map-only twin of :func:`robots_gate` for Structured Streaming:
+    the batch gate's per-URL min_by aggregate is a stateful streaming
+    aggregation, but first-match evaluation over a host's rules is a
+    BOUNDED scan (tens of lines per robots.txt) — so this variant
+    packs each host's chosen-group rules into one line-ordered array
+    (batch side), stream-static broadcast-joins it onto the URLs, and
+    takes the first prefix match with a Column filter. Zero
+    aggregations on the stream, zero state: legal in append mode with
+    no watermark (``urls`` may be streaming; ``rules`` is batch state,
+    exactly how a crawl loop holds robots.txt snapshots).
+
+    Same verdicts as robots_gate by construction (array order = line
+    order = the batch min_by key) — proven by the batch-equivalence
+    test. The HOF filter is interpreted per element (CLAUDE.md), but
+    over ≤ rules-per-robots-file elements — bounded, not corpus-sized.
+    """
+    grp = _chosen_rules(rules, agent, host_col)
+    per_host = grp.groupBy(host_col).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("line_no").alias("line_no"),
+                    F.col("rule_path").alias("p"),
+                    F.col("rule_allow").alias("a"),
+                )
+            )
+        ).alias("_rules")
+    )
+    probe = urls.withColumn("_path", _probe_path(url_col)).join(
+        F.broadcast(per_host), host_col, "left"
+    )
+    # try_element_at: a host WITH rules where none prefix-match yields
+    # an EMPTY filtered array — ANSI element_at raises there; the
+    # no-rules host yields NULL and both must fall through to allowed
+    first = F.try_element_at(
+        F.filter(
+            F.col("_rules"),
+            lambda r: F.col("_path").startswith(r["p"]),
+        ),
+        F.lit(1),
+    )
+    return probe.select(
+        id_col,
+        url_col,
+        host_col,
+        F.coalesce(first["a"], F.lit(True)).alias("allowed"),
+        first["p"].alias("matched_rule"),
     )

@@ -205,3 +205,129 @@ def test_streaming_stateless_quality_ops(spark, tmp_path):
     )
     assert feeds.isStreaming
     assert feeds.columns == ["feed_id", "url_idx", "url"]
+
+
+def test_streaming_bloom_probe_batch_equal(spark, tmp_path):
+    """bloom_probe_stream (map-only: k stream-static broadcast joins,
+    no aggregation, no state) on an availableNow stream must produce
+    bit-for-bit the batch bloom_probe verdicts — the probe side of a
+    streaming crawl loop against batch-built filter state (VERDICT r5
+    item 7)."""
+    import pyspark.sql.functions as F
+
+    from newspaper_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+        bloom_probe_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    m, k = 512, 4  # tight m so false positives genuinely occur
+
+    urls = [(i, f"http://h{i % 5}.com/p{i}") for i in range(200)]
+    cand = spark.createDataFrame(urls, "doc_id long, url string")
+    seen = cand.filter(F.col("doc_id") % 3 == 0).select("url")
+    words = bloom_build(seen, "url", m=m, k=k)
+    words.persist().count()  # batch state, reused by both sides
+
+    cand.write.parquet(in_dir)
+    stream = spark.readStream.schema("doc_id long, url string").parquet(in_dir)
+    gated = bloom_probe_stream(stream, words, "url", "doc_id", m=m, k=k)
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r.doc_id: r.possibly_seen
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        r.doc_id: r.possibly_seen
+        for r in bloom_probe(cand, words, "url", "doc_id", m=m, k=k).collect()
+    }
+    words.unpersist()
+    assert len(streamed) == 200
+    assert streamed == batch
+    # every true member flags (no false negatives), and at this tight m
+    # at least one non-member false-positives — both regimes exercised
+    assert all(streamed[i] for i in streamed if i % 3 == 0)
+    assert any(streamed[i] for i in streamed if i % 3 != 0)
+    assert not all(streamed[i] for i in streamed if i % 3 != 0)
+
+
+def test_streaming_robots_gate_batch_equal(spark, tmp_path):
+    """robots_gate_stream (rules packed per host into one line-ordered
+    array, stream-static broadcast join + bounded first-match filter)
+    on an availableNow stream must match the batch robots_gate verdicts
+    exactly — allowed AND matched_rule (VERDICT r5 item 7)."""
+    import pyspark.sql.functions as F
+
+    from newspaper_spark.operators.robots import (
+        parse_robots,
+        robots_gate,
+        robots_gate_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    bodies = {
+        "a.com": ("User-agent: newsbot\nDisallow: /private/\n"
+                  "Allow: /private/ok.html\n\nUser-agent: *\nDisallow: /\n"),
+        "b.com": "User-agent: *\nDisallow: /tag-\nDisallow:\n",
+        "c.com": "",
+        "d.com": "User-agent: other\nDisallow: /\n",
+    }
+    rules = parse_robots(
+        spark.createDataFrame(list(bodies.items()), "host string, robots string")
+    )
+    paths = ["/private/ok.html", "/private/no.html", "/tag-x", "/open", ""]
+    rows = [
+        (i, f"http://{h}{p}", h)
+        for i, (h, p) in enumerate((h, p) for h in bodies for p in paths)
+    ]
+    urls = spark.createDataFrame(rows, "doc_id long, url string, host string")
+    urls.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(
+        "doc_id long, url string, host string"
+    ).parquet(in_dir)
+    gated = robots_gate_stream(stream, rules, "NewsBot/1.0")
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = {
+        r.doc_id: (r.allowed, r.matched_rule)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        r.doc_id: (r.allowed, r.matched_rule)
+        for r in robots_gate(urls, rules, "NewsBot/1.0").collect()
+    }
+    assert len(streamed) == len(rows)
+    assert streamed == batch
+    # the fixture exercises both verdicts and a no-rules host
+    assert any(v[0] for v in streamed.values())
+    assert any(not v[0] for v in streamed.values())
