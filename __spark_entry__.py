@@ -1530,6 +1530,30 @@ def q_ccnet_prep(spark, sf_dir):
     )
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval (operators/bm25.py) — the decontamination/
+    data-selection retrieval primitive. Query set = every doc_id%17==5
+    document's first 6 tokens (deterministic eval-item stand-ins, so
+    each query has a known planted near-match: its own source doc);
+    k=5, classic Okapi k1=1.2 / b=0.75. The oracle rebuilds postings,
+    df, the exact-integer rational saturation, the one-log10 idf, and
+    the micro-unit floor-rounded sum relationally, then replays the
+    same (score desc, doc asc) top-k window."""
+    from newspaper_spark.operators.bm25 import bm25_topk, _toks
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    q = (
+        d.filter((F.col("doc_id") % 17 == 5) & (F.length(F.trim("text")) > 0))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(F.slice(_toks(F.col("text")), 1, 6), " ").alias(
+                "query_text"
+            ),
+        )
+    )
+    return bm25_topk(d, q, k=5)
+
+
 def q_bloom_seen(spark, sf_dir):
     """Deterministic Bloom-filter seen-URL gate (operators/bloom.py) —
     the bounded-state replacement for the exact anti-join memoize at
@@ -1817,6 +1841,7 @@ _CANONICAL_QUERIES: list[tuple[str, Callable]] = [
 _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("quality_classifier", q_quality_classifier),
     ("ccnet_prep", q_ccnet_prep),
+    ("bm25_topk", q_bm25_topk),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3167,6 +3192,59 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "corpus_prep": _corpus_prep_oracle(),
+        "bm25_topk": """
+            WITH n AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+                FROM documents
+            ), dlen AS (
+                SELECT doc_id, len(t)::BIGINT AS dl, t FROM n
+            ), stats AS (
+                SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_len
+                FROM dlen
+            ), qt AS (
+                SELECT n.doc_id AS qid, unnest(t[1:6]) AS term
+                FROM n JOIN documents USING (doc_id)
+                WHERE n.doc_id % 17 = 5 AND length(trim(text)) > 0
+            ), qterms AS (
+                SELECT DISTINCT qid, term FROM qt WHERE term <> ''
+            ), tset AS (
+                SELECT DISTINCT term FROM qterms
+            ), tok AS (
+                SELECT doc_id AS id, dl, unnest(t) AS term FROM dlen
+            ), post AS (
+                SELECT id, dl, term, count(*)::BIGINT AS tf
+                FROM tok JOIN tset USING (term)
+                GROUP BY id, dl, term
+            ), dft AS (
+                SELECT term, count(DISTINCT id)::BIGINT AS df
+                FROM post GROUP BY term
+            ), sc AS (
+                SELECT q.qid, p.id,
+                       count(*)::BIGINT AS n_terms_matched,
+                       sum(floor(
+                           log10((2 * n_docs - 2 * df + 1)::DOUBLE
+                                 / (2 * df + 1)::DOUBLE)
+                           * (((2200 * tf)::DOUBLE * total_len::DOUBLE)
+                              / ((1000 * tf)::DOUBLE * total_len::DOUBLE
+                                 + (300 * total_len)::DOUBLE
+                                 + (900 * dl)::DOUBLE * n_docs::DOUBLE))
+                           * 1000000.0 + 0.5)::BIGINT)::BIGINT AS score_u
+                FROM post p JOIN dft USING (term) JOIN qterms q USING (term),
+                     stats
+                GROUP BY q.qid, p.id
+            ), rk AS (
+                SELECT qid, id, n_terms_matched, score_u,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY score_u DESC, id ASC
+                       ) AS rank
+                FROM sc
+            )
+            SELECT qid AS query_id, rank::INT AS rank, id AS doc_id,
+                   n_terms_matched, score_u::DOUBLE / 1000000.0 AS bm25
+            FROM rk WHERE rank <= 5
+        """,
         "ccnet_prep": _ccnet_prep_oracle(),
     }
 

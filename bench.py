@@ -92,18 +92,38 @@ def extraction_run(cores: int) -> tuple[float, int]:
     spark = get_spark(
         app_name=f"bench-extract-{cores}", cores=cores, extra_conf=extra
     )
+    # packed mode (BENCH.md round-6 Arrow-handoff experiment): the
+    # cached input holds zlib-compressed HTML (binary), stand-in for a
+    # WARC-style compressed-at-rest source; the timed stage ships ~10×
+    # fewer bytes across the JVM→Python Arrow boundary and decompresses
+    # inside the N workers. Output byte-identical (tested).
+    packed = os.environ.get("SPARK_GRAFT_BENCH_PACKED", "0") == "1"
     try:
         t = synthetic_transcripts(spark, SF_DIR, replication=REPLICATION)
         parts_mult = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS_MULT", "4"))
+        if packed:
+            from pyspark.sql import functions as F
+
+            from newspaper_spark.operators.extract import (
+                compress_text_udf,
+                extract_articles_packed,
+            )
+
+            t = t.withColumn(
+                "text_z", compress_text_udf(F.col("text"))
+            ).drop("text")
+            run_extract = extract_articles_packed
+        else:
+            run_extract = extract_articles
         t = t.repartition(cores * parts_mult).cache()  # 4×cores: load balance
         n = t.count()  # materialize input before timing the extraction
         # warm-up: spin up + import-load every Python UDF worker so the
         # timed section measures steady-state throughput (what a long
         # cluster job sees), not one-time worker fork/import cost
         warm = t.limit(cores * 8).repartition(cores)
-        extract_articles(warm).filter("status = 'ok'").count()
+        run_extract(warm).filter("status = 'ok'").count()
         t0 = time.time()
-        out = extract_articles(t)
+        out = run_extract(t)
         # count(status=ok) forces full extraction of every row while
         # avoiding a driver-side collect of the texts
         n_ok = out.filter("status = 'ok'").count()

@@ -97,6 +97,33 @@ def extract_article_udf(
     return _extract_batch(texts, urls, flags)
 
 
+@F.pandas_udf(T.BinaryType())
+def compress_text_udf(texts: pd.Series) -> pd.Series:
+    """utf-8 + zlib pack of a text column (input-prep side of the
+    packed extraction path; see :func:`extract_articles_packed`)."""
+    import zlib
+
+    return pd.Series(
+        [None if t is None else zlib.compress(t.encode("utf-8"), 6)
+         for t in texts],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(ARTICLE_STRUCT)
+def extract_article_packed_udf(
+    blobs: pd.Series, urls: pd.Series, flags: pd.Series
+) -> pd.DataFrame:
+    import zlib
+
+    texts = pd.Series(
+        [None if b is None else zlib.decompress(bytes(b)).decode("utf-8")
+         for b in blobs],
+        dtype="object",
+    )
+    return _extract_batch(texts, urls, flags)
+
+
 @F.pandas_udf(T.StringType())
 def fulltext_udf(texts: pd.Series, langs: pd.Series) -> pd.Series:
     """newspaper.fulltext equivalent (api.py:71-93): html → main text."""
@@ -132,6 +159,37 @@ def extract_articles(
         "article",
         extract_article_udf(
             F.col(text_col), url_expr, F.lit(include_article_html)
+        ),
+    )
+    cols = keep + [F.col(f"article.{n}").alias(n) for n, _ in ARTICLE_FIELDS]
+    return enriched.select(*cols)
+
+
+def extract_articles_packed(
+    df: DataFrame,
+    packed_col: str = "text_z",
+    url_col: str | None = None,
+    keep_cols: tuple = ("conv_id", "turn_idx", "role", "tool", "ts"),
+    include_article_html: bool = False,
+) -> DataFrame:
+    """:func:`extract_articles` over a zlib-compressed binary HTML
+    column (pack with :func:`compress_text_udf`, or store the source
+    compressed — WARC-style — in the first place).
+
+    Rationale (BENCH.md round-5 attribution): the JVM→Python Arrow
+    handoff saturates at ~1 GB/s of raw HTML regardless of core count
+    and is the dominant non-scaling term at local[N]. HTML compresses
+    ~10×, so shipping packed bytes moves the handoff off the critical
+    path; the per-worker zlib decompress (~200 MB/s × N workers)
+    scales with cores. Output is byte-identical to extract_articles
+    (zlib round-trip is lossless; test_packed_extraction_equal).
+    """
+    url_expr = F.col(url_col) if url_col else F.lit("")
+    keep = [c for c in keep_cols if c in df.columns]
+    enriched = df.withColumn(
+        "article",
+        extract_article_packed_udf(
+            F.col(packed_col), url_expr, F.lit(include_article_html)
         ),
     )
     cols = keep + [F.col(f"article.{n}").alias(n) for n, _ in ARTICLE_FIELDS]

@@ -1,24 +1,25 @@
-"""quality_classifier data-ladder (VERDICT r5 item 5 done-criterion):
-train + score the hashed n-gram Naive Bayes at two data rungs (sf0.1
-×4 and ×16) and show per-row cost stays flat.
+"""quality_classifier data-ladder (VERDICT r5 item 5 done-criterion:
+"a ladder showing per-row cost flat at 4× data").
 
-Input: pipeline_ladder.replicated_docs — every token suffixed with its
-replica id, so the DISTINCT-token vocabulary grows linearly with the
-rung while the hashed model stays O(n_buckets). That is exactly the
-scale property the operator claims: junk-vocabulary growth cannot grow
-the model or the broadcast (contrast bpe_train, which must CAP its
-vocabulary collect). Labeled split and scoring universe both scale
-with the rung (train = doc_id%2==0, pos = doc_id%10==0 — the
-q_quality_classifier construction).
+Design: the TRAINING set is held fixed (the base corpus's
+deterministic labeled split, exactly q_quality_classifier's) — the
+model is O(n_buckets) state regardless of corpus size — while the
+SCORE set is the ×k replicated corpus (pipeline_ladder.replicated_docs:
+every token suffixed by replica id, so hashed-feature work per row is
+scale-invariant and replicas can't alias). Scoring is the corpus-sized
+stage (explode → codegen hash → map-side-combined groupBy → broadcast
+model join → one groupBy(doc) sum), so per-row cost flat at 4× is the
+claim "this plan composes at 100×" made measurable.
 
-Protocol: same as pipeline_ladder — discarded warm-up, interleaved
-rungs per epoch, medians; each run inside cache.tracking_scope().
+Protocol: as pipeline_ladder.py — one discarded warm-up, rungs
+interleaved per epoch, medians; each run in cache.tracking_scope().
 
 Usage: python scripts/nb_ladder.py [reps=3] [k_low=4] [k_high=16]
 """
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import statistics
 import sys
@@ -27,7 +28,7 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
-from pipeline_ladder import replicated_docs  # noqa: E402
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def run_rung(spark, k: int) -> dict:
@@ -35,19 +36,22 @@ def run_rung(spark, k: int) -> dict:
 
     from newspaper_spark import cache
     from newspaper_spark.operators.quality_nb import nb_quality_scores
+    from newspaper_spark.sources.transcripts import load_table
+    from pipeline_ladder import replicated_docs
 
     p = spark.sparkContext.defaultParallelism
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    labeled = base.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "is_pos", F.col("doc_id") % 10 == 0
+    )
     docs = replicated_docs(spark, k).repartition(p).persist()
     n_rows = docs.count()  # materialize input OUTSIDE the timed section
     try:
         t0 = time.time()
         with cache.tracking_scope():
-            labeled = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
-                "is_pos", F.col("doc_id") % 10 == 0
-            )
             scored = nb_quality_scores(docs, labeled, n_buckets=1024)
             scored.write.format("noop").mode("overwrite").save()
-            n_pos = scored.filter("pred_hq").agg(F.count("*")).first()[0]
+            n_hq = scored.filter("pred_hq").count()
         wall = time.time() - t0
     finally:
         docs.unpersist()
@@ -56,7 +60,7 @@ def run_rung(spark, k: int) -> dict:
         "n_rows": n_rows,
         "wall": round(wall, 2),
         "us_per_row": round(wall / n_rows * 1e6, 1),
-        "n_pred_pos": n_pos,
+        "n_pred_hq": n_hq,
     }
 
 
@@ -68,7 +72,7 @@ def main():
 
     spark = get_spark(app_name="nb-ladder")
     try:
-        run_rung(spark, k_low)  # discarded warm-up
+        run_rung(spark, k_low)  # discarded warm-up (cold plans/workers)
         samples: dict[int, list[dict]] = {k_low: [], k_high: []}
         for i in range(reps):
             for rung in (k_low, k_high):
@@ -83,10 +87,11 @@ def main():
                     statistics.median(s["wall"] for s in samples[rung]), 2
                 ),
                 "us_per_row_median": round(
-                    statistics.median(s["us_per_row"] for s in samples[rung]), 1
+                    statistics.median(s["us_per_row"] for s in samples[rung]),
+                    1,
                 ),
                 "walls": [s["wall"] for s in samples[rung]],
-                "n_pred_pos": samples[rung][0]["n_pred_pos"],
+                "n_pred_hq": samples[rung][0]["n_pred_hq"],
             }
         out[f"per_row_ratio_x{k_high}_over_x{k_low}"] = round(
             out[f"x{k_high}"]["us_per_row_median"]

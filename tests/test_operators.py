@@ -3609,3 +3609,75 @@ def test_grouped_unigram_logprob_and_buckets_equal_per_slice(spark):
         for r in quality_buckets(scores, score_col="mean_logprob").collect()
     }
     assert any(gb[i].bucket != corpus[i] for i in corpus)
+
+
+def test_bm25_topk_semantics(spark):
+    """bm25_topk: ranking follows tf and length normalization, rare
+    terms beat common ones, k caps per query, max_df drops stop-
+    frequency terms, unmatched queries yield nothing, and the model
+    matches an independent float BM25 computed in Python."""
+    import math
+
+    from newspaper_spark.operators.bm25 import bm25_topk
+
+    corpus = [
+        (1, "apple banana apple cherry"),
+        (2, "apple banana"),
+        (3, "banana cherry banana cherry"),
+        (4, "zebra quokka xylophone unique"),
+        (5, "the the the the the the the the"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(100, "apple"), (200, "zebra unique"), (300, "missingterm")],
+        "query_id long, query_text string",
+    )
+    out = bm25_topk(docs, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+
+    # q100: only docs 1 and 2 contain 'apple'; doc 1 (tf=2) outranks
+    assert [r.doc_id for r in by_q[100]] == [1, 2]
+    assert [r.rank for r in by_q[100]] == [1, 2]
+    # q200: doc 4 matches both rare terms
+    assert [r.doc_id for r in by_q[200]] == [4]
+    assert by_q[200][0].n_terms_matched == 2
+    # q300: term absent from the corpus → no candidates at all
+    assert 300 not in by_q
+
+    # independent model check (float BM25, same tokenization)
+    toks = {d: t.split(" ") if t else [""] for d, t in corpus}
+    N = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / N
+
+    def ref_score(terms, d):
+        s = 0.0
+        for t in set(terms):
+            df = sum(1 for v in toks.values() if t in v)
+            tf = toks[d].count(t)
+            if tf == 0 or df == 0:
+                continue
+            idf = math.log10((N - df + 0.5) / (df + 0.5))
+            w = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(toks[d]) / avgdl))
+            s += idf * w
+        return s
+
+    for r in by_q[100] + by_q[200]:
+        q_terms = {100: ["apple"], 200: ["zebra", "unique"]}[r.query_id]
+        assert abs(r.bm25 - ref_score(q_terms, r.doc_id)) < 1e-5, r
+
+    # k cap
+    top1 = bm25_topk(docs, queries, k=1).collect()
+    assert all(r.rank == 1 for r in top1)
+    assert {r.query_id for r in top1} == {100, 200}
+
+    # max_df: 'banana' appears in 3 docs → dropped at max_df=2
+    qb = spark.createDataFrame(
+        [(1, "banana")], "query_id long, query_text string"
+    )
+    assert bm25_topk(docs, qb, k=5, max_df=2).count() == 0
+    assert bm25_topk(docs, qb, k=5, max_df=3).count() == 3

@@ -151,3 +151,37 @@ def test_read_transcripts_all_formats(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unsupported"):
         read_transcripts(spark, p_dir, "xml")
+
+
+def test_packed_extraction_byte_equal(spark):
+    """extract_articles_packed (zlib-compressed HTML across the Arrow
+    boundary, per-worker decompress) must produce byte-identical rows
+    to extract_articles on the same input — the lossless-round-trip
+    guarantee behind the packed bench path (BENCH.md round-6 Arrow
+    handoff experiment)."""
+    from newspaper_spark.operators.extract import (
+        compress_text_udf,
+        extract_articles,
+        extract_articles_packed,
+    )
+    from newspaper_spark.sources.transcripts import synthetic_transcripts
+
+    t = synthetic_transcripts(spark, SF0001)
+    packed = t.withColumn("text_z", compress_text_udf(F.col("text"))).drop(
+        "text"
+    )
+    plain = extract_articles(t, include_article_html=True)
+    viaz = extract_articles_packed(packed, include_article_html=True)
+    # packed bytes must genuinely be smaller (the experiment's premise)
+    sizes = packed.select(
+        F.sum(F.length("text_z")).alias("z")
+    ).first()
+    raw = t.select(F.sum(F.length("text")).alias("r")).first()
+    assert sizes.z < raw.r / 4
+    key = ["conv_id", "turn_idx"]
+    # exceptAll both ways over every output column = exact multiset
+    # equality (arrays/timestamps included)
+    assert plain.exceptAll(viaz).count() == 0
+    assert viaz.exceptAll(plain).count() == 0
+    assert plain.count() == t.count()
+    assert plain.select(key).distinct().count() == t.count()
