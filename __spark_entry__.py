@@ -519,6 +519,30 @@ def q_span_dedup(spark, sf_dir):
     return span_dedup(aug, span=3)
 
 
+#: ≥8-token boilerplate tail for the ExactSubstr driver query: appended
+#: to EVERY doc so the fully-inside-tail 8-token windows are duplicated
+#: corpus-wide (canonical = min doc_id keeps its copy), while windows
+#: straddling the body→tail boundary stay unique per doc and must
+#: survive. Mirrored verbatim in the oracle SQL.
+_ES_TAIL = (
+    " Follow us on social media for breaking updates every single day"
+)
+
+
+def q_exact_substr(spark, sf_dir):
+    """ExactSubstr duplicated-8-token-window removal (Lee et al. 2021;
+    operators/span_dedup.exact_substring_dedup) over the
+    tail-augmented corpus — the token-level member of the span-dedup
+    family (sentence spans = C4, paragraphs = MassiveText)."""
+    from newspaper_spark.operators.span_dedup import exact_substring_dedup
+
+    d = _docs(spark, sf_dir)
+    aug = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(_ES_TAIL)).alias("text")
+    )
+    return exact_substring_dedup(aug, k=8)
+
+
 #: unicode suffixes for the normalization driver query (the corpus is
 #: pure ASCII): doc_id % 4 picks one — 0: decomposed e+◌́ (composes),
 #:  1: vertical tab + DEL (controls, stripped), 2: Hangul jamo pair
@@ -1842,6 +1866,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("quality_classifier", q_quality_classifier),
     ("ccnet_prep", q_ccnet_prep),
     ("bm25_topk", q_bm25_topk),
+    ("exact_substr", q_exact_substr),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -2590,6 +2615,74 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(k.cleaned_text, '') AS cleaned_text,
                    t.n_sentences,
                    (t.n_sentences - coalesce(k.n_kept, 0))::BIGINT AS n_removed
+            FROM tot t LEFT JOIN ka k USING (doc_id)
+        """,
+        "exact_substr": f"""
+            WITH aug AS (
+                SELECT doc_id, text || '{_ES_TAIL}' AS text
+                FROM documents
+            ), l AS (
+                SELECT doc_id,
+                       string_split_regex(text,
+                           '[ \t\n\x0B\f\r]+') AS parts
+                FROM aug
+            ), raw AS (
+                SELECT doc_id, i AS p, trim(parts[i]) AS tok
+                FROM l, unnest(range(1, len(parts) + 1)) AS r(i)
+                WHERE trim(parts[i]) <> ''
+            ), toks AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                           AS seq,
+                       tok
+                FROM raw
+            ), grams0 AS (
+                SELECT doc_id, seq,
+                       md5(tok
+                           || chr(31) || lead(tok, 1) OVER w
+                           || chr(31) || lead(tok, 2) OVER w
+                           || chr(31) || lead(tok, 3) OVER w
+                           || chr(31) || lead(tok, 4) OVER w
+                           || chr(31) || lead(tok, 5) OVER w
+                           || chr(31) || lead(tok, 6) OVER w
+                           || chr(31) || lead(tok, 7) OVER w) AS h,
+                       (lead(tok, 7) OVER w IS NOT NULL) AS is_full
+                FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY seq)
+            ), grams AS (
+                SELECT doc_id, seq, h FROM grams0 WHERE is_full
+            ), marked AS (
+                SELECT doc_id, seq,
+                       count(*) OVER (PARTITION BY h) AS n_occ,
+                       row_number() OVER (PARTITION BY h
+                                          ORDER BY doc_id, seq) AS rk
+                FROM grams
+            ), removed AS (
+                SELECT DISTINCT doc_id, u.s AS seq
+                FROM marked,
+                     unnest([seq, seq + 1, seq + 2, seq + 3,
+                             seq + 4, seq + 5, seq + 6, seq + 7]) AS u(s)
+                WHERE n_occ > 1 AND rk > 1
+            ), kept AS (
+                SELECT t.doc_id, t.seq, t.tok
+                FROM toks t
+                WHERE NOT EXISTS (SELECT 1 FROM removed r
+                                  WHERE r.doc_id = t.doc_id
+                                    AND r.seq = t.seq)
+            ), ka AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY seq) AS cleaned_text,
+                       count(*)::BIGINT AS n_kept
+                FROM kept GROUP BY doc_id
+            ), tot AS (
+                SELECT a.doc_id, count(t.tok)::BIGINT AS n_tokens
+                FROM aug a LEFT JOIN toks t USING (doc_id)
+                GROUP BY a.doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(k.cleaned_text, '') AS cleaned_text,
+                   t.n_tokens,
+                   (t.n_tokens - coalesce(k.n_kept, 0))::BIGINT
+                       AS n_removed_tokens
             FROM tot t LEFT JOIN ka k USING (doc_id)
         """,
         "paragraph_dedup": """

@@ -145,6 +145,41 @@ def span_dedup(
     )
 
 
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-window removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", §4.1):
+    any run of ``k`` consecutive whitespace tokens that occurs more
+    than once in the corpus (cross-doc OR within-doc) is removed
+    everywhere except one canonical (minimal (doc_id, position))
+    occurrence; a token is dropped when any covering non-canonical
+    duplicated window touches it.  The paper's suffix-array scan is a
+    single-node construction; the scale-out analog is the identical
+    fixed-``k`` sliding-window formulation every distributed
+    reproduction uses — which is exactly span_dedup's rule under
+    token (rather than sentence) segmentation, so this reuses that
+    de-skewed groupBy(hash)+join-back plan verbatim: k-1 ``lead``s
+    over one per-doc sort, map-side-combined duplicate counts, hot
+    windows (boilerplate repeated millions of times at web scale)
+    never funnel into one reducer.
+
+    Token segmentation uses the explicit cross-engine whitespace
+    class (textstats.WS_CLASS — never ``\\s``, which differs between
+    Java and RE2), so the DuckDB oracle reproduces it exactly.
+    """
+    from newspaper_spark.operators.textstats import WS_CLASS
+
+    return span_dedup(
+        df, id_col, text_col, span=k, sep=WS_CLASS + "+", joiner=" "
+    ).withColumnsRenamed(
+        {"n_sentences": "n_tokens", "n_removed": "n_removed_tokens"}
+    )
+
+
 def paragraph_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

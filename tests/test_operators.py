@@ -1397,6 +1397,42 @@ def test_span_dedup_c4_semantics(spark):
     assert (r4.n_sentences, r4.n_removed) == (1, 0)
 
 
+def test_exact_substring_dedup_lee2021(spark):
+    """ExactSubstr (Lee et al. 2021): a duplicated run of k=4 tokens
+    is removed from every occurrence except the canonical (min doc_id,
+    position) one; covering windows drop every token they touch;
+    whitespace variants tokenize identically; null text survives."""
+    from newspaper_spark.operators.span_dedup import exact_substring_dedup
+
+    shared = "the quick brown fox"          # the duplicated 4-gram
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} beta"),     # canonical owner: untouched
+            (2, f"gamma\t{shared}\ndelta"),  # tab/newline WS, same tokens
+            (3, "tiny doc"),                 # < k tokens: untouched
+            (4, None),                       # null text → (0, 0, '') row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in exact_substring_dedup(df, k=4).collect()}
+    assert set(got) == {1, 2, 3, 4}
+
+    r1 = got[1]
+    assert r1.cleaned_text == f"alpha {shared} beta"
+    assert (r1.n_tokens, r1.n_removed_tokens) == (6, 0)
+
+    r2 = got[2]   # loses the 4 shared tokens, keeps its own frame
+    assert r2.cleaned_text == "gamma delta"
+    assert (r2.n_tokens, r2.n_removed_tokens) == (6, 4)
+
+    r3 = got[3]
+    assert r3.cleaned_text == "tiny doc"
+    assert (r3.n_tokens, r3.n_removed_tokens) == (2, 0)
+
+    r4 = got[4]
+    assert (r4.cleaned_text, r4.n_tokens, r4.n_removed_tokens) == ("", 0, 0)
+
+
 def test_dsir_scores_rank_target_like_docs_higher(spark):
     """DSIR (Xie et al. 2023): documents sharing the target corpus's
     n-gram profile get higher importance log-ratios than off-profile
