@@ -543,6 +543,19 @@ def q_exact_substr(spark, sf_dir):
     return exact_substring_dedup(aug, k=8)
 
 
+def q_stupid_backoff(spark, sf_dir):
+    """Stupid-Backoff bigram LM scoring (Brants et al. 2007;
+    textstats.bigram_backoff_logprob): model trained on the even-doc_id
+    split, every document scored — held-out docs exercise the α=0.4
+    unigram-backoff path on their unseen bigrams. The bigram upgrade
+    of unigram_logprob (CCNet's KenLM analog family)."""
+    from newspaper_spark.operators.textstats import bigram_backoff_logprob
+
+    d = _docs(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    return bigram_backoff_logprob(d, train)
+
+
 #: unicode suffixes for the normalization driver query (the corpus is
 #: pure ASCII): doc_id % 4 picks one — 0: decomposed e+◌́ (composes),
 #:  1: vertical tab + DEL (controls, stripped), 2: Hangul jamo pair
@@ -1867,6 +1880,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("ccnet_prep", q_ccnet_prep),
     ("bm25_topk", q_bm25_topk),
     ("exact_substr", q_exact_substr),
+    ("stupid_backoff", q_stupid_backoff),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3202,6 +3216,59 @@ def oracle_sql() -> dict[str, str]:
                      / 1000000.0 AS mean_logprob
             FROM dt JOIN lp USING (tok)
             GROUP BY dt.doc_id
+        """,
+        "stupid_backoff": """
+            WITH n AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+                FROM documents
+            ), tokpos AS (
+                SELECT doc_id, i AS pos, t[i] AS w
+                FROM n, unnest(range(1, len(t) + 1)) AS r(i)
+            ), bg0 AS (
+                SELECT doc_id, w AS w1,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                FROM tokpos
+            ), bg AS (
+                SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL
+            ), tuni AS (
+                SELECT w AS tok, count(*)::BIGINT AS c1
+                FROM tokpos WHERE doc_id % 2 = 0 GROUP BY w
+            ), tot AS (
+                SELECT sum(c1)::BIGINT AS n_corpus,
+                       count(*)::BIGINT AS v_corpus
+                FROM tuni
+            ), tbg AS (
+                SELECT w1, w2, count(*)::BIGINT AS c2
+                FROM bg WHERE doc_id % 2 = 0 GROUP BY w1, w2
+            ), m2 AS (
+                SELECT tbg.w1, tbg.w2, tbg.c2, u.c1 AS c1w1
+                FROM tbg JOIN tuni u ON u.tok = tbg.w1
+            ), docbg AS (
+                SELECT doc_id, w1, w2, count(*)::BIGINT AS k
+                FROM bg GROUP BY doc_id, w1, w2
+            ), sc AS (
+                SELECT d.doc_id, d.k,
+                       CASE WHEN m2.c2 IS NOT NULL
+                            THEN log10(m2.c2::DOUBLE / m2.c1w1::DOUBLE)
+                            ELSE log10(0.4::DOUBLE *
+                                 ((coalesce(u2.c1, 0) + 1)::DOUBLE /
+                                  (tot.n_corpus + tot.v_corpus)::DOUBLE))
+                       END AS logp
+                FROM docbg d
+                LEFT JOIN m2 ON m2.w1 = d.w1 AND m2.w2 = d.w2
+                LEFT JOIN tuni u2 ON u2.tok = d.w2, tot
+            ), agg AS (
+                SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
+                       sum(k::DOUBLE * logp) AS s
+                FROM sc GROUP BY doc_id
+            )
+            SELECT docs.doc_id,
+                   coalesce(a.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   coalesce(floor((a.s / a.n_bigrams)::DOUBLE * 1000000.0
+                                  + 0.5) / 1000000.0,
+                            0.0::DOUBLE) AS sb_logprob
+            FROM documents docs LEFT JOIN agg a USING (doc_id)
         """,
         "fingerprint": """
             SELECT doc_id,

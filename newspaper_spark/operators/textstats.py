@@ -372,6 +372,124 @@ def unigram_logprob(
     )
 
 
+def bigram_backoff_logprob(
+    df: DataFrame,
+    train: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Stupid-Backoff bigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" §4) — the web-scale
+    count-based LM family CCNet's KenLM belongs to, with the backoff
+    actually exercised: the model is trained on ``train`` (a corpus
+    split) and scores every ``df`` document, so held-out docs hit
+    unseen bigrams and fall back to the add-one-smoothed unigram path
+    with the paper's fixed α=0.4 (S(w2|w1) = c2/c1 if the bigram was
+    seen, else 0.4·(c1(w2)+1)/(N+V)).
+
+    Scale shape: count tables only ever shuffle as (gram, count) pairs
+    (map-side combined); the doc-side join is an equi-join keyed by the
+    bigram (uniform-ish; NOT broadcast — a web-scale bigram table is
+    not broadcastable, unlike unigram_logprob's vocab) and the unigram
+    fallback join is keyed by w2 (hot function-word keys are AQE
+    skew-split; the join payload is (count) only). Per-doc mean uses
+    the same small-sum + portable 6dp floor-round regime as
+    unigram_logprob: the sum runs over DISTINCT doc bigrams, and
+    near-tie engine log10 ulp differences are absorbed by the round.
+    """
+    from pyspark.sql import Window as W
+
+    did = F.col(id_col).alias("id")
+
+    def _bigrams(frame):
+        t = frame.select(
+            did, F.posexplode(
+                _tokens(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("pos", "w1"),
+        )
+        w = W.partitionBy("id").orderBy("pos")
+        return (
+            t.select("id", "w1", F.lead("w1").over(w).alias("w2"))
+            .filter(F.col("w2").isNotNull())
+        )
+
+    # model (train split): unigram + bigram count tables. The unigram
+    # table counts ALL train tokens (not just bigram w1s — the last
+    # token of every doc is still a unigram event).
+    ttok = train.select(
+        did, F.explode(_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok")
+    )
+    uni = cache.track(
+        ttok.groupBy("tok").agg(F.count("*").cast("long").alias("c1")).persist()
+    )
+    totals = uni.agg(
+        F.sum("c1").cast("long").alias("n_corpus"),
+        F.count("*").cast("long").alias("v_corpus"),
+    )
+    tbg = _bigrams(train).groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c2")
+    )
+    model2 = tbg.join(
+        uni.select(F.col("tok").alias("w1"), F.col("c1").alias("c1w1")), "w1"
+    )
+
+    # score side: per-(doc, bigram) counts
+    docbg = _bigrams(df).groupBy("id", "w1", "w2").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    scored = (
+        docbg.join(model2, ["w1", "w2"], "left")
+        .join(
+            uni.select(F.col("tok").alias("w2"), F.col("c1").alias("c1w2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "id",
+            "k",
+            F.when(
+                F.col("c2").isNotNull(),
+                F.log10(
+                    F.col("c2").cast("double") / F.col("c1w1").cast("double")
+                ),
+            )
+            .otherwise(
+                F.log10(
+                    F.lit(0.4)
+                    * (
+                        (F.coalesce(F.col("c1w2"), F.lit(0)) + F.lit(1))
+                        .cast("double")
+                        / (F.col("n_corpus") + F.col("v_corpus")).cast("double")
+                    )
+                )
+            )
+            .alias("logp"),
+        )
+    )
+    agg = scored.groupBy("id").agg(
+        F.sum("k").cast("long").alias("n_bigrams"),
+        F.sum(F.col("k").cast("double") * F.col("logp")).alias("s"),
+    )
+    # anchor on the input doc set: a doc with <2 tokens has no bigrams
+    # but must still get its (0, 0.0) row
+    return (
+        df.select(did).join(agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(
+                F.floor(
+                    (F.col("s") / F.col("n_bigrams")) * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0),
+                F.lit(0.0),
+            ).alias("sb_logprob"),
+        )
+    )
+
+
 def tfidf_topk(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1433,6 +1433,42 @@ def test_exact_substring_dedup_lee2021(spark):
     assert (r4.cleaned_text, r4.n_tokens, r4.n_removed_tokens) == ("", 0, 0)
 
 
+def test_bigram_backoff_logprob_brants2007(spark):
+    """Stupid Backoff: seen bigrams score c2/c1(w1); unseen bigrams
+    fall back to 0.4·(c1(w2)+1)/(N+V); per-doc mean is the portable
+    6dp floor-round; docs with <2 tokens get a (0, 0.0) row."""
+    import math
+
+    from newspaper_spark.operators.textstats import bigram_backoff_logprob
+
+    df = spark.createDataFrame(
+        [(0, "a b a c"), (1, "a b z"), (2, "a b"), (3, None)],
+        "doc_id long, text string",
+    )
+    train = df.filter(F.col("doc_id") % 2 == 0)
+    got = {r.doc_id: r for r in bigram_backoff_logprob(df, train).collect()}
+    assert set(got) == {0, 1, 2, 3}
+
+    def rnd(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    # train counts: c1 = {a:3, b:2, c:1}, N=6, V=3
+    # c2 = {(a,b):2, (b,a):1, (a,c):1}
+    r0 = got[0]   # all three bigrams seen
+    exp0 = rnd((math.log10(2 / 3) + math.log10(1 / 2) + math.log10(1 / 3)) / 3)
+    assert (r0.n_bigrams, r0.sb_logprob) == (3, exp0)
+
+    r1 = got[1]   # (a,b) seen; (b,z) unseen → backoff with c1(z)=0
+    exp1 = rnd((math.log10(2 / 3) + math.log10(0.4 * (0 + 1) / (6 + 3))) / 2)
+    assert (r1.n_bigrams, r1.sb_logprob) == (2, exp1)
+
+    r2 = got[2]
+    assert (r2.n_bigrams, r2.sb_logprob) == (1, rnd(math.log10(2 / 3)))
+
+    r3 = got[3]   # null text → one empty token → no bigrams
+    assert (r3.n_bigrams, r3.sb_logprob) == (0, 0.0)
+
+
 def test_dsir_scores_rank_target_like_docs_higher(spark):
     """DSIR (Xie et al. 2023): documents sharing the target corpus's
     n-gram profile get higher importance log-ratios than off-profile
