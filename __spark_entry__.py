@@ -1572,23 +1572,45 @@ def q_bm25_topk(spark, sf_dir):
     data-selection retrieval primitive. Query set = every doc_id%17==5
     document's first 6 tokens (deterministic eval-item stand-ins, so
     each query has a known planted near-match: its own source doc);
-    k=5, classic Okapi k1=1.2 / b=0.75. The oracle rebuilds postings,
-    df, the exact-integer rational saturation, the one-log10 idf, and
-    the micro-unit floor-rounded sum relationally, then replays the
-    same (score desc, doc asc) top-k window."""
+    k=5, classic Okapi k1=1.2 / b=0.75.
+
+    The synthetic documents table has a degenerate ~31-term vocabulary
+    in which every term appears in ~78% of documents, so naive BM25
+    candidates are |queries| × |corpus| (measured 6.3M pairs at sf0.1
+    — the embedding_dedup lesson: candidate VOLUME is what kills these
+    operators). This query therefore exercises the operator's
+    documented scale lever end to end: every document is enriched with
+    one deterministic rare token (``tokN``, N = doc_id mod 97 → df ≈
+    n_docs/97), the query carries its source document's rare token,
+    and ``max_df=200`` applies the classic stopword-frequency cut
+    that drops the degenerate hot terms — candidates collapse to
+    ~Σ_t df_t ≈ |queries| · n_docs/97 while each query keeps its
+    planted near-match. The oracle rebuilds postings, df (including
+    the max_df cut), the exact-integer rational saturation, the
+    one-log10 idf, and the micro-unit floor-rounded sum relationally,
+    then replays the same (score desc, doc asc) top-k window."""
     from newspaper_spark.operators.bm25 import bm25_topk, _toks
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" tok"),
+            (F.col("doc_id") % 97).cast("string"),
+        ).alias("text"),
+    )
     q = (
         d.filter((F.col("doc_id") % 17 == 5) & (F.length(F.trim("text")) > 0))
         .select(
             F.col("doc_id").alias("query_id"),
-            F.array_join(F.slice(_toks(F.col("text")), 1, 6), " ").alias(
-                "query_text"
-            ),
+            F.concat(
+                F.array_join(F.slice(_toks(F.col("text")), 1, 6), " "),
+                F.lit(" tok"),
+                (F.col("doc_id") % 97).cast("string"),
+            ).alias("query_text"),
         )
     )
-    return bm25_topk(d, q, k=5)
+    return bm25_topk(d, q, k=5, max_df=200)
 
 
 def q_bloom_seen(spark, sf_dir):
@@ -3353,10 +3375,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "corpus_prep": _corpus_prep_oracle(),
         "bm25_topk": """
-            WITH n AS (
+            WITH enr AS (
+                SELECT doc_id,
+                       coalesce(text, '') || ' tok' || (doc_id % 97)::VARCHAR AS text
+                FROM documents
+            ), n AS (
                 SELECT doc_id,
                        string_split(trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
-                FROM documents
+                FROM enr
             ), dlen AS (
                 SELECT doc_id, len(t)::BIGINT AS dl, t FROM n
             ), stats AS (
@@ -3364,7 +3390,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM dlen
             ), qt AS (
                 SELECT n.doc_id AS qid, unnest(t[1:6]) AS term
-                FROM n JOIN documents USING (doc_id)
+                FROM n JOIN enr USING (doc_id)
+                WHERE n.doc_id % 17 = 5 AND length(trim(text)) > 0
+                UNION ALL
+                SELECT n.doc_id AS qid, 'tok' || (n.doc_id % 97)::VARCHAR AS term
+                FROM n JOIN enr USING (doc_id)
                 WHERE n.doc_id % 17 = 5 AND length(trim(text)) > 0
             ), qterms AS (
                 SELECT DISTINCT qid, term FROM qt WHERE term <> ''
@@ -3379,6 +3409,7 @@ def oracle_sql() -> dict[str, str]:
             ), dft AS (
                 SELECT term, count(DISTINCT id)::BIGINT AS df
                 FROM post GROUP BY term
+                HAVING count(DISTINCT id) <= 200
             ), sc AS (
                 SELECT q.qid, p.id,
                        count(*)::BIGINT AS n_terms_matched,

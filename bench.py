@@ -293,6 +293,11 @@ def query_timings(cores: int) -> tuple[dict, dict]:
         "page_links",
         "bpe_encode",
         "crawl_prep",
+        "quality_classifier",
+        "ccnet_prep",
+        "bm25_topk",
+        "exact_substr",
+        "stupid_backoff",
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)

@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from newspaper_spark import cache
 from newspaper_spark.operators.textstats import WS_CLASS
 
 __all__ = ["bm25_topk"]
@@ -103,22 +104,29 @@ def bm25_topk(
         F.sum("dl").cast("long").alias("total_len"),
     )
 
-    qterms = (
+    # persist is load-bearing twice over: qterms feeds term_set AND the
+    # final broadcast (the caller's query plan — often itself a corpus
+    # scan — would run once per consumer), and postings feeds BOTH the
+    # df aggregate (broadcast → its own job) and the scoring join — so
+    # unpersisted, the corpus-sized explode executes twice.
+    qterms = cache.track(
         queries.select(
             F.col(qid_col).alias("qid"),
             F.explode(_toks(F.col(qtext_col))).alias("term"),
         )
         .filter(F.col("term") != "")
         .distinct()
+        .persist()
     )
     term_set = qterms.select("term").distinct()
 
-    postings = (
+    postings = cache.track(
         with_dl.select("id", "dl", F.explode("_t").alias("term"))
         .filter(F.col("term") != "")
         .join(F.broadcast(term_set), "term")
         .groupBy("id", "dl", "term")
         .agg(F.count("*").cast("long").alias("tf"))
+        .persist()
     )
     df_t = postings.groupBy("term").agg(
         F.count_distinct("id").cast("long").alias("df")

@@ -45,6 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from newspaper_spark import cache
 from newspaper_spark.operators.dsir import _bucket_rows
 
 __all__ = ["nb_quality_scores"]
@@ -85,14 +86,22 @@ def nb_quality_scores(
     train = _bucket_counts(labeled, id_col, text_col, n_buckets).join(
         labels, "id"
     )
-    # per-class bucket counts: ≤ n_buckets rows, map-side combined
-    cb = train.groupBy("b").agg(
-        F.sum(F.when(F.col("pos"), F.col("k")).otherwise(0))
-        .cast("long")
-        .alias("c_p"),
-        F.sum(F.when(~F.col("pos"), F.col("k")).otherwise(0))
-        .cast("long")
-        .alias("c_n"),
+    # per-class bucket counts: ≤ n_buckets rows, map-side combined.
+    # persist is load-bearing: cb feeds THREE consumers (tot, consts,
+    # lr) and two of them are broadcast, so each would otherwise re-run
+    # the full train-side explode+hash+groupBy as its own job — at
+    # corpus scale that's 2 extra passes over the labeled set.
+    cb = cache.track(
+        train.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("pos"), F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("c_p"),
+            F.sum(F.when(~F.col("pos"), F.col("k")).otherwise(0))
+            .cast("long")
+            .alias("c_n"),
+        )
+        .persist()
     )
     tot = cb.agg(
         F.coalesce(F.sum("c_p"), F.lit(0)).cast("long").alias("n_p"),

@@ -1906,6 +1906,64 @@ def test_line_filters_matches_python_model(spark):
         assert got == want, f"seed {seed}"
 
 
+def test_exact_substring_dedup_model_equivalence(spark):
+    """exact_substring_dedup vs an independent O(n·k) Python model on
+    random corpora over a 5-token alphabet (dense cross- and
+    within-doc k-gram collisions, mixed whitespace separators) — pins
+    the keep-one/covered-token semantics independently of the DuckDB
+    oracle."""
+    import random
+    import re
+
+    from newspaper_spark.operators.span_dedup import exact_substring_dedup
+
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    K = 3
+
+    def model(corpus):
+        toks = {
+            i: [t for t in ws.split(txt or "") if t != ""]
+            for i, txt in corpus
+        }
+        occ = {}   # gram tuple -> list[(id, start)] in scan order
+        for i, ts in sorted(toks.items()):
+            for s in range(len(ts) - K + 1):
+                occ.setdefault(tuple(ts[s:s + K]), []).append((i, s))
+        covered = {i: set() for i, _ in corpus}
+        for places in occ.values():
+            if len(places) > 1:
+                canon = min(places)
+                for (i, s) in places:
+                    if (i, s) != canon:
+                        covered[i].update(range(s, s + K))
+        out = {}
+        for i, ts in toks.items():
+            kept = [t for p, t in enumerate(ts) if p not in covered[i]]
+            out[i] = (" ".join(kept), len(ts), len(ts) - len(kept))
+        return out
+
+    seps = [" ", "  ", "\t", "\n", " \t "]
+    alphabet = ["a", "b", "c", "d", "e"]
+    for seed in range(5):
+        rng = random.Random(700 + seed)
+        rows = [
+            (
+                i,
+                "".join(
+                    rng.choice(alphabet) + rng.choice(seps)
+                    for _ in range(rng.randint(0, 12))
+                ),
+            )
+            for i in range(rng.randint(3, 7))
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.cleaned_text, r.n_tokens, r.n_removed_tokens)
+            for r in exact_substring_dedup(df, k=K).collect()
+        }
+        assert got == model(rows), f"seed {seed}"
+
+
 def test_crawl_prep_composition_invariants(spark):
     """The composed crawl gate (q_crawl_prep): kept ⇔ wave assigned,
     waves dense 0..n-1 per host among kept rows, dropped rows carry a
