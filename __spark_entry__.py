@@ -556,6 +556,85 @@ def q_stupid_backoff(spark, sf_dir):
     return bigram_backoff_logprob(d, train)
 
 
+def q_warc_records(spark, sf_dir):
+    """WARC archive read (sources/warc.py) — the Common Crawl input
+    format every web-scale pipeline starts from. Each document is
+    wrapped in a REAL WARC 1.0 ``response`` record (version line →
+    headers → HTTP/1.1 200 block, octet-exact Content-Lengths),
+    records are concatenated 8-to-a-file behind a leading ``warcinfo``
+    record, and the Content-Length-walking mapInPandas parser
+    (delimiter-bomb-safe, obs-fold aware, framing-fault error channel)
+    reads every record back. The oracle reconstructs the expected
+    record relation ARITHMETICALLY from the deterministic construction
+    (the media_decode_jpeg pattern) — record identity, per-file
+    rec_idx ordering, and the octet-exact Content-Length of the
+    assembled HTTP block."""
+    from newspaper_spark.sources.warc import (
+        parse_warc_files,
+        warc_response_record_col,
+        warcinfo_record_col,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("body")
+    )
+    rec = warc_response_record_col(
+        F.concat(
+            F.lit("http://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/doc/"),
+            F.col("doc_id").cast("string"),
+        ),
+        F.concat(
+            F.lit("2026-01-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            F.lit("T00:00:00Z"),
+        ),
+        F.concat(
+            F.lit("<urn:uuid:"),
+            F.md5(F.col("doc_id").cast("string")),
+            F.lit(">"),
+        ),
+        F.col("body"),
+    )
+    files = (
+        d.select(
+            F.expr("CAST(doc_id DIV 8 AS BIGINT)").alias("file_id"),
+            F.col("doc_id"),
+            rec.alias("r"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "r"))),
+                    lambda x: x["r"],
+                ),
+            ).alias("recs")
+        )
+        .select(
+            "file_id",
+            F.concat(
+                warcinfo_record_col(
+                    F.concat(
+                        F.lit("<urn:uuid:"),
+                        F.md5(
+                            F.concat(
+                                F.lit("info"), F.col("file_id").cast("string")
+                            )
+                        ),
+                        F.lit(">"),
+                    ),
+                    F.lit("2026-01-01T00:00:00Z"),
+                ),
+                F.col("recs"),
+            ).alias("warc"),
+        )
+    )
+    return parse_warc_files(files)
+
+
 #: unicode suffixes for the normalization driver query (the corpus is
 #: pure ASCII): doc_id % 4 picks one — 0: decomposed e+◌́ (composes),
 #:  1: vertical tab + DEL (controls, stripped), 2: Hangul jamo pair
@@ -1903,6 +1982,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("bm25_topk", q_bm25_topk),
     ("exact_substr", q_exact_substr),
     ("stupid_backoff", q_stupid_backoff),
+    ("warc_records", q_warc_records),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3437,6 +3517,59 @@ def oracle_sql() -> dict[str, str]:
             FROM rk WHERE rank <= 5
         """,
         "ccnet_prep": _ccnet_prep_oracle(),
+        "warc_records": """
+            WITH d AS (
+                SELECT doc_id, coalesce(text, '') AS body,
+                       CAST(doc_id // 8 AS BIGINT) AS file_id
+                FROM documents
+            ), resp AS (
+                SELECT file_id,
+                       (row_number() OVER (
+                           PARTITION BY file_id ORDER BY doc_id
+                       ))::INT AS rec_idx,
+                       'response' AS warc_type,
+                       '<urn:uuid:' || md5(doc_id::VARCHAR) || '>' AS record_id,
+                       'http://site' || (doc_id % 7)::VARCHAR
+                           || '.com/doc/' || doc_id::VARCHAR AS target_uri,
+                       '2026-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+                           || 'T00:00:00Z' AS warc_date,
+                       octet_length(encode(
+                           'HTTP/1.1 200 OK' || chr(13) || chr(10)
+                           || 'Content-Type: text/html; charset=utf-8'
+                           || chr(13) || chr(10)
+                           || 'Content-Length: '
+                           || octet_length(encode(body))::VARCHAR
+                           || chr(13) || chr(10) || chr(13) || chr(10)
+                           || body
+                       ))::BIGINT AS content_length,
+                       200::INT AS http_status,
+                       'text/html; charset=utf-8' AS http_content_type,
+                       body AS payload_text,
+                       NULL::VARCHAR AS error
+                FROM d
+            ), info AS (
+                SELECT DISTINCT file_id,
+                       0::INT AS rec_idx,
+                       'warcinfo' AS warc_type,
+                       '<urn:uuid:' || md5('info' || file_id::VARCHAR)
+                           || '>' AS record_id,
+                       NULL::VARCHAR AS target_uri,
+                       '2026-01-01T00:00:00Z' AS warc_date,
+                       octet_length(encode(
+                           'software: spark-newsprint' || chr(13) || chr(10)
+                           || 'format: WARC File Format 1.0'
+                           || chr(13) || chr(10)
+                       ))::BIGINT AS content_length,
+                       NULL::INT AS http_status,
+                       NULL::VARCHAR AS http_content_type,
+                       'software: spark-newsprint' || chr(13) || chr(10)
+                           || 'format: WARC File Format 1.0'
+                           || chr(13) || chr(10) AS payload_text,
+                       NULL::VARCHAR AS error
+                FROM d
+            )
+            SELECT * FROM resp UNION ALL SELECT * FROM info
+        """,
     }
 
 

@@ -298,6 +298,7 @@ def query_timings(cores: int) -> tuple[dict, dict]:
         "bm25_topk",
         "exact_substr",
         "stupid_backoff",
+        "warc_records",
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)

@@ -1,0 +1,153 @@
+"""WARC source: assembly/parse round-trip + framing-fault hardening.
+
+The parser walk is Content-Length-driven (never separator search), so
+the delimiter-bomb test (a payload containing "\r\n\r\nWARC/1.0\r\n")
+is the load-bearing one — a naive splitter shreds that file.
+"""
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from newspaper_spark.sources.warc import (
+    WARCINFO_FIELDS,
+    _parse_warc_bytes,
+    parse_warc_files,
+    warc_response_record_col,
+    warcinfo_record_col,
+)
+
+
+def _mk_response(uri: str, date: str, rid: str, body: str) -> bytes:
+    b = body.encode("utf-8")
+    head = (
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: text/html; charset=utf-8\r\n"
+        f"Content-Length: {len(b)}\r\n\r\n"
+    ).encode()
+    block = head + b
+    return (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        + f"WARC-Record-ID: {rid}\r\nWARC-Date: {date}\r\n".encode()
+        + f"WARC-Target-URI: {uri}\r\n".encode()
+        + b"Content-Type: application/http;msgtype=response\r\n"
+        + f"Content-Length: {len(block)}\r\n\r\n".encode()
+        + block
+        + b"\r\n\r\n"
+    )
+
+
+def test_parse_roundtrip_multibyte_and_delimiter_bomb():
+    bodies = [
+        "plain ascii body",
+        "multibyte éü中文 body",   # octet ≠ char count
+        "bomb \r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\n tail",
+        "",
+    ]
+    data = b"".join(
+        _mk_response(f"http://s.com/{i}", "2026-01-01T00:00:00Z", f"<urn:{i}>", t)
+        for i, t in enumerate(bodies)
+    )
+    recs = list(_parse_warc_bytes(data))
+    assert [r["error"] for r in recs] == [None] * 4
+    assert [r["payload_text"] for r in recs] == bodies
+    assert [r["target_uri"] for r in recs] == [
+        f"http://s.com/{i}" for i in range(4)
+    ]
+    assert all(r["http_status"] == 200 for r in recs)
+    assert all(
+        r["http_content_type"] == "text/html; charset=utf-8" for r in recs
+    )
+
+
+def test_parse_header_folding_and_case_insensitivity():
+    body = b"x"
+    block = b"HTTP/1.1 404 Not Found\r\ncontent-type: text/plain\r\n\r\n" + body
+    rec = (
+        b"WARC/1.0\r\nwarc-type: response\r\n"
+        b"WARC-Target-URI: http://a\r\n b/c\r\n"    # obs-fold
+        b"CONTENT-TYPE: application/http;msgtype=response\r\n"
+        + f"content-length: {len(block)}\r\n\r\n".encode()
+        + block
+        + b"\r\n\r\n"
+    )
+    (r,) = _parse_warc_bytes(rec)
+    assert r["error"] is None
+    assert r["warc_type"] == "response"
+    assert r["target_uri"] == "http://a b/c"
+    assert r["http_status"] == 404
+    assert r["http_content_type"] == "text/plain"
+    assert r["payload_text"] == "x"
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda d: d[:-2], "not terminated"),
+        (lambda d: d[: len(d) - 30], "truncated block"),
+        (lambda d: d.replace(b"WARC/1.0", b"WBRC/1.0", 1), "version line"),
+        (
+            lambda d: d.replace(b"Content-Length: ", b"Content-Length: x", 1),
+            "malformed Content-Length",
+        ),
+    ],
+)
+def test_framing_faults_emit_one_error_row_and_stop(mutate, msg):
+    good = _mk_response("http://s.com/0", "2026-01-01T00:00:00Z", "<u:0>", "ok")
+    bad = mutate(
+        _mk_response("http://s.com/1", "2026-01-01T00:00:00Z", "<u:1>", "body")
+    )
+    recs = list(_parse_warc_bytes(good + bad))
+    assert recs[0]["error"] is None and recs[0]["payload_text"] == "ok"
+    assert len(recs) == 2, "must stop after the framing fault"
+    assert msg in recs[1]["error"]
+
+
+def test_warcinfo_and_column_assembly_match_python_model(spark):
+    rows = [(i, f"doc body {i} é") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rec = warc_response_record_col(
+        F.concat(F.lit("http://site.com/"), F.col("doc_id").cast("string")),
+        F.lit("2026-01-02T03:04:05Z"),
+        F.concat(F.lit("<urn:uuid:"), F.md5(F.col("doc_id").cast("string")), F.lit(">")),
+        F.col("text"),
+    )
+    files = (
+        df.select((F.col("doc_id") % 2).alias("file_id"), F.col("doc_id"), rec.alias("r"))
+        .groupBy("file_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "r"))),
+                    lambda x: x["r"],
+                ),
+            ).alias("recs")
+        )
+        .select(
+            "file_id",
+            F.concat(
+                warcinfo_record_col(
+                    F.concat(
+                        F.lit("<urn:uuid:"),
+                        F.md5(F.concat(F.lit("info"), F.col("file_id").cast("string"))),
+                        F.lit(">"),
+                    ),
+                    F.lit("2026-01-02T03:04:05Z"),
+                ),
+                F.col("recs"),
+            ).alias("warc"),
+        )
+    )
+    out = parse_warc_files(files).toPandas()
+    assert out["error"].isna().all()
+    assert len(out) == 6 + 2
+    info = out[out.warc_type == "warcinfo"]
+    assert len(info) == 2 and (info.rec_idx == 0).all()
+    assert (info.payload_text == WARCINFO_FIELDS).all()
+    resp = out[out.warc_type == "response"].sort_values(["file_id", "rec_idx"])
+    assert list(resp.rec_idx) == [1, 2, 3, 1, 2, 3]
+    # doc_ids 0,2,4 → file 0; 1,3,5 → file 1 (sorted within file)
+    assert list(resp.payload_text) == [
+        f"doc body {i} é" for i in (0, 2, 4, 1, 3, 5)
+    ]
+    assert (resp.http_status == 200).all()
