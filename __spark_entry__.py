@@ -635,6 +635,99 @@ def q_warc_records(spark, sf_dir):
     return parse_warc_files(files)
 
 
+def q_warc_extract(spark, sf_dir):
+    """End-to-end Common-Crawl shape: synthetic transcript HTML pages
+    wrapped into WARC response records (4-to-a-file behind a warcinfo
+    record, identity planted in WARC-Target-URI), parsed back by the
+    Content-Length-walking reader, identity recovered FROM the URI,
+    and the payload pushed through the full extraction kernel — the
+    archive-read → extract pipeline every CC-based corpus build runs.
+    The oracle is extract_fulltext's relational reconstruction
+    verbatim: the WARC wrap/parse must be byte-transparent for the
+    hashes to match."""
+    from newspaper_spark.operators.extract import extract_articles
+    from newspaper_spark.sources.warc import (
+        parse_warc_files,
+        warc_response_record_col,
+        warcinfo_record_col,
+    )
+
+    t = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    rec = warc_response_record_col(
+        F.concat(
+            F.lit("http://archive.example/"),
+            F.col("conv_id"),
+            F.lit("/turn/"),
+            F.col("turn_idx").cast("string"),
+        ),
+        F.lit("2026-01-01T00:00:00Z"),
+        F.concat(
+            F.lit("<urn:uuid:"),
+            F.md5(
+                F.concat(
+                    F.col("conv_id"), F.lit("#"), F.col("turn_idx").cast("string")
+                )
+            ),
+            F.lit(">"),
+        ),
+        F.col("text"),
+    )
+    files = (
+        t.select(
+            F.regexp_extract(F.col("conv_id"), "-(\\d+)$", 1)
+            .cast("long")
+            .alias("file_id"),
+            F.col("turn_idx"),
+            rec.alias("r"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "r"))),
+                    lambda x: x["r"],
+                ),
+            ).alias("recs")
+        )
+        .select(
+            "file_id",
+            F.concat(
+                warcinfo_record_col(
+                    F.concat(
+                        F.lit("<urn:uuid:"),
+                        F.md5(
+                            F.concat(
+                                F.lit("info"), F.col("file_id").cast("string")
+                            )
+                        ),
+                        F.lit(">"),
+                    ),
+                    F.lit("2026-01-01T00:00:00Z"),
+                ),
+                F.col("recs"),
+            ).alias("warc"),
+        )
+    )
+    pages = (
+        parse_warc_files(files)
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract(
+                F.col("target_uri"), "^http://archive\\.example/([^/]+)/turn/", 1
+            ).alias("conv_id"),
+            F.regexp_extract(F.col("target_uri"), "/turn/(\\d+)$", 1)
+            .cast("int")
+            .alias("turn_idx"),
+            F.col("payload_text").alias("text"),
+        )
+    )
+    out = extract_articles(pages)
+    return out.select(
+        "conv_id", "turn_idx", F.col("text").alias("extracted_text")
+    )
+
+
 #: unicode suffixes for the normalization driver query (the corpus is
 #: pure ASCII): doc_id % 4 picks one — 0: decomposed e+◌́ (composes),
 #:  1: vertical tab + DEL (controls, stripped), 2: Hangul jamo pair
@@ -1983,6 +2076,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("exact_substr", q_exact_substr),
     ("stupid_backoff", q_stupid_backoff),
     ("warc_records", q_warc_records),
+    ("warc_extract", q_warc_extract),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3569,6 +3663,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM d
             )
             SELECT * FROM resp UNION ALL SELECT * FROM info
+        """,
+        # byte-transparency proof: the WARC wrap/parse/extract chain
+        # must land on the SAME relation as extract_fulltext
+        "warc_extract": f"""
+            SELECT 'conv-0-' || (doc_id // 4)::VARCHAR AS conv_id,
+                   (doc_id % 4)::INT AS turn_idx,
+                   {_EXPECTED_TEXT} AS extracted_text
+            FROM documents
         """,
     }
 

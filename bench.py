@@ -299,6 +299,7 @@ def query_timings(cores: int) -> tuple[dict, dict]:
         "exact_substr",
         "stupid_backoff",
         "warc_records",
+        "warc_extract",
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)
