@@ -722,6 +722,10 @@ def q_warc_extract(spark, sf_dir):
             F.col("payload_text").alias("text"),
         )
     )
+    # the per-file groupBy upstream leaves few (AQE-coalesced)
+    # partitions; rebalance so the expensive Arrow extraction stage
+    # uses every core (the bench pipeline's 4×cores load-balance rule)
+    pages = pages.repartition(spark.sparkContext.defaultParallelism * 4)
     out = extract_articles(pages)
     return out.select(
         "conv_id", "turn_idx", F.col("text").alias("extracted_text")

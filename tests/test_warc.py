@@ -151,3 +151,62 @@ def test_warcinfo_and_column_assembly_match_python_model(spark):
         f"doc body {i} é" for i in (0, 2, 4, 1, 3, 5)
     ]
     assert (resp.http_status == 200).all()
+
+
+def test_streaming_warc_parse_batch_equal(spark, tmp_path):
+    """parse_warc_files is a stateless map-only stage, so it must run
+    unchanged on an availableNow stream of WARC files (the archive-
+    ingest side of a streaming crawl loop) and produce bit-for-bit
+    the batch parse — including the error row for a truncated file."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    files = []
+    for fid in range(6):
+        recs = b"".join(
+            _mk_response(
+                f"http://s.com/{fid}/{i}",
+                "2026-01-01T00:00:00Z",
+                f"<urn:{fid}-{i}>",
+                f"body {fid}-{i} é",
+            )
+            for i in range(3)
+        )
+        if fid == 5:
+            recs = recs[:-20]  # truncated final record → error row
+        files.append((fid, recs.decode("utf-8")))
+    df = spark.createDataFrame(files, "file_id long, warc string")
+    df.write.parquet(in_dir)
+
+    stream = spark.readStream.schema("file_id long, warc string").parquet(in_dir)
+    parsed = parse_warc_files(stream)
+    assert parsed.isStreaming
+    q = (
+        parsed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    key = ["file_id", "rec_idx"]
+    streamed = {
+        tuple(getattr(r, k) for k in key): (
+            r.target_uri, r.payload_text, r.http_status, r.error
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        tuple(getattr(r, k) for k in key): (
+            r.target_uri, r.payload_text, r.http_status, r.error
+        )
+        for r in parse_warc_files(spark.read.parquet(in_dir)).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 5 * 3 + 2 + 1  # full files + 2 good + error
+    assert streamed[(5, 2)][3] is not None and "truncated" in streamed[(5, 2)][3]
