@@ -3620,12 +3620,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, coalesce(text, '') AS body,
                        CAST(doc_id // 8 AS BIGINT) AS file_id
                 FROM documents
-            ), resp AS (
-                SELECT file_id,
-                       (row_number() OVER (
-                           PARTITION BY file_id ORDER BY doc_id
-                       ))::INT AS rec_idx,
-                       'response' AS warc_type,
+            ), ic AS (
+                -- the warcinfo record is identical for every file:
+                -- its block length and total record octets are scalars
+                SELECT octet_length(encode(
+                           'software: spark-newsprint' || chr(13) || chr(10)
+                           || 'format: WARC File Format 1.0'
+                           || chr(13) || chr(10)
+                       ))::BIGINT AS i_cl
+            ), ic2 AS (
+                SELECT i_cl,
+                       octet_length(encode(
+                           'WARC/1.0' || chr(13) || chr(10)
+                           || 'WARC-Type: warcinfo' || chr(13) || chr(10)
+                           || 'WARC-Record-ID: <urn:uuid:'
+                           || repeat('0', 32) || '>' || chr(13) || chr(10)
+                           || 'WARC-Date: 2026-01-01T00:00:00Z'
+                           || chr(13) || chr(10)
+                           || 'Content-Type: application/warc-fields'
+                           || chr(13) || chr(10)
+                           || 'Content-Length: ' || i_cl::VARCHAR
+                           || chr(13) || chr(10) || chr(13) || chr(10)
+                       ))::BIGINT + i_cl + 4 AS i_rb
+                FROM ic
+            ), r1 AS (
+                SELECT file_id, doc_id, body,
                        '<urn:uuid:' || md5(doc_id::VARCHAR) || '>' AS record_id,
                        'http://site' || (doc_id % 7)::VARCHAR
                            || '.com/doc/' || doc_id::VARCHAR AS target_uri,
@@ -3639,32 +3658,62 @@ def oracle_sql() -> dict[str, str]:
                            || octet_length(encode(body))::VARCHAR
                            || chr(13) || chr(10) || chr(13) || chr(10)
                            || body
-                       ))::BIGINT AS content_length,
+                       ))::BIGINT AS content_length
+                FROM d
+            ), r2 AS (
+                SELECT *,
+                       octet_length(encode(
+                           'WARC/1.0' || chr(13) || chr(10)
+                           || 'WARC-Type: response' || chr(13) || chr(10)
+                           || 'WARC-Record-ID: ' || record_id
+                           || chr(13) || chr(10)
+                           || 'WARC-Date: ' || warc_date
+                           || chr(13) || chr(10)
+                           || 'WARC-Target-URI: ' || target_uri
+                           || chr(13) || chr(10)
+                           || 'Content-Type: application/http;msgtype=response'
+                           || chr(13) || chr(10)
+                           || 'Content-Length: ' || content_length::VARCHAR
+                           || chr(13) || chr(10) || chr(13) || chr(10)
+                       ))::BIGINT + content_length + 4 AS record_bytes
+                FROM r1
+            ), resp AS (
+                SELECT file_id,
+                       (row_number() OVER (
+                           PARTITION BY file_id ORDER BY doc_id
+                       ))::INT AS rec_idx,
+                       (i_rb + coalesce(sum(record_bytes) OVER (
+                           PARTITION BY file_id ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING
+                       ), 0))::BIGINT AS "offset",
+                       record_bytes,
+                       'response' AS warc_type,
+                       record_id, target_uri, warc_date,
+                       content_length,
                        200::INT AS http_status,
                        'text/html; charset=utf-8' AS http_content_type,
                        body AS payload_text,
                        NULL::VARCHAR AS error
-                FROM d
+                FROM r2, ic2
             ), info AS (
                 SELECT DISTINCT file_id,
                        0::INT AS rec_idx,
+                       0::BIGINT AS "offset",
+                       i_rb AS record_bytes,
                        'warcinfo' AS warc_type,
                        '<urn:uuid:' || md5('info' || file_id::VARCHAR)
                            || '>' AS record_id,
                        NULL::VARCHAR AS target_uri,
                        '2026-01-01T00:00:00Z' AS warc_date,
-                       octet_length(encode(
-                           'software: spark-newsprint' || chr(13) || chr(10)
-                           || 'format: WARC File Format 1.0'
-                           || chr(13) || chr(10)
-                       ))::BIGINT AS content_length,
+                       i_cl AS content_length,
                        NULL::INT AS http_status,
                        NULL::VARCHAR AS http_content_type,
                        'software: spark-newsprint' || chr(13) || chr(10)
                            || 'format: WARC File Format 1.0'
                            || chr(13) || chr(10) AS payload_text,
                        NULL::VARCHAR AS error
-                FROM d
+                FROM d, ic2
             )
             SELECT * FROM resp UNION ALL SELECT * FROM info
         """,

@@ -47,6 +47,7 @@ __all__ = [
     "warcinfo_record_col",
     "WARCINFO_FIELDS",
     "parse_warc_files",
+    "read_record_at",
 ]
 
 CRLF = "\r\n"
@@ -129,13 +130,19 @@ def _parse_headers(data: bytes, pos: int):
 
 def _parse_warc_bytes(data: bytes):
     """Yield per-record dicts for one WARC file; on a framing fault,
-    yield one error dict and stop (stream desync — see module doc)."""
+    yield one error dict and stop (stream desync — see module doc).
+
+    Each record carries its byte ``offset`` and total ``record_bytes``
+    (version line through the trailing CRLF CRLF) — the (offset,
+    length) pair a CDX-style index stores so a consumer can range-read
+    one record without scanning the file."""
     pos, idx = 0, 0
     while True:
         while data.startswith(b"\r\n", pos):
             pos += 2
         if pos >= len(data):
             return
+        start = pos
         try:
             eol = data.find(b"\r\n", pos)
             if eol < 0 or not data[pos:eol].startswith(b"WARC/"):
@@ -160,6 +167,8 @@ def _parse_warc_bytes(data: bytes):
                 raise ValueError("record not terminated by CRLF CRLF")
             rec = {
                 "rec_idx": idx,
+                "offset": start,
+                "record_bytes": end + 4 - start,
                 "warc_type": headers.get("warc-type"),
                 "record_id": headers.get("warc-record-id"),
                 "target_uri": headers.get("warc-target-uri"),
@@ -192,10 +201,12 @@ def _parse_warc_bytes(data: bytes):
             else:
                 rec["payload_text"] = block.decode("utf-8", "replace")
             yield rec
-            pos, idx = end, idx + 1
+            pos, idx = end + 4, idx + 1
         except (ValueError, UnicodeDecodeError) as e:
             yield {
                 "rec_idx": idx,
+                "offset": start,
+                "record_bytes": None,
                 "warc_type": None,
                 "record_id": None,
                 "target_uri": None,
@@ -209,8 +220,23 @@ def _parse_warc_bytes(data: bytes):
             return
 
 
+def read_record_at(data: bytes, offset: int, length: int) -> dict:
+    """Range-read ONE record from a WARC file given the (offset,
+    length) pair a CDX-style index stores — the consumer side of the
+    ``offset``/``record_bytes`` columns parse_warc_files emits. The
+    slice is parsed by the same Content-Length walk; exactly one
+    record (or one error dict) comes back."""
+    recs = list(_parse_warc_bytes(bytes(data[offset : offset + length])))
+    if len(recs) != 1:
+        raise ValueError(
+            f"range ({offset}, {length}) holds {len(recs)} records, not 1"
+        )
+    return recs[0]
+
+
 _WARC_SCHEMA = (
-    "file_id long, rec_idx int, warc_type string, record_id string, "
+    "file_id long, rec_idx int, offset long, record_bytes long, "
+    "warc_type string, record_id string, "
     "target_uri string, warc_date string, content_length long, "
     "http_status int, http_content_type string, payload_text string, "
     "error string"
@@ -228,7 +254,8 @@ def parse_warc_files(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
-            "rec_idx", "warc_type", "record_id", "target_uri",
+            "rec_idx", "offset", "record_bytes", "warc_type",
+            "record_id", "target_uri",
             "warc_date", "content_length", "http_status",
             "http_content_type", "payload_text", "error",
         ]

@@ -210,3 +210,28 @@ def test_streaming_warc_parse_batch_equal(spark, tmp_path):
     assert streamed == batch
     assert len(streamed) == 5 * 3 + 2 + 1  # full files + 2 good + error
     assert streamed[(5, 2)][3] is not None and "truncated" in streamed[(5, 2)][3]
+
+
+def test_offsets_support_cdx_style_range_reads():
+    """offset/record_bytes must be exact enough that slicing the raw
+    file at (offset, record_bytes) and parsing JUST that slice
+    reproduces every record — the Common Crawl CDX range-GET contract
+    — and offsets must chain (next = prev + prev_bytes)."""
+    from newspaper_spark.sources.warc import read_record_at
+
+    bodies = ["a", "multibyte é中", "bomb \r\n\r\nWARC/1.0\r\n x", ""]
+    data = b"".join(
+        _mk_response(f"http://s.com/{i}", "2026-01-01T00:00:00Z", f"<urn:{i}>", t)
+        for i, t in enumerate(bodies)
+    )
+    recs = list(_parse_warc_bytes(data))
+    assert [r["error"] for r in recs] == [None] * 4
+    for prev, nxt in zip(recs, recs[1:]):
+        assert nxt["offset"] == prev["offset"] + prev["record_bytes"]
+    assert recs[-1]["offset"] + recs[-1]["record_bytes"] == len(data)
+    for r in recs:
+        one = read_record_at(data, r["offset"], r["record_bytes"])
+        assert one["error"] is None
+        assert one["payload_text"] == r["payload_text"]
+        assert one["target_uri"] == r["target_uri"]
+        assert one["record_bytes"] == r["record_bytes"]
