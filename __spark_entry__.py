@@ -635,6 +635,82 @@ def q_warc_records(spark, sf_dir):
     return parse_warc_files(files)
 
 
+def q_dclm_prep(spark, sf_dir):
+    """DCLM-Baseline-style corpus prep composition (Li et al. 2024):
+    Gopher heuristic rules → exact dedup among survivors (min-id
+    canonical) → TRAINED quality-classifier gate (the hashed-n-gram NB
+    of quality_classifier, trained on the full labeled exemplar split
+    — classifier training is independent of the filtering, as DCLM's
+    fastText exemplars are) scored ONLY on canonical survivors (dedup
+    before classify, the pipeline's cost order). Output = every doc
+    with per-stage attribution flags (the c4_filters/crawl_prep
+    pattern): gopher_keep, is_canonical, nb_logodds/pred_hq (null when
+    unscored), kept = all three gates. The oracle replays the Gopher
+    rule arithmetic, the md5 canonical-keep, and the NB count tables
+    end to end.
+
+    Input enrichment (mirrored in the oracle, the paragraph_dedup
+    pattern — the raw synthetic vocabulary contains none of Gopher's 8
+    stopwords, so every rule-gate verdict would be a constant False):
+    doc_id%11==0 docs become one SHARED rule-passing page (dedup
+    provably triggers, one canonical per corpus), doc_id%3==0 docs
+    stay raw (fail the stopword rule), the rest get a stopword-bearing
+    suffix (pass it) — all three gates genuinely discriminate."""
+    from newspaper_spark.operators.dedup import dedup_exact
+    from newspaper_spark.operators.filters import gopher_filters
+    from newspaper_spark.operators.quality_nb import nb_quality_scores
+
+    dup_page = F.repeat(
+        F.lit("the quick brown fox and the lazy dog have a nap "), 6
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 11 == 0, dup_page)
+        .when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(
+            F.concat(
+                F.col("text"), F.lit(" the of and with have that to be")
+            )
+        )
+        .alias("text"),
+    )
+    g = gopher_filters(d).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    survivors = d.join(
+        g.filter(F.col("gopher_keep")).select("doc_id"), "doc_id"
+    )
+    reps = dedup_exact(survivors).select(
+        "doc_id", F.lit(True).alias("is_canonical")
+    )
+    labeled = d.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "is_pos", F.col("doc_id") % 10 == 0
+    )
+    scored = nb_quality_scores(
+        survivors.join(reps.select("doc_id"), "doc_id"),
+        labeled,
+        n_buckets=1024,
+    ).select("doc_id", "nb_logodds", "pred_hq")
+    return (
+        d.select("doc_id")
+        .join(g, "doc_id", "left")
+        .join(reps, "doc_id", "left")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "gopher_keep",
+            F.coalesce("is_canonical", F.lit(False)).alias("is_canonical"),
+            "nb_logodds",
+            "pred_hq",
+            (
+                F.col("gopher_keep")
+                & F.coalesce("is_canonical", F.lit(False))
+                & F.coalesce("pred_hq", F.lit(False))
+            ).alias("kept"),
+        )
+    )
+
+
 def q_warc_extract(spark, sf_dir):
     """End-to-end Common-Crawl shape: synthetic transcript HTML pages
     wrapped into WARC response records (4-to-a-file behind a warcinfo
@@ -2081,6 +2157,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("stupid_backoff", q_stupid_backoff),
     ("warc_records", q_warc_records),
     ("warc_extract", q_warc_extract),
+    ("dclm_prep", q_dclm_prep),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3716,6 +3793,135 @@ def oracle_sql() -> dict[str, str]:
                 FROM d, ic2
             )
             SELECT * FROM resp UNION ALL SELECT * FROM info
+        """,
+        # composes the PROVEN gopher_filters / dedup_exact /
+        # quality_classifier oracle fragments: rule arithmetic →
+        # md5 canonical-keep among survivors → NB gate on canonicals
+        "dclm_prep": """
+            WITH e AS (
+                SELECT doc_id,
+                       CASE
+                         WHEN doc_id % 11 = 0 THEN repeat(
+                             'the quick brown fox and the lazy dog have a nap ', 6)
+                         WHEN doc_id % 3 = 0 THEN text
+                         ELSE text || ' the of and with have that to be'
+                       END AS text
+                FROM documents
+            ), base AS (
+                SELECT doc_id,
+                       coalesce(text, '') AS c,
+                       trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS norm
+                FROM e
+            ), gt AS (
+                SELECT doc_id, n_words, total_wchars, n_hash, n_ellipsis,
+                       len(lines)::BIGINT AS n_lines,
+                       len(list_filter(lines, s -> starts_with(s, '•')
+                                              OR starts_with(s, '- ')
+                                              OR starts_with(s, '* ')))::BIGINT AS n_bullet,
+                       len(list_filter(lines, s -> ends_with(s, '...')
+                                              OR ends_with(s, '…')))::BIGINT AS n_ell,
+                       len(list_filter(toks, tk -> regexp_matches(tk, '[a-zA-Z]')))::BIGINT AS n_alpha,
+                       (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END
+                        + CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)::BIGINT AS n_stop
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN norm = '' THEN 0
+                                ELSE len(string_split(norm, ' ')) END::BIGINT AS n_words,
+                           length(replace(norm, ' ', ''))::BIGINT AS total_wchars,
+                           (length(c) - length(replace(c, '#', '')))::BIGINT AS n_hash,
+                           (((length(c) - length(replace(c, '...', ''))) // 3)
+                            + (length(c) - length(replace(c, '…', ''))))::BIGINT AS n_ellipsis,
+                           list_filter(list_transform(string_split(c, chr(10)),
+                                                      s -> regexp_replace(s, '^[ \\t\\r]+|[ \\t\\r]+$', '', 'g')),
+                                       s -> s <> '') AS lines,
+                           string_split(norm, ' ') AS toks
+                    FROM base
+                )
+            ), gk AS (
+                SELECT doc_id,
+                       ((n_words >= 50 AND n_words <= 100000)
+                        AND (n_words > 0 AND 3 * n_words <= total_wchars
+                             AND total_wchars <= 10 * n_words)
+                        AND (10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words)
+                        AND (10 * n_bullet <= 9 * n_lines)
+                        AND (10 * n_ell <= 3 * n_lines)
+                        AND (n_words > 0 AND 5 * n_alpha >= 4 * n_words)
+                        AND (n_stop >= 2)) AS gopher_keep
+                FROM gt
+            ), canon AS (
+                SELECT min(d.doc_id) AS doc_id
+                FROM e d JOIN gk USING (doc_id)
+                WHERE gk.gopher_keep
+                GROUP BY md5(trim(regexp_replace(lower(d.text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
+            ), n AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+                FROM e
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_concat(t,
+                           CASE WHEN len(t) >= 2
+                                THEN list_transform(generate_series(1, len(t) - 1),
+                                                    i -> t[i] || ' ' || t[i + 1])
+                                ELSE []::VARCHAR[] END)) AS gram
+                FROM n
+            ), bk AS (
+                SELECT doc_id,
+                       ('0x' || substring(md5(gram), 1, 15))::BIGINT % 1024 AS b
+                FROM g
+            ), fr AS (
+                SELECT doc_id, b, count(*)::BIGINT AS k FROM bk GROUP BY doc_id, b
+            ), cb AS (
+                SELECT b,
+                       sum(CASE WHEN doc_id % 10 = 0 THEN k ELSE 0 END)::BIGINT AS c_p,
+                       sum(CASE WHEN doc_id % 10 <> 0 THEN k ELSE 0 END)::BIGINT AS c_n
+                FROM fr WHERE doc_id % 2 = 0 GROUP BY b
+            ), tot AS (
+                SELECT coalesce(sum(c_p), 0)::BIGINT AS n_p,
+                       coalesce(sum(c_n), 0)::BIGINT AS n_n
+                FROM cb
+            ), dc AS (
+                SELECT count(DISTINCT CASE WHEN doc_id % 10 = 0 THEN doc_id END)::BIGINT AS d_p,
+                       count(DISTINCT CASE WHEN doc_id % 10 <> 0 THEN doc_id END)::BIGINT AS d_n
+                FROM documents WHERE doc_id % 2 = 0
+            ), consts AS (
+                SELECT log10((n_n + 1024)::DOUBLE / (n_p + 1024)::DOUBLE) AS lr0,
+                       log10(d_p::DOUBLE / d_n::DOUBLE) AS prior
+                FROM tot, dc
+            ), lr AS (
+                SELECT cb.b,
+                       log10(((cb.c_p + 1)::DOUBLE * (n_n + 1024)::DOUBLE)
+                             / ((cb.c_n + 1)::DOUBLE * (n_p + 1024)::DOUBLE)) AS lr
+                FROM cb, tot
+            ), frs AS (
+                SELECT fr.* FROM fr JOIN canon USING (doc_id)
+            ), sc AS (
+                SELECT frs.doc_id,
+                       floor((consts.prior
+                              + sum(frs.k * coalesce(lr.lr, consts.lr0)))
+                             * 1000000.0 + 0.5) / 1000000.0 AS nb_logodds
+                FROM frs LEFT JOIN lr USING (b), consts
+                GROUP BY frs.doc_id, consts.prior, consts.lr0
+            )
+            SELECT d.doc_id,
+                   gk.gopher_keep,
+                   coalesce(cn.is_canonical, FALSE) AS is_canonical,
+                   sc.nb_logodds,
+                   (sc.nb_logodds > 0) AS pred_hq,
+                   (gk.gopher_keep
+                    AND coalesce(cn.is_canonical, FALSE)
+                    AND coalesce(sc.nb_logodds > 0, FALSE)) AS kept
+            FROM documents d
+            JOIN gk USING (doc_id)
+            LEFT JOIN (SELECT doc_id, TRUE AS is_canonical FROM canon) cn
+                USING (doc_id)
+            LEFT JOIN sc USING (doc_id)
         """,
         # byte-transparency proof: the WARC wrap/parse/extract chain
         # must land on the SAME relation as extract_fulltext

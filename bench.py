@@ -300,6 +300,7 @@ def query_timings(cores: int) -> tuple[dict, dict]:
         "stupid_backoff",
         "warc_records",
         "warc_extract",
+        "dclm_prep",
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)

@@ -235,3 +235,44 @@ def test_offsets_support_cdx_style_range_reads():
         assert one["payload_text"] == r["payload_text"]
         assert one["target_uri"] == r["target_uri"]
         assert one["record_bytes"] == r["record_bytes"]
+
+
+def test_warc_parse_roundtrip_property():
+    """Property: ANY sequence of records with arbitrary unicode bodies
+    (including CRLF runs, WARC magic, NULs) assembles → parses back
+    exactly, offsets chain, and a trailing-garbage mutation yields
+    exactly one error row after the good records."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    body = st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=200,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(body, min_size=1, max_size=6), st.booleans())
+    def check(bodies, truncate):
+        data = b"".join(
+            _mk_response(
+                f"http://h.com/{i}", "2026-01-01T00:00:00Z", f"<urn:{i}>", t
+            )
+            for i, t in enumerate(bodies)
+        )
+        if truncate:
+            data += b"WARC/1.0\r\nContent-Length: 5\r\n\r\nab"
+        recs = list(_parse_warc_bytes(data))
+        good = [r for r in recs if r["error"] is None]
+        assert [r["payload_text"] for r in good] == bodies
+        for prev, nxt in zip(recs, recs[1:]):
+            if nxt["error"] is None:
+                assert nxt["offset"] == prev["offset"] + prev["record_bytes"]
+        if truncate:
+            assert recs[-1]["error"] is not None
+            assert len(recs) == len(bodies) + 1
+        else:
+            assert len(recs) == len(bodies)
+
+    check()
