@@ -635,6 +635,75 @@ def q_warc_records(spark, sf_dir):
     return parse_warc_files(files)
 
 
+def q_sitemap_urls(spark, sf_dir):
+    """Sitemap-protocol crawl discovery (feeds.parse_sitemaps) — the
+    channel robots.txt's ``Sitemap:`` directive points at, completing
+    the crawl-side source family (feeds → robots → sitemap →
+    frontier). Seven per-host ``<urlset>`` documents are Column-
+    assembled from the synthetic URL universe (entries in doc_id
+    order, literal-text lastmod/changefreq/priority), an eighth site
+    carries a ``<sitemapindex>`` over the seven hosts (kind='index'),
+    and a ninth carries a DOCTYPE (the billion-laughs rejection
+    channel fires → one 'dtd-rejected' error row). The oracle
+    reconstructs every row arithmetically from the URL construction;
+    the parse itself is a REAL stdlib ElementTree walk."""
+    from newspaper_spark.operators.feeds import parse_sitemaps
+
+    u = _synth_urls(spark, sf_dir)
+    ent = F.concat(
+        F.lit("<url><loc>"),
+        F.col("url"),
+        F.lit("</loc><lastmod>2026-02-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><changefreq>daily</changefreq><priority>0."),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    sets_ = (
+        u.select(
+            (F.col("doc_id") % 7).alias("site_id"), F.col("doc_id"), ent.alias("e")
+        )
+        .groupBy("site_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "e"))),
+                    lambda x: x["e"],
+                ),
+            ).alias("body")
+        )
+        .select(
+            "site_id",
+            F.concat(
+                F.lit(
+                    '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                ),
+                F.col("body"),
+                F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+    idx_xml = (
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        + "".join(
+            f"<sitemap><loc>http://site{h}.com/sitemap.xml</loc>"
+            f"<lastmod>2026-01-01</lastmod></sitemap>"
+            for h in range(7)
+        )
+        + "</sitemapindex>"
+    )
+    dtd_xml = (
+        '<!DOCTYPE urlset [<!ENTITY x "y">]>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://x</loc></url></urlset>"
+    )
+    extra = spark.createDataFrame(
+        [(7, idx_xml), (8, dtd_xml)], "site_id long, xml string"
+    )
+    return parse_sitemaps(sets_.unionByName(extra))
+
+
 def q_dclm_prep(spark, sf_dir):
     """DCLM-Baseline-style corpus prep composition (Li et al. 2024):
     Gopher heuristic rules → exact dedup among survivors (min-id
@@ -2158,6 +2227,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("warc_records", q_warc_records),
     ("warc_extract", q_warc_extract),
     ("dclm_prep", q_dclm_prep),
+    ("sitemap_urls", q_sitemap_urls),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3793,6 +3863,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM d, ic2
             )
             SELECT * FROM resp UNION ALL SELECT * FROM info
+        """,
+        "sitemap_urls": f"""
+            WITH u AS ({_SYNTH_URL_SQL})
+            SELECT (doc_id % 7)::BIGINT AS site_id,
+                   'urlset' AS kind,
+                   (row_number() OVER (
+                       PARTITION BY doc_id % 7 ORDER BY doc_id
+                   ) - 1)::INT AS entry_idx,
+                   url AS loc,
+                   '2026-02-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+                       AS lastmod,
+                   'daily' AS changefreq,
+                   '0.' || ((doc_id % 9) + 1)::VARCHAR AS priority,
+                   NULL::VARCHAR AS error
+            FROM u
+            UNION ALL
+            SELECT 7::BIGINT, 'index', i::INT,
+                   'http://site' || i::VARCHAR || '.com/sitemap.xml',
+                   '2026-01-01', NULL::VARCHAR, NULL::VARCHAR,
+                   NULL::VARCHAR
+            FROM range(0, 7) t(i)
+            UNION ALL
+            SELECT 8::BIGINT, NULL::VARCHAR, NULL::INT, NULL::VARCHAR,
+                   NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR,
+                   'dtd-rejected'
         """,
         # composes the PROVEN gopher_filters / dedup_exact /
         # quality_classifier oracle fragments: rule arithmetic →

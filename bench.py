@@ -301,6 +301,7 @@ def query_timings(cores: int) -> tuple[dict, dict]:
         "warc_records",
         "warc_extract",
         "dclm_prep",
+        "sitemap_urls",
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)

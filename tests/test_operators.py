@@ -3811,3 +3811,60 @@ def test_bm25_topk_semantics(spark):
     )
     assert bm25_topk(docs, qb, k=5, max_df=2).count() == 0
     assert bm25_topk(docs, qb, k=5, max_df=3).count() == 3
+
+
+def test_parse_sitemaps_kinds_errors_and_cap(spark):
+    """parse_sitemaps: urlset rows in document order with literal-text
+    fields, sitemapindex rows (kind='index'), and every error channel
+    — DTD rejection BEFORE parse, malformed XML, non-sitemap root,
+    empty set, and the protocol's 50,000-entry cap (rejected, never
+    silently truncated)."""
+    from newspaper_spark.operators.feeds import parse_sitemaps
+
+    ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    urlset = (
+        f'<urlset xmlns="{ns}">'
+        "<url><loc>http://a.com/1</loc><lastmod>2026-02-01</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>http://a.com/2</loc></url>"
+        "</urlset>"
+    )
+    index = (
+        f'<sitemapindex xmlns="{ns}">'
+        "<sitemap><loc>http://a.com/sitemap1.xml</loc>"
+        "<lastmod>2026-01-01</lastmod></sitemap>"
+        "</sitemapindex>"
+    )
+    over_cap = (
+        f'<urlset xmlns="{ns}">'
+        + "<url><loc>http://a.com/x</loc></url>" * 50_001
+        + "</urlset>"
+    )
+    rows = [
+        (0, urlset),
+        (1, index),
+        (2, '<!DOCTYPE urlset [<!ENTITY x "y">]>' + urlset),
+        (3, "<urlset><url></url"),                  # malformed
+        (4, "<rss><channel/></rss>"),               # wrong root
+        (5, f'<urlset xmlns="{ns}"></urlset>'),     # empty
+        (6, over_cap),
+    ]
+    df = spark.createDataFrame(rows, "site_id long, xml string")
+    out = {
+        (r.site_id, r.entry_idx): r
+        for r in parse_sitemaps(df).collect()
+    }
+    assert out[(0, 0)].kind == "urlset"
+    assert out[(0, 0)].loc == "http://a.com/1"
+    assert out[(0, 0)].lastmod == "2026-02-01"
+    assert out[(0, 0)].priority == "0.8"
+    assert out[(0, 1)].loc == "http://a.com/2"
+    assert out[(0, 1)].lastmod is None
+    assert out[(1, 0)].kind == "index"
+    assert out[(1, 0)].loc == "http://a.com/sitemap1.xml"
+    assert out[(2, None)].error == "dtd-rejected"
+    assert out[(3, None)].error == "malformed-xml"
+    assert out[(4, None)].error == "not-a-sitemap"
+    assert out[(5, None)].error == "empty" and out[(5, None)].kind == "urlset"
+    assert out[(6, None)].error == "too-many-entries"
+    assert len(out) == 8  # 2 urlset + 1 index + 5 single-verdict rows
