@@ -3868,3 +3868,51 @@ def test_parse_sitemaps_kinds_errors_and_cap(spark):
     assert out[(5, None)].error == "empty" and out[(5, None)].kind == "urlset"
     assert out[(6, None)].error == "too-many-entries"
     assert len(out) == 8  # 2 urlset + 1 index + 5 single-verdict rows
+
+
+def test_streaming_sitemap_parse_batch_equal(spark, tmp_path):
+    """parse_sitemaps is stateless map-only, so it must run unchanged
+    on an availableNow stream (the crawl-discovery side of a streaming
+    crawl loop) and produce bit-for-bit the batch parse, including the
+    dtd-rejected error row."""
+    from newspaper_spark.operators.feeds import parse_sitemaps
+
+    ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    rows = [
+        (
+            i,
+            f'<urlset xmlns="{ns}">'
+            + "".join(
+                f"<url><loc>http://h{i}.com/p{j}</loc></url>" for j in range(3)
+            )
+            + "</urlset>",
+        )
+        for i in range(4)
+    ] + [(4, "<!DOCTYPE urlset><urlset/>")]
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / d) for d in ("in", "out", "ckpt")
+    )
+    spark.createDataFrame(rows, "site_id long, xml string").write.parquet(in_dir)
+    stream = spark.readStream.schema("site_id long, xml string").parquet(in_dir)
+    parsed = parse_sitemaps(stream)
+    assert parsed.isStreaming
+    q = (
+        parsed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    key = lambda r: (r.site_id, r.entry_idx, r.loc, r.error)  # noqa: E731
+    streamed = sorted(key(r) for r in spark.read.parquet(out_dir).collect())
+    batch = sorted(
+        key(r)
+        for r in parse_sitemaps(spark.read.parquet(in_dir)).collect()
+    )
+    assert streamed == batch
+    assert len(streamed) == 4 * 3 + 1
+    assert any(e == "dtd-rejected" for (_, _, _, e) in streamed)
