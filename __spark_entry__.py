@@ -635,6 +635,38 @@ def q_warc_records(spark, sf_dir):
     return parse_warc_files(files)
 
 
+def q_tokenize_pack(spark, sf_dir):
+    """Training-batch prep composition: REAL BPE train (8 merges, the
+    bpe_vocab table) → doc-level encode (distinct words segmented once
+    and broadcast back; raw text never shuffles) → GPT-style sequence
+    packing of the BPE token counts via the two-level distributed
+    prefix sum (pack_offsets, seq_len=256). This is the step between a
+    prepped corpus and a training run: every doc gets its global token
+    offset and the sequence window [start_seq, +n_seqs) it occupies.
+    The encode relation is persisted — it feeds BOTH the packing
+    branch and the n_words join-back, the multi-consumer recompute
+    pattern this round's perf audit established. The oracle wraps the
+    full 8-round merge replay in a prefix-sum window."""
+    from newspaper_spark import cache
+    from newspaper_spark.operators.bpe import (
+        bpe_encode_docs,
+        bpe_train,
+        bpe_word_counts,
+    )
+    from newspaper_spark.operators.packing import pack_offsets
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = bpe_train(bpe_word_counts(d), 8)
+    enc = cache.track(bpe_encode_docs(d, merges).persist())
+    packed = pack_offsets(
+        enc, id_col="doc_id", count_col="n_bpe_tokens", seq_len=256
+    )
+    return packed.join(enc.select("doc_id", "n_words"), "doc_id").select(
+        "doc_id", "n_words", "n_bpe_tokens", "offset",
+        "start_seq", "start_pos", "n_seqs",
+    )
+
+
 def q_sitemap_urls(spark, sf_dir):
     """Sitemap-protocol crawl discovery (feeds.parse_sitemaps) — the
     channel robots.txt's ``Sitemap:`` directive points at, completing
@@ -2228,6 +2260,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("warc_extract", q_warc_extract),
     ("dclm_prep", q_dclm_prep),
     ("sitemap_urls", q_sitemap_urls),
+    ("tokenize_pack", q_tokenize_pack),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3105,6 +3138,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_vocab": _bpe_oracle_sql(8),
         "bpe_encode": _bpe_oracle_sql(8, doc_level=True),
+        "tokenize_pack": f"""
+            WITH enc AS ({_bpe_oracle_sql(8, doc_level=True)}), o AS (
+                SELECT doc_id, n_words, n_bpe_tokens,
+                       coalesce(sum(n_bpe_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0)::BIGINT AS "offset"
+                FROM enc
+            )
+            SELECT doc_id, n_words, n_bpe_tokens, "offset",
+                   ("offset" // 256)::BIGINT AS start_seq,
+                   ("offset" % 256)::BIGINT AS start_pos,
+                   (CASE WHEN n_bpe_tokens > 0
+                         THEN ("offset" + n_bpe_tokens - 1) // 256
+                              - "offset" // 256 + 1
+                         ELSE 0 END)::BIGINT AS n_seqs
+            FROM o
+        """,
         "frontier": f"""
             WITH u AS ({_SYNTH_URL_SQL}),
             h AS (

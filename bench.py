@@ -302,6 +302,7 @@ def query_timings(cores: int) -> tuple[dict, dict]:
         "warc_extract",
         "dclm_prep",
         "sitemap_urls",
+        "tokenize_pack",
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)
