@@ -635,6 +635,37 @@ def q_warc_records(spark, sf_dir):
     return parse_warc_files(files)
 
 
+def q_pagerank(spark, sf_dir):
+    """Integer-exact damped PageRank (operators/graph.py) over a
+    deterministic 3-outlink graph on the document ids (dst = (2d+1),
+    (3d+2), (7d+5) mod N; self-loops dropped, duplicates collapse) —
+    the link-authority primitive crawl prioritization and domain-
+    quality priors use (Common Crawl ships host-level ranks for
+    exactly this). Scaled-integer arithmetic with truncating division
+    makes all 3 iterations bit-deterministic and order-free; the
+    oracle unrolls them relationally. Completes the iterative-
+    algorithm family next to dedup_clusters (connected components)."""
+    from newspaper_spark.operators.graph import pagerank_int
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    nn = d.agg(F.count("*").cast("long").alias("n"))
+    e = (
+        d.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 2 + 1) % F.col("n"),
+                    (F.col("doc_id") * 3 + 2) % F.col("n"),
+                    (F.col("doc_id") * 7 + 5) % F.col("n"),
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return pagerank_int(e, iterations=3)
+
+
 def q_tokenize_pack(spark, sf_dir):
     """Training-batch prep composition: REAL BPE train (8 merges, the
     bpe_vocab table) → doc-level encode (distinct words segmented once
@@ -2261,6 +2292,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("dclm_prep", q_dclm_prep),
     ("sitemap_urls", q_sitemap_urls),
     ("tokenize_pack", q_tokenize_pack),
+    ("pagerank", q_pagerank),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3913,6 +3945,59 @@ def oracle_sql() -> dict[str, str]:
                 FROM d, ic2
             )
             SELECT * FROM resp UNION ALL SELECT * FROM info
+        """,
+        "pagerank": """
+            WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT doc_id AS src, (doc_id * 2 + 1) % n AS dst
+                    FROM documents, nn
+                    UNION ALL
+                    SELECT doc_id, (doc_id * 3 + 2) % n FROM documents, nn
+                    UNION ALL
+                    SELECT doc_id, (doc_id * 7 + 5) % n FROM documents, nn
+                ) WHERE src <> dst
+            ), nodes AS (
+                SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), od AS (
+                SELECT src, count(*)::BIGINT AS od FROM e GROUP BY src
+            ), r0 AS (
+                SELECT node, 1000000::BIGINT AS rank FROM nodes
+            ), c1 AS (
+                SELECT e.dst AS node,
+                       sum(((r0.rank // od.od) * 85) // 100)::BIGINT AS inflow
+                FROM e JOIN r0 ON e.src = r0.node
+                       JOIN od ON e.src = od.src
+                GROUP BY e.dst
+            ), r1 AS (
+                SELECT nodes.node,
+                       (150000 + coalesce(c1.inflow, 0))::BIGINT AS rank
+                FROM nodes LEFT JOIN c1 USING (node)
+            ), c2 AS (
+                SELECT e.dst AS node,
+                       sum(((r1.rank // od.od) * 85) // 100)::BIGINT AS inflow
+                FROM e JOIN r1 ON e.src = r1.node
+                       JOIN od ON e.src = od.src
+                GROUP BY e.dst
+            ), r2 AS (
+                SELECT nodes.node,
+                       (150000 + coalesce(c2.inflow, 0))::BIGINT AS rank
+                FROM nodes LEFT JOIN c2 USING (node)
+            ), c3 AS (
+                SELECT e.dst AS node,
+                       sum(((r2.rank // od.od) * 85) // 100)::BIGINT AS inflow
+                FROM e JOIN r2 ON e.src = r2.node
+                       JOIN od ON e.src = od.src
+                GROUP BY e.dst
+            ), r3 AS (
+                SELECT nodes.node,
+                       (150000 + coalesce(c3.inflow, 0))::BIGINT AS rank
+                FROM nodes LEFT JOIN c3 USING (node)
+            )
+            SELECT r3.node,
+                   coalesce(od.od, 0)::BIGINT AS out_degree,
+                   r3.rank
+            FROM r3 LEFT JOIN od ON r3.node = od.src
         """,
         "sitemap_urls": f"""
             WITH u AS ({_SYNTH_URL_SQL})

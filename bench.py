@@ -303,6 +303,7 @@ def query_timings(cores: int) -> tuple[dict, dict]:
         "dclm_prep",
         "sitemap_urls",
         "tokenize_pack",
+        "pagerank",
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)

@@ -3916,3 +3916,45 @@ def test_streaming_sitemap_parse_batch_equal(spark, tmp_path):
     assert streamed == batch
     assert len(streamed) == 4 * 3 + 1
     assert any(e == "dtd-rejected" for (_, _, _, e) in streamed)
+
+
+def test_pagerank_int_matches_python_model(spark):
+    """pagerank_int vs an independent dict-based integer model on
+    random digraphs (self-loops and duplicate edges in the input,
+    sink nodes, disconnected pairs) — pins the scaled-integer
+    recurrence, the no-dangling-redistribution semantics, and the
+    out_degree-0 sink behavior independently of the DuckDB oracle."""
+    import random
+
+    from newspaper_spark.operators.graph import pagerank_int
+
+    def model(edge_list, iters, scale=1_000_000):
+        e = sorted({(s, d) for s, d in edge_list})
+        nodes = {s for s, _ in e} | {d for _, d in e}
+        od = {}
+        for s, _ in e:
+            od[s] = od.get(s, 0) + 1
+        r = {v: scale for v in nodes}
+        base = (15 * scale) // 100
+        for _ in range(iters):
+            inflow = {v: 0 for v in nodes}
+            for s, d in e:
+                inflow[d] += ((r[s] // od[s]) * 85) // 100
+            r = {v: base + inflow[v] for v in nodes}
+        return {v: (od.get(v, 0), r[v]) for v in nodes}
+
+    for seed in range(4):
+        rng = random.Random(900 + seed)
+        n = rng.randint(5, 12)
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randint(4, 25))
+        ]
+        # ensure at least one sink: strip node 0's outgoing edges
+        edges = [(s, d) for s, d in edges if s != 0] + [(1, 0)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: (r.out_degree, r.rank)
+            for r in pagerank_int(df, iterations=3).collect()
+        }
+        assert got == model(edges, 3), f"seed {seed}"
