@@ -635,6 +635,31 @@ def q_warc_records(spark, sf_dir):
     return parse_warc_files(files)
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (dedup.kmv_distinct, Bar-Yossef et
+    al. 2002) — the cardinality pre-estimate a 100 TB dedup plan runs
+    before committing to the full shuffle. Per-source URL sketches
+    (25 distinct/source at sf0.01 < k=64 → the exact small-range
+    path) plus one global '__ALL__' sketch (500 > k → the real
+    (k−1)·2^60/h_k estimator fires). md5-derived hashes and one IEEE
+    double division make the sketch bit-deterministic; the oracle
+    replays hashes, the rank-≤-k window, and the estimate exactly."""
+    from newspaper_spark.operators.dedup import kmv_distinct
+
+    u = _synth_urls(spark, sf_dir)
+    v = u.join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    ).select("source", "url")
+    per_source = kmv_distinct(v, "url", group_col="source", k=64)
+    overall = kmv_distinct(v, "url", group_col=None, k=64).select(
+        F.lit("__ALL__").alias("source"),
+        "n_hashes",
+        "kth_min_hash",
+        "est_distinct",
+    )
+    return per_source.unionByName(overall)
+
+
 def q_pagerank(spark, sf_dir):
     """Integer-exact damped PageRank (operators/graph.py) over a
     deterministic 3-outlink graph on the document ids (dst = (2d+1),
@@ -2293,6 +2318,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("sitemap_urls", q_sitemap_urls),
     ("tokenize_pack", q_tokenize_pack),
     ("pagerank", q_pagerank),
+    ("kmv_distinct", q_kmv_distinct),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3945,6 +3971,49 @@ def oracle_sql() -> dict[str, str]:
                 FROM d, ic2
             )
             SELECT * FROM resp UNION ALL SELECT * FROM info
+        """,
+        "kmv_distinct": f"""
+            WITH u AS ({_SYNTH_URL_SQL}),
+            v AS (
+                SELECT d.source, u.url
+                FROM u JOIN documents d USING (doc_id)
+            ), hs AS (
+                SELECT DISTINCT source,
+                       ('0x' || substring(md5(url), 1, 15))::BIGINT AS h
+                FROM v
+            ), tk AS (
+                SELECT source, h,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY h
+                       ) AS rn
+                FROM hs
+            ), ag AS (
+                SELECT source, count(*)::BIGINT AS n_hashes,
+                       max(h)::BIGINT AS kth_min_hash
+                FROM tk WHERE rn <= 64 GROUP BY source
+            ), hg AS (
+                SELECT DISTINCT ('0x' || substring(md5(url), 1, 15))::BIGINT AS h
+                FROM v
+            ), tg AS (
+                SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hg
+            ), agg AS (
+                SELECT count(*)::BIGINT AS n_hashes,
+                       max(h)::BIGINT AS kth_min_hash
+                FROM tg WHERE rn <= 64
+            )
+            SELECT source, n_hashes, kth_min_hash,
+                   (CASE WHEN n_hashes < 64 THEN n_hashes
+                         ELSE floor((63::DOUBLE * 1152921504606846976::DOUBLE)
+                                    / kth_min_hash::DOUBLE)::BIGINT
+                    END)::BIGINT AS est_distinct
+            FROM ag
+            UNION ALL
+            SELECT '__ALL__', n_hashes, kth_min_hash,
+                   (CASE WHEN n_hashes < 64 THEN n_hashes
+                         ELSE floor((63::DOUBLE * 1152921504606846976::DOUBLE)
+                                    / kth_min_hash::DOUBLE)::BIGINT
+                    END)::BIGINT AS est_distinct
+            FROM agg
         """,
         "pagerank": """
             WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),

@@ -304,6 +304,7 @@ def query_timings(cores: int) -> tuple[dict, dict]:
         "sitemap_urls",
         "tokenize_pack",
         "pagerank",
+        "kmv_distinct",
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)

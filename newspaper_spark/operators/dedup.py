@@ -592,3 +592,67 @@ def connected_components(
             "high-diameter graphs"
         )
     return labels.select("id", "rep")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group — the
+    cardinality estimator dedup planning runs BEFORE committing to a
+    full dedup pass ("how many distinct URLs/fingerprints per source?"
+    at 100 TB, where exact count-distinct is itself a massive
+    shuffle).
+
+    Estimator (Bar-Yossef et al. 2002): hash values uniformly into
+    [0, 2^60) (``md5_long`` — md5-derived, so DuckDB reconstructs the
+    identical hashes), keep each group's k smallest distinct hashes;
+    with h_k the k-th smallest, estimate (k−1) · 2^60 / h_k. This
+    implementation is fully DETERMINISTIC — same input, same sketch,
+    same estimate, on both engines: the only float op is one IEEE
+    double division + floor, identical everywhere (the BIGINT product
+    (k−1)·2^60 would overflow, hence the double).
+
+    Scale shape: distinct (group, hash) pairs shuffle once (map-side
+    combined), then ONE rank-≤-k window per group — Spark pushes that
+    down as WindowGroupLimit (per-partition partial top-k before the
+    shuffle, the bm25_topk pattern), so no group ever materializes
+    more than k rows past the scan. Groups with fewer than k distinct
+    values report their EXACT count (n_seen < k ⇒ estimate := n_seen,
+    the standard KMV small-range rule).
+
+    Returns ``(group?, n_hashes, kth_min_hash, est_distinct)``.
+    """
+    from pyspark.sql import Window as W
+
+    grp = [group_col] if group_col else []
+    hashes = df.select(
+        *grp, md5_long(F.col(value_col)).alias("h")
+    ).distinct()
+    w = (
+        W.partitionBy(*grp).orderBy("h")
+        if grp
+        else W.partitionBy(F.lit(1)).orderBy("h")
+    )
+    topk = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    est = F.when(
+        F.col("n_hashes") < k, F.col("n_hashes")
+    ).otherwise(
+        F.floor(
+            (F.lit(float(k - 1)) * F.lit(float(1 << 60)))
+            / F.col("kth_min_hash").cast("double")
+        )
+    )
+    return (
+        topk.groupBy(*grp)
+        .agg(
+            F.count("*").cast("long").alias("n_hashes"),
+            F.max("h").cast("long").alias("kth_min_hash"),
+        )
+        .select(*grp, "n_hashes", "kth_min_hash",
+                est.cast("long").alias("est_distinct"))
+    )

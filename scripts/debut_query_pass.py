@@ -20,7 +20,7 @@ from newspaper_spark.plans.session import get_spark  # noqa: E402
 from newspaper_spark.sources.transcripts import synthetic_transcripts  # noqa: E402
 
 DEBUTS = ["quality_classifier", "ccnet_prep", "bm25_topk",
-          "exact_substr", "stupid_backoff", "warc_records", "warc_extract", "dclm_prep", "sitemap_urls", "tokenize_pack", "pagerank"]
+          "exact_substr", "stupid_backoff", "warc_records", "warc_extract", "dclm_prep", "sitemap_urls", "tokenize_pack", "pagerank", "kmv_distinct"]
 
 
 def main():

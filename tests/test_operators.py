@@ -3958,3 +3958,47 @@ def test_pagerank_int_matches_python_model(spark):
             for r in pagerank_int(df, iterations=3).collect()
         }
         assert got == model(edges, 3), f"seed {seed}"
+
+
+def test_kmv_distinct_matches_python_model(spark):
+    """kmv_distinct vs an independent hashlib-based model: grouped
+    and ungrouped, duplicated values, groups under k (exact path) and
+    over k (estimator path); the estimate lands within the standard
+    ~1/sqrt(k) KMV error band on the over-k group."""
+    import hashlib
+
+    from newspaper_spark.operators.dedup import kmv_distinct
+
+    def h60(v):
+        return int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+
+    def model(pairs, k):
+        groups = {}
+        for g, v in pairs:
+            groups.setdefault(g, set()).add(h60(v))
+        out = {}
+        for g, hs in groups.items():
+            top = sorted(hs)[:k]
+            n, kth = len(top), max(top)
+            est = n if n < k else int((float(k - 1) * float(1 << 60)) / float(kth))
+            out[g] = (n, kth, est)
+        return out
+
+    k = 16
+    pairs = [("small", f"v{i % 7}") for i in range(30)] + [
+        ("big", f"w{i}") for i in range(400)
+    ]
+    df = spark.createDataFrame(pairs, "g string, v string")
+    got = {
+        r.g: (r.n_hashes, r.kth_min_hash, r.est_distinct)
+        for r in kmv_distinct(df, "v", group_col="g", k=k).collect()
+    }
+    assert got == model(pairs, k)
+    assert got["small"] == (7, got["small"][1], 7)  # exact path
+    est = got["big"][2]
+    assert 400 * 0.5 < est < 400 * 2.0  # estimator path, sane band
+    # ungrouped call covers the global branch
+    (row,) = kmv_distinct(df, "v", k=k).collect()
+    assert row.n_hashes == k and row.est_distinct == model(
+        [("all", v) for _, v in pairs], k
+    )["all"][2]
