@@ -660,6 +660,65 @@ def q_kmv_distinct(spark, sf_dir):
     return per_source.unionByName(overall)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters (operators/sketches.py, Cormode &
+    Muthukrishnan 2005) — the frequency sketch a 100 TB stopword /
+    blocklist pass runs instead of an exact global per-token count.
+    Stream = the documents' whitespace tokens plus one planted rare
+    token per doc ('tok-r{doc_id%211}', so the candidate relation is
+    ~8x the heavy set and the CMS actually separates). depth=3,
+    width=64 — narrow on purpose so collisions OCCUR at sf0.01 and
+    the min-over-rows estimate visibly overestimates while never
+    underestimating; the data-relative threshold (stream/30) rides in
+    as a broadcast single-row join, no driver collect. The oracle
+    replays counters, min-probe, threshold, and the exact verify."""
+    from newspaper_spark.operators.sketches import cms_heavy_hitters
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).unionAll(
+        d.select(
+            F.concat(
+                F.lit("tok-r"), (F.col("doc_id") % 211).cast("string")
+            ).alias("tok")
+        )
+    )
+    thr = toks.agg(
+        F.expr("cast(count(*) div 30 as bigint)").alias("threshold")
+    )
+    return cms_heavy_hitters(toks, "tok", thr, depth=3, width=64)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog cardinality sketch (operators/sketches.py,
+    Flajolet et al. 2007) over the synthetic URL universe — the
+    constant-memory complement to kmv_distinct (m registers per group
+    vs k exact hashes): per-source sketches land in the small-range
+    regime (25 distinct « m=64, flagged honestly instead of silently
+    ln()-corrected — see the module docstring on cross-engine
+    transcendentals) while the global '__ALL__' sketch (500 distinct)
+    exercises the real harmonic-mean estimator. Scaled-integer
+    register sum + one IEEE double division = bit-deterministic; the
+    oracle replays buckets, rho from length(bin(rem)), the register
+    max, and the estimate exactly."""
+    from newspaper_spark.operators.sketches import hll_distinct
+
+    u = _synth_urls(spark, sf_dir)
+    v = u.join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    ).select("source", "url")
+    per_source = hll_distinct(v, "url", group_col="source", p=6)
+    overall = hll_distinct(v, "url", group_col=None, p=6).select(
+        F.lit("__ALL__").alias("source"),
+        "n_zero_buckets",
+        "sum_scaled",
+        "est_raw",
+        "small_range",
+    )
+    return per_source.unionByName(overall)
+
+
 def q_pagerank(spark, sf_dir):
     """Integer-exact damped PageRank (operators/graph.py) over a
     deterministic 3-outlink graph on the document ids (dst = (2d+1),
@@ -2319,6 +2378,8 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("tokenize_pack", q_tokenize_pack),
     ("pagerank", q_pagerank),
     ("kmv_distinct", q_kmv_distinct),
+    ("heavy_hitters", q_heavy_hitters),
+    ("hll_distinct", q_hll_distinct),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -4014,6 +4075,100 @@ def oracle_sql() -> dict[str, str]:
                                     / kth_min_hash::DOUBLE)::BIGINT
                     END)::BIGINT AS est_distinct
             FROM agg
+        """,
+        "heavy_hitters": """
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents
+                UNION ALL
+                SELECT 'tok-r' || (doc_id % 211)::VARCHAR FROM documents
+            ), rr AS (
+                SELECT unnest([0, 1, 2]) AS r
+            ), tot AS (
+                SELECT (count(*) // 30)::BIGINT AS threshold FROM toks
+            ), counters AS (
+                SELECT r,
+                       ('0x' || substring(
+                            md5('cms' || r::VARCHAR || ':' || tok), 1, 15
+                        ))::BIGINT % 64 AS col,
+                       count(*)::BIGINT AS cnt
+                FROM toks, rr
+                GROUP BY 1, 2
+            ), cand AS (
+                SELECT DISTINCT tok FROM toks
+            ), probes AS (
+                SELECT tok, r,
+                       ('0x' || substring(
+                            md5('cms' || r::VARCHAR || ':' || tok), 1, 15
+                        ))::BIGINT % 64 AS col
+                FROM cand, rr
+            ), est AS (
+                SELECT p.tok,
+                       min(coalesce(c.cnt, 0))::BIGINT AS est_count
+                FROM probes p
+                LEFT JOIN counters c ON p.r = c.r AND p.col = c.col
+                GROUP BY 1
+            ), hh AS (
+                SELECT tok, est_count
+                FROM est, tot
+                WHERE est_count >= threshold
+            ), exact AS (
+                SELECT tok, count(*)::BIGINT AS exact_count
+                FROM toks
+                WHERE tok IN (SELECT tok FROM hh)
+                GROUP BY 1
+            )
+            SELECT hh.tok, hh.est_count, exact.exact_count
+            FROM hh JOIN exact USING (tok)
+        """,
+        "hll_distinct": f"""
+            WITH u AS ({_SYNTH_URL_SQL}),
+            v AS (
+                SELECT d.source, u.url
+                FROM u JOIN documents d USING (doc_id)
+            ), h AS (
+                SELECT source,
+                       ('0x' || substring(md5(url), 1, 15))::BIGINT AS h
+                FROM v
+            ), r AS (
+                SELECT source, h >> 54 AS bucket,
+                       CASE WHEN h % 18014398509481984 = 0 THEN 55
+                            ELSE 55 - length(bin(h % 18014398509481984))
+                       END AS mrho
+                FROM h
+            ), regs AS (
+                SELECT source, bucket, max(mrho) AS mrho
+                FROM r GROUP BY 1, 2
+            ), ag AS (
+                SELECT source,
+                       sum(1::BIGINT << (55 - mrho))::BIGINT AS sp,
+                       count(*)::BIGINT AS nb
+                FROM regs GROUP BY 1
+            ), agg AS (
+                SELECT bucket, max(mrho) AS mrho
+                FROM r GROUP BY 1
+            ), agall AS (
+                SELECT sum(1::BIGINT << (55 - mrho))::BIGINT AS sp,
+                       count(*)::BIGINT AS nb
+                FROM agg
+            ), names AS (
+                SELECT source, sp, nb FROM ag
+                UNION ALL
+                SELECT '__ALL__', sp, nb FROM agall
+            )
+            SELECT source,
+                   (64 - nb)::BIGINT AS n_zero_buckets,
+                   (sp + (64 - nb) * 36028797018963968)::BIGINT
+                       AS sum_scaled,
+                   floor((0.709::DOUBLE * 4096::DOUBLE
+                          * 36028797018963968::DOUBLE)
+                         / (sp + (64 - nb) * 36028797018963968)::DOUBLE
+                   )::BIGINT AS est_raw,
+                   (floor((0.709::DOUBLE * 4096::DOUBLE
+                           * 36028797018963968::DOUBLE)
+                          / (sp + (64 - nb) * 36028797018963968)::DOUBLE
+                    )::BIGINT <= 160 AND (64 - nb) > 0) AS small_range
+            FROM names
         """,
         "pagerank": """
             WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),

@@ -4002,3 +4002,126 @@ def test_kmv_distinct_matches_python_model(spark):
     assert row.n_hashes == k and row.est_distinct == model(
         [("all", v) for _, v in pairs], k
     )["all"][2]
+
+
+def test_cms_matches_python_model_and_never_underestimates(spark):
+    """cms_counters/cms_estimate vs an independent hashlib model on a
+    deliberately narrow sketch (width 16 → real collisions): counter
+    cells exact, estimates exact, and est >= true count for EVERY
+    value (the CMS one-sided error guarantee heavy_hitters relies on
+    for zero false negatives)."""
+    import hashlib
+
+    from newspaper_spark.operators.sketches import cms_counters, cms_estimate
+
+    def h60(v):
+        return int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+
+    depth, width = 3, 16
+    vals = [f"v{i % 11}" for i in range(120)] + ["solo-a", "solo-b"]
+    truth = {v: vals.count(v) for v in set(vals)}
+    cells = {}
+    for v in vals:
+        for r in range(depth):
+            c = h60(f"cms{r}:{v}") % width
+            cells[(r, c)] = cells.get((r, c), 0) + 1
+    model_est = {
+        v: min(cells.get((r, h60(f"cms{r}:{v}") % width), 0) for r in range(depth))
+        for v in set(vals)
+    }
+
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+    counters = cms_counters(df, "tok", depth, width)
+    assert {(r.row, r.col): r.cnt for r in counters.collect()} == cells
+    got = {
+        r.tok: r.est
+        for r in cms_estimate(
+            counters, df.select("tok").distinct(), "tok", depth, width
+        ).collect()
+    }
+    assert got == model_est
+    assert all(got[v] >= truth[v] for v in truth)  # one-sided error
+    # a value absent from the build stream estimates from untouched or
+    # collided cells — still >= its true count of 0
+    (miss,) = cms_estimate(
+        counters, spark.createDataFrame([("absent",)], "tok string"),
+        "tok", depth, width,
+    ).collect()
+    assert miss.est >= 0
+
+
+def test_cms_heavy_hitters_threshold_forms(spark):
+    """Integer threshold and single-row-DataFrame threshold produce
+    identical heavy-hitter sets; exact_count is the true stream count
+    and est_count >= exact_count everywhere."""
+    from pyspark.sql import functions as F
+
+    from newspaper_spark.operators.sketches import cms_heavy_hitters
+
+    vals = ["hot"] * 50 + ["warm"] * 20 + [f"cold{i}" for i in range(30)]
+    truth = {v: vals.count(v) for v in set(vals)}
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+
+    by_int = {
+        r.tok: (r.est_count, r.exact_count)
+        for r in cms_heavy_hitters(df, "tok", 15, depth=3, width=32).collect()
+    }
+    thr = df.agg(F.expr("cast(count(*) div 6 as bigint)").alias("threshold"))
+    by_df = {
+        r.tok: (r.est_count, r.exact_count)
+        for r in cms_heavy_hitters(df, "tok", thr, depth=3, width=32).collect()
+    }
+    # count(*)=100, div 6 = 16 vs int 15: same candidate set here (no
+    # estimate lands on 15/16 exactly for this data — assert both ways)
+    assert set(by_int) >= {"hot", "warm"}
+    assert all(e >= x and x == truth[t] for t, (e, x) in by_int.items())
+    assert all(e >= x and x == truth[t] for t, (e, x) in by_df.items())
+    assert not any(t.startswith("cold") for t in by_int)
+
+
+def test_hll_distinct_matches_python_model(spark):
+    """hll_distinct vs an independent hashlib/math model: grouped and
+    ungrouped, duplicates collapse, small-range flag fires for tiny
+    groups, raw estimate within the ~1.04/sqrt(m) band for the large
+    group, and p outside the supported constants raises."""
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    from newspaper_spark.operators.sketches import hll_distinct
+
+    def model(values, p):
+        m, rmax = 1 << p, 61 - p
+        regs = {}
+        for v in set(values):
+            h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+            b, rem = h >> (60 - p), h % (1 << (60 - p))
+            rho = rmax if rem == 0 else rmax - rem.bit_length()
+            regs[b] = max(regs.get(b, 0), rho)
+        s = sum(1 << (rmax - r) for r in regs.values())
+        s += (m - len(regs)) * (1 << rmax)
+        alpha = {4: 0.673, 5: 0.697, 6: 0.709}[p]
+        est = math.floor((alpha * float(m * m) * float(1 << rmax)) / float(s))
+        return m - len(regs), s, est, (est <= 5 * m // 2 and len(regs) < m)
+
+    pairs = [("small", f"v{i % 5}") for i in range(40)] + [
+        ("big", f"w{i}") for i in range(600)
+    ]
+    df = spark.createDataFrame(pairs, "g string, v string")
+    got = {
+        r.g: (r.n_zero_buckets, r.sum_scaled, r.est_raw, r.small_range)
+        for r in hll_distinct(df, "v", group_col="g", p=6).collect()
+    }
+    assert got["small"] == model([v for g, v in pairs if g == "small"], 6)
+    assert got["big"] == model([v for g, v in pairs if g == "big"], 6)
+    assert got["small"][3] is True  # 5 distinct « m=64 → flagged
+    est_big = got["big"][2]
+    assert 600 * 0.6 < est_big < 600 * 1.6  # ~3σ of 1.04/sqrt(64)
+    (row,) = hll_distinct(df, "v", p=6).collect()
+    assert (row.n_zero_buckets, row.sum_scaled, row.est_raw) == model(
+        [v for _, v in pairs], 6
+    )[:3]
+    for p_bad in (3, 7, 10):
+        with _pytest.raises(ValueError):
+            hll_distinct(df, "v", p=p_bad)
