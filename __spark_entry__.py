@@ -1164,6 +1164,26 @@ def q_pack_offsets(spark, sf_dir):
     return pack_offsets(counted, seq_len=256)
 
 
+def q_shard_assign(spark, sf_dir):
+    """Deterministic global training-order shuffle + token-capacity
+    sharding (packing.shard_assign) — the randomize-then-shard step
+    between corpus prep and the packed writer. The permutation key is
+    md5-derived (reproducible from the seed, stable under task
+    retries, identical in DuckDB), offsets ride the same two-level
+    distributed prefix sum as pack_offsets but in (shuffle_key, id)
+    order, and shard membership is the greedy document-boundary rule
+    offset div 4096. The oracle replays the permutation, the running
+    window, and the per-shard rank exactly."""
+    from newspaper_spark.operators.packing import shard_assign
+    from newspaper_spark.operators.textstats import token_count_col
+
+    d = _docs(spark, sf_dir)
+    counted = d.select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return shard_assign(counted, shard_tokens=4096, seed="shard")
+
+
 def q_normalize_text(spark, sf_dir):
     """NFC normalization + control stripping (operators/normalize.py);
     oracle via DuckDB nfc_normalize (verified identical to Python
@@ -2380,6 +2400,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("kmv_distinct", q_kmv_distinct),
     ("heavy_hitters", q_heavy_hitters),
     ("hll_distinct", q_hll_distinct),
+    ("shard_assign", q_shard_assign),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3016,6 +3037,28 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN n_tokens > 0
                          THEN ("offset" + n_tokens - 1) // 256 - "offset" // 256 + 1
                          ELSE 0 END)::BIGINT AS n_seqs
+            FROM o
+        """,
+        "shard_assign": """
+            WITH c AS (
+                SELECT doc_id,
+                       len(string_split(trim(regexp_replace(lower(text),
+                           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' '))::BIGINT AS n_tokens,
+                       ('0x' || substring(
+                            md5('shard:' || doc_id::VARCHAR), 1, 15
+                        ))::BIGINT AS skey
+                FROM documents
+            ), o AS (
+                SELECT doc_id, skey, n_tokens,
+                       coalesce(sum(n_tokens) OVER (ORDER BY skey, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0)::BIGINT AS "offset"
+                FROM c
+            )
+            SELECT doc_id, skey AS shuffle_key, n_tokens, "offset",
+                   ("offset" // 4096)::BIGINT AS shard_id,
+                   (row_number() OVER (PARTITION BY "offset" // 4096
+                        ORDER BY skey, doc_id) - 1)::BIGINT AS pos_in_shard
             FROM o
         """,
         "normalize_text": """

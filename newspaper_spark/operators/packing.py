@@ -30,28 +30,16 @@ from newspaper_spark import cache
 
 
 
-def pack_offsets(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    count_col: str = "n_tokens",
-    seq_len: int = 256,
-    num_partitions: int = 64,
+def _global_offsets(
+    rows: DataFrame, order_cols: list[str], num_partitions: int
 ) -> DataFrame:
-    """(id, n_tokens, offset, start_seq, start_pos, n_seqs).
-
-    ``offset`` is the exclusive prefix sum of ``count_col`` in id
-    order; a doc occupies global token positions [offset, offset+n).
-    ``n_seqs`` is how many length-``seq_len`` sequences it touches
-    (0 for empty docs).
-    """
-    ordered = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.coalesce(F.col(count_col), F.lit(0)).cast("long").alias("n"),
-        )
-        .repartitionByRange(num_partitions, "id")
-        .sortWithinPartitions("id")
-    )
+    """The two-level distributed exclusive prefix sum of column ``n``
+    in ``order_cols`` order (see module docstring): returns ``rows``'s
+    columns plus ``offset``. ``order_cols`` must be a total order
+    (ties would make the scan partitioning-dependent)."""
+    ordered = rows.repartitionByRange(
+        num_partitions, *order_cols
+    ).sortWithinPartitions(*order_cols)
     # persist is CORRECTNESS-load-bearing, not a perf hint: with_pid
     # fans into the partition-totals branch and the placement branch,
     # and spark_partition_id depends on the range shuffle's SAMPLED
@@ -73,18 +61,45 @@ def pack_offsets(
     # exclusive prefix over partition totals: #partitions rows — this
     # window IS single-partition, by design, and O(partitions)
     wpid = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-    base = part_tot.select(
+    bases = part_tot.select(
         "pid", F.coalesce(F.sum("psum").over(wpid), F.lit(0)).alias("pbase")
     )
-    wlocal = W.partitionBy("pid").orderBy("id").rowsBetween(
+    wlocal = W.partitionBy("pid").orderBy(*order_cols).rowsBetween(
         W.unboundedPreceding, -1
     )
-    placed = (
+    out_cols = list(rows.columns)
+    return (
         with_pid.withColumn(
             "loff", F.coalesce(F.sum("n").over(wlocal), F.lit(0))
         )
-        .join(F.broadcast(base), "pid")
-        .select("id", "n", (F.col("pbase") + F.col("loff")).alias("offset"))
+        .join(F.broadcast(bases), "pid")
+        .select(
+            *out_cols, (F.col("pbase") + F.col("loff")).alias("offset")
+        )
+    )
+
+
+def pack_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    seq_len: int = 256,
+    num_partitions: int = 64,
+) -> DataFrame:
+    """(id, n_tokens, offset, start_seq, start_pos, n_seqs).
+
+    ``offset`` is the exclusive prefix sum of ``count_col`` in id
+    order; a doc occupies global token positions [offset, offset+n).
+    ``n_seqs`` is how many length-``seq_len`` sequences it touches
+    (0 for empty docs).
+    """
+    placed = _global_offsets(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.coalesce(F.col(count_col), F.lit(0)).cast("long").alias("n"),
+        ),
+        ["id"],
+        num_partitions,
     )
     start_seq = F.floor(F.col("offset") / seq_len)
     end_seq = F.floor((F.col("offset") + F.col("n") - 1) / seq_len)
@@ -98,4 +113,70 @@ def pack_offsets(
         .otherwise(F.lit(0))
         .cast("long")
         .alias("n_seqs"),
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    shard_tokens: int = 4096,
+    seed: str = "shard",
+    num_partitions: int = 64,
+) -> DataFrame:
+    """Deterministic global training-order shuffle + token-capacity
+    shard assignment — the "randomize then shard" step every
+    pretraining data pipeline runs between corpus prep and the packed
+    writer (docs must NOT arrive in crawl/source order, and output
+    shards must hold a fixed token budget).
+
+    The "shuffle" is an md5-derived sort key (``md5_60(seed || ':' ||
+    id)``), so the permutation is reproducible from the seed alone,
+    identical across engines, and — unlike a random() sort — stable
+    under retries and stragglers. Offsets come from the same two-level
+    distributed prefix sum as :func:`pack_offsets`, ordered by
+    ``(shuffle_key, id)`` (id tiebreak keeps the scan a total order in
+    the 2^-60 event of a key collision); a doc belongs to the shard
+    its FIRST token lands in (``offset div shard_tokens`` — greedy
+    document-boundary sharding: shards may spill past the budget by at
+    most one document, the standard pretraining convention).
+
+    ``pos_in_shard`` is the doc's 0-based rank inside its shard. That
+    window partitions by ``shard_id``, whose size is bounded by
+    ``shard_tokens`` (a constant) — never a hot key.
+
+    Returns ``(id, shuffle_key, n_tokens, offset, shard_id,
+    pos_in_shard)``.
+    """
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    placed = _global_offsets(
+        df.select(
+            F.col(id_col).alias("id"),
+            key.alias("skey"),
+            F.coalesce(F.col(count_col), F.lit(0)).cast("long").alias("n"),
+        ),
+        ["skey", "id"],
+        num_partitions,
+    )
+    with_shard = placed.withColumn(
+        "shard_id", F.expr(f"cast(offset div {int(shard_tokens)} as bigint)")
+    )
+    wshard = W.partitionBy("shard_id").orderBy("skey", "id")
+    return with_shard.select(
+        F.col("id").alias(id_col),
+        F.col("skey").alias("shuffle_key"),
+        F.col("n").alias(count_col),
+        "offset",
+        "shard_id",
+        (F.row_number().over(wshard) - 1).cast("long").alias("pos_in_shard"),
     )

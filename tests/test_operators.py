@@ -4125,3 +4125,66 @@ def test_hll_distinct_matches_python_model(spark):
     for p_bad in (3, 7, 10):
         with _pytest.raises(ValueError):
             hll_distinct(df, "v", p=p_bad)
+
+
+def test_shard_assign_matches_python_model(spark):
+    """shard_assign vs an independent hashlib model: md5 permutation
+    key, exclusive prefix offsets in (key, id) order, greedy
+    document-boundary shard rule, per-shard 0-based ranks. Plus the
+    structural invariants: every shard's ranks are contiguous from 0,
+    shard token sums stay under capacity + one document (the greedy
+    overflow bound), and a different seed yields a different
+    permutation of the same rows."""
+    import hashlib
+
+    from newspaper_spark.operators.packing import shard_assign
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = [(i, 7 + (i * 13) % 90) for i in range(200)]  # (id, n_tokens)
+    cap = 256
+
+    def model(seed):
+        keyed = sorted(
+            ((h60(f"{seed}:{i}"), i, n) for i, n in rows)
+        )
+        out, off = {}, 0
+        shard_rank = {}
+        for k, i, n in keyed:
+            sid = off // cap
+            r = shard_rank.get(sid, 0)
+            out[i] = (k, n, off, sid, r)
+            shard_rank[sid] = r + 1
+            off += n
+        return out
+
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r.doc_id: (
+            r.shuffle_key, r.n_tokens, r.offset, r.shard_id, r.pos_in_shard
+        )
+        for r in shard_assign(
+            df, shard_tokens=cap, seed="shard", num_partitions=8
+        ).collect()
+    }
+    assert got == model("shard")
+
+    # structural invariants
+    by_shard = {}
+    for i, (k, n, off, sid, r) in got.items():
+        by_shard.setdefault(sid, []).append((r, n))
+    max_doc = max(n for _, n in rows)
+    for sid, members in by_shard.items():
+        ranks = sorted(r for r, _ in members)
+        assert ranks == list(range(len(members)))
+        assert sum(n for _, n in members) < cap + max_doc
+
+    other = {
+        r.doc_id: r.offset
+        for r in shard_assign(
+            df, shard_tokens=cap, seed="epoch1", num_partitions=8
+        ).collect()
+    }
+    assert other == {i: off for i, (_, _, off, _, _) in model("epoch1").items()}
+    assert other != {i: off for i, (_, _, off, _, _) in got.items()}
