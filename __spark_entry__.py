@@ -669,9 +669,11 @@ def q_heavy_hitters(spark, sf_dir):
     ~8x the heavy set and the CMS actually separates). depth=3,
     width=64 — narrow on purpose so collisions OCCUR at sf0.01 and
     the min-over-rows estimate visibly overestimates while never
-    underestimating; the data-relative threshold (stream/30) rides in
-    as a broadcast single-row join, no driver collect. The oracle
-    replays counters, min-probe, threshold, and the exact verify."""
+    underestimating; the data-relative threshold (stream/30,
+    total_div=30) rides in as a broadcast single-row join derived from
+    the one persisted per-token count relation — ONE pass over the
+    raw stream total, no driver collect. The oracle replays counters,
+    min-probe, threshold, and the exact verify."""
     from newspaper_spark.operators.sketches import cms_heavy_hitters
 
     d = _docs(spark, sf_dir)
@@ -684,10 +686,7 @@ def q_heavy_hitters(spark, sf_dir):
             ).alias("tok")
         )
     )
-    thr = toks.agg(
-        F.expr("cast(count(*) div 30 as bigint)").alias("threshold")
-    )
-    return cms_heavy_hitters(toks, "tok", thr, depth=3, width=64)
+    return cms_heavy_hitters(toks, "tok", depth=3, width=64, total_div=30)
 
 
 def q_hll_distinct(spark, sf_dir):

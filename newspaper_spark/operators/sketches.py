@@ -144,42 +144,66 @@ def cms_estimate(
 def cms_heavy_hitters(
     df: DataFrame,
     value_col: str,
-    threshold: "int | DataFrame",
+    threshold: "int | DataFrame | None" = None,
     depth: int = 3,
     width: int = 64,
+    *,
+    total_div: "int | None" = None,
 ) -> DataFrame:
     """Heavy hitters with exact verification: every value whose
     Count-Min estimate reaches ``threshold`` (zero false negatives by
-    the CMS overestimate guarantee), with its exact stream count
-    joined back for the candidate set only.
+    the CMS overestimate guarantee), with its exact stream count.
 
     ``threshold`` is an int, or a SINGLE-ROW DataFrame with a
-    ``threshold`` column (e.g. ``stream.agg((count/30).alias(
-    "threshold"))``) broadcast-joined in — the relational form of a
-    data-relative cutoff, so no driver collect sits in the plan.
+    ``threshold`` column broadcast-joined in — the relational form of
+    a data-relative cutoff, so no driver collect sits in the plan.
+    ``total_div`` is the cheaper spelling of the common relative form
+    ``total_stream_count div k``: it derives the cutoff from the
+    already-persisted per-value count relation instead of a caller-
+    side second pass over the raw stream.
 
-    Returns ``(value, est_count, exact_count)``. Scale shape: the
-    candidate relation is the map-side-combined distinct of the
-    stream's values probed against the broadcast counter table; the
-    exact pass counts ONLY rows surviving a broadcast semi-join on the
-    (typically tiny) candidate set — at no point does an exact global
-    per-value count over the full key space run.
+    Returns ``(value, est_count, exact_count)``. Scale shape: ONE
+    map-side-combined ``groupBy(value).count()`` is the only pass over
+    the raw stream, and its distinct-key shuffle is the same volume
+    (±8 bytes/key) a candidate ``distinct`` would cost — so the exact
+    counts, the sketch build (weighted: ``sum(w)`` per cell equals the
+    streaming +=1 by associativity), the probe relation, and the
+    relative threshold are all derived from that one persisted
+    relation (cache-tracked; released by the caller's
+    ``cache.tracking_scope()``). Leaves a Spark job behind for the
+    persist. When even the distinct-key shuffle is too much — a
+    candidate universe that must stay bounded — build the counters
+    with :func:`cms_counters` and probe an externally-bounded
+    candidate set with :func:`cms_estimate` directly; this composition
+    is the exact-verify shape, not the bounded-candidate shape.
     """
-    counters = cms_counters(df, value_col, depth, width)
-    candidates = df.select(value_col).distinct()
-    est = cms_estimate(counters, candidates, value_col, depth, width)
-    if isinstance(threshold, DataFrame):
+    from newspaper_spark import cache
+
+    if (threshold is None) == (total_div is None):
+        raise ValueError("pass exactly one of threshold / total_div")
+    wc = cache.track(
+        df.groupBy(value_col)
+        .agg(F.count("*").cast("long").alias("exact_count"))
+        .persist()
+    )
+    counters = cms_counters(wc, value_col, depth, width, weight_col="exact_count")
+    est = cms_estimate(counters, wc, value_col, depth, width)
+    if total_div is not None:
+        thr = wc.agg(
+            F.expr(
+                f"cast(sum(exact_count) div {int(total_div)} as bigint)"
+            ).alias("threshold")
+        )
+        est = est.crossJoin(F.broadcast(thr)).filter(
+            F.col("est") >= F.col("threshold")
+        ).drop("threshold")
+    elif isinstance(threshold, DataFrame):
         est = est.crossJoin(F.broadcast(threshold)).filter(
             F.col("est") >= F.col("threshold")
         ).drop("threshold")
     else:
         est = est.filter(F.col("est") >= F.lit(int(threshold)))
-    exact = (
-        df.join(F.broadcast(est.select(value_col)), value_col, "left_semi")
-        .groupBy(value_col)
-        .agg(F.count("*").cast("long").alias("exact_count"))
-    )
-    return est.join(exact, value_col).select(
+    return est.select(
         value_col,
         F.col("est").alias("est_count"),
         "exact_count",

@@ -4073,10 +4073,24 @@ def test_cms_heavy_hitters_threshold_forms(spark):
     }
     # count(*)=100, div 6 = 16 vs int 15: same candidate set here (no
     # estimate lands on 15/16 exactly for this data — assert both ways)
+    by_div = {
+        r.tok: (r.est_count, r.exact_count)
+        for r in cms_heavy_hitters(
+            df, "tok", depth=3, width=32, total_div=6
+        ).collect()
+    }
     assert set(by_int) >= {"hot", "warm"}
     assert all(e >= x and x == truth[t] for t, (e, x) in by_int.items())
     assert all(e >= x and x == truth[t] for t, (e, x) in by_df.items())
+    assert by_div == by_df  # total_div=6 IS the count(*) div 6 cutoff
     assert not any(t.startswith("cold") for t in by_int)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cms_heavy_hitters(df, "tok")  # neither threshold form
+    with _pytest.raises(ValueError):
+        cms_heavy_hitters(df, "tok", 15, total_div=6)  # both forms
 
 
 def test_hll_distinct_matches_python_model(spark):
