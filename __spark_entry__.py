@@ -1183,6 +1183,39 @@ def q_shard_assign(spark, sf_dir):
     return shard_assign(counted, shard_tokens=4096, seed="shard")
 
 
+def q_pmi_collocations(spark, sf_dir):
+    """Adjacent-bigram PMI collocations (textstats.pmi_collocations,
+    Church & Hanks 1990). The synthetic vocabulary is ~31 uniformly
+    mixed words (every bigram PMI ≈ 0 — nothing to mine), so the query
+    plants association structure the way dclm_prep enriches its input:
+    'neural network' (always adjacent, 2× on every doc_id%3==0 doc —
+    strong collocation), 'gradient descent' on doc_id%7==0 (moderate
+    count, perfect association), and 'common w{doc_id%13}' on EVERY
+    doc ('common' pairs with 13 different right words — high count,
+    LOW association, the frequency≠association case PMI exists to
+    separate). min_count=5, top_k=50 with the 6dp-rounded
+    deterministic boundary. The oracle replays tokenization, bigram
+    slots, marginals, and the rounded top-k cut."""
+    from newspaper_spark.operators.textstats import pmi_collocations
+
+    d = _docs(spark, sf_dir)
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" neural network neural network"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" gradient descent")
+            ).otherwise(F.lit("")),
+            F.concat(F.lit(" common w"), (F.col("doc_id") % 13).cast("string")),
+        ).alias("text"),
+    )
+    return pmi_collocations(enriched, min_count=5, top_k=50)
+
+
 def q_normalize_text(spark, sf_dir):
     """NFC normalization + control stripping (operators/normalize.py);
     oracle via DuckDB nfc_normalize (verified identical to Python
@@ -2400,6 +2433,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("heavy_hitters", q_heavy_hitters),
     ("hll_distinct", q_hll_distinct),
     ("shard_assign", q_shard_assign),
+    ("pmi_collocations", q_pmi_collocations),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3059,6 +3093,48 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY "offset" // 4096
                         ORDER BY skey, doc_id) - 1)::BIGINT AS pos_in_shard
             FROM o
+        """,
+        "pmi_collocations": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN ' neural network neural network'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 7 = 0
+                            THEN ' gradient descent' ELSE '' END ||
+                       ' common w' || (doc_id % 13)::VARCHAR AS text
+                FROM documents
+            ), n AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+                FROM aug
+            ), tokpos AS (
+                SELECT doc_id, i AS pos, t[i] AS w
+                FROM n, unnest(range(1, len(t) + 1)) AS r(i)
+            ), bg0 AS (
+                SELECT doc_id, w AS w1,
+                       lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                FROM tokpos
+            ), bg AS (
+                SELECT w1, w2, count(*)::BIGINT AS pair_n
+                FROM bg0 WHERE w2 IS NOT NULL GROUP BY w1, w2
+            ), l AS (
+                SELECT w1, sum(pair_n)::BIGINT AS left_n FROM bg GROUP BY w1
+            ), r AS (
+                SELECT w2, sum(pair_n)::BIGINT AS right_n FROM bg GROUP BY w2
+            ), tot AS (
+                SELECT sum(pair_n)::BIGINT AS n_bigrams FROM bg
+            )
+            SELECT bg.w1, bg.w2, bg.pair_n, l.left_n, r.right_n,
+                   floor(log10((bg.pair_n::DOUBLE * tot.n_bigrams::DOUBLE) /
+                               (l.left_n::DOUBLE * r.right_n::DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS pmi
+            FROM bg JOIN l USING (w1) JOIN r USING (w2), tot
+            WHERE bg.pair_n >= 5
+            ORDER BY pmi DESC, bg.w1, bg.w2
+            LIMIT 50
         """,
         "normalize_text": """
             WITH aug AS (

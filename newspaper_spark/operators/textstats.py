@@ -556,6 +556,80 @@ def tfidf_topk(
     )
 
 
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Adjacent-bigram PMI collocation mining (Church & Hanks 1990,
+    "Word Association Norms, Mutual Information, and Lexicography") —
+    the corpus-statistics pass that surfaces multi-word units
+    ("neural network") for tokenizer vocab seeding, stopword-phrase
+    blocklists, and boilerplate phrase discovery.
+
+    ``PMI(w1,w2) = log10(P(w1,w2) / (P(w1)·P(w2)))`` over the
+    adjacent-bigram event space: the marginals count bigram SLOTS
+    (occurrences of ``w`` as left / as right member), not raw tokens,
+    so all three probabilities share one sample space and the
+    estimator is the textbook one.
+
+    Scale shape: one posexplode + per-doc lead window (bounded by doc
+    length) feeds a map-side-combined ``groupBy(w1, w2)`` — (gram,
+    count) pairs are the only corpus-sized shuffle; that relation is
+    persisted (cache-tracked, released by the caller's
+    ``tracking_scope()``) and reused for both marginals and the total,
+    so the corpus is read once. Marginal joins are keyed by w1/w2 and
+    NOT broadcast (a web-scale vocabulary isn't — the stupid_backoff
+    precedent; hot function-word keys are AQE skew-split, and the join
+    payload is a single count). ``min_count`` is an exact integer cut;
+    the top-k boundary orders by the PORTABLY ROUNDED score (6dp
+    floor-round, the repo regime) with a (w1, w2) lexical tiebreak —
+    pairs are unique, so the order is total and the LIMIT cut is
+    engine-deterministic. Per surviving pair the only float work is
+    one log10 of a quotient of exact-in-double integer products
+    (factors cast to double BEFORE multiplying — the dsir BIGINT
+    overflow lesson).
+
+    Returns the top-k ``(w1, w2, pair_n, left_n, right_n, pmi)``.
+    """
+    from pyspark.sql import Window as W
+
+    did = F.col(id_col).alias("id")
+    t = df.select(
+        did,
+        F.posexplode(
+            _tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("pos", "w1"),
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    bg = cache.track(
+        t.select("id", "w1", F.lead("w1").over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("pair_n"))
+        .persist()
+    )
+    left = bg.groupBy("w1").agg(F.sum("pair_n").cast("long").alias("left_n"))
+    right = bg.groupBy("w2").agg(F.sum("pair_n").cast("long").alias("right_n"))
+    tot = bg.agg(F.sum("pair_n").cast("long").alias("n_bigrams"))
+    pmi_raw = F.log10(
+        (F.col("pair_n").cast("double") * F.col("n_bigrams").cast("double"))
+        / (F.col("left_n").cast("double") * F.col("right_n").cast("double"))
+    )
+    pmi = F.floor(pmi_raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        bg.filter(F.col("pair_n") >= F.lit(int(min_count)))
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "pair_n", "left_n", "right_n", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(int(top_k))
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.withColumns(

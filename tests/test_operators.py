@@ -4202,3 +4202,70 @@ def test_shard_assign_matches_python_model(spark):
     }
     assert other == {i: off for i, (_, _, off, _, _) in model("epoch1").items()}
     assert other != {i: off for i, (_, _, off, _, _) in got.items()}
+
+
+def test_pmi_collocations_matches_python_model(spark):
+    """pmi_collocations vs an independent math model: bigram-slot
+    marginals (NOT raw-token counts), exact integer counts, 6dp
+    floor-rounded log10 score, min_count cut, and the deterministic
+    top-k boundary. Also the semantic point: a perfectly-associated
+    planted pair outranks a higher-frequency promiscuous pair."""
+    import math
+
+    from newspaper_spark.operators.textstats import pmi_collocations
+
+    docs = []
+    for i in range(40):
+        base = "alpha beta gamma delta " * 3
+        planted = " neural network" * 2 if i % 2 == 0 else ""
+        # w_k also rides behind 'filler', doubling its right marginal —
+        # so (common, w_k) is HALF as associated as (neural, network)
+        # rather than landing on the exact same n/40 ratio
+        promiscuous = f" common w{i % 8} filler w{(i + 1) % 8}"
+        docs.append((i, base.strip() + planted + promiscuous))
+
+    # model: adjacent bigrams per doc, slot marginals, pmi
+    from collections import Counter
+
+    pairs = Counter()
+    for _, text in docs:
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            pairs[(a, b)] += 1
+    left = Counter()
+    right = Counter()
+    for (a, b), c in pairs.items():
+        left[a] += c
+        right[b] += c
+    n = sum(pairs.values())
+    min_count, top_k = 3, 10
+
+    def pmi6(c12, cl, cr):
+        raw = math.log10((float(c12) * float(n)) / (float(cl) * float(cr)))
+        return math.floor(raw * 1000000.0 + 0.5) / 1000000.0
+
+    surv = [
+        (pmi6(c, left[a], right[b]), a, b, c, left[a], right[b])
+        for (a, b), c in pairs.items()
+        if c >= min_count
+    ]
+    surv.sort(key=lambda t: (-t[0], t[1], t[2]))
+    expect = [(a, b, c, cl, cr, p) for p, a, b, c, cl, cr in surv[:top_k]]
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [
+        (r.w1, r.w2, r.pair_n, r.left_n, r.right_n, r.pmi)
+        for r in pmi_collocations(
+            df, min_count=min_count, top_k=top_k
+        ).collect()
+    ]
+    assert got == expect
+
+    ranks = {(a, b): i for i, (a, b, *_) in enumerate(got)}
+    assert ("neural", "network") in ranks
+    # 'common' appears in MORE docs than 'neural network' but spreads
+    # over 8 right words — every common-pair scores below the planted
+    # collocation (when it survives min_count at all)
+    for (a, b), i in ranks.items():
+        if a == "common":
+            assert i > ranks[("neural", "network")]
