@@ -1216,6 +1216,21 @@ def q_pmi_collocations(spark, sf_dir):
     return pmi_collocations(enriched, min_count=5, top_k=50)
 
 
+def q_chunk_text(spark, sf_dir):
+    """Sliding-window token chunking (operators/chunking.py) — the
+    RAG/embedding prep step: 32-token windows, stride 24 (8-token
+    overlap), each chunk carrying its global token offset so
+    similarity hits map back into the doc. Map-only, ZERO shuffles;
+    the 1 + ceil(max(n-c,0)/s) window rule, the offsets, and the
+    joined window text are pure integer arithmetic + slicing, replayed
+    exactly by the oracle (no floats anywhere)."""
+    from newspaper_spark.operators.chunking import chunk_text
+
+    return chunk_text(
+        _docs(spark, sf_dir), chunk_tokens=32, stride=24
+    )
+
+
 def q_normalize_text(spark, sf_dir):
     """NFC normalization + control stripping (operators/normalize.py);
     oracle via DuckDB nfc_normalize (verified identical to Python
@@ -2434,6 +2449,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("hll_distinct", q_hll_distinct),
     ("shard_assign", q_shard_assign),
     ("pmi_collocations", q_pmi_collocations),
+    ("chunk_text", q_chunk_text),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3093,6 +3109,28 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY "offset" // 4096
                         ORDER BY skey, doc_id) - 1)::BIGINT AS pos_in_shard
             FROM o
+        """,
+        "chunk_text": """
+            WITH n AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+                FROM documents
+            ), d AS (
+                SELECT doc_id, t, len(t)::BIGINT AS n FROM n
+            ), e AS (
+                SELECT doc_id, t, n, k AS chunk_id
+                FROM d, unnest(range(0,
+                    ((greatest(n - 32, 0) + 23) // 24) + 1)) AS r(k)
+            )
+            SELECT doc_id,
+                   chunk_id::BIGINT AS chunk_id,
+                   (chunk_id * 24)::BIGINT AS start_tok,
+                   least(32, n - chunk_id * 24)::BIGINT AS n_chunk_tokens,
+                   array_to_string(
+                       t[(chunk_id * 24 + 1):least(chunk_id * 24 + 32, n)],
+                       ' ') AS chunk_text
+            FROM e
         """,
         "pmi_collocations": """
             WITH aug AS (

@@ -4269,3 +4269,50 @@ def test_pmi_collocations_matches_python_model(spark):
     for (a, b), i in ranks.items():
         if a == "common":
             assert i > ranks[("neural", "network")]
+
+
+def test_chunk_text_matches_python_model(spark):
+    """chunk_text vs an independent window model: window count rule,
+    offsets, short final windows, single-window docs, the empty-doc
+    one-''-token convention, and the reconstruction invariant — the
+    stride-aligned prefix of every chunk reassembles the original
+    token stream exactly (no token lost between windows)."""
+    from newspaper_spark.operators.chunking import chunk_text
+
+    c, s = 5, 3
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(13))),
+        (2, " ".join(f"u{i}" for i in range(5))),   # exactly one window
+        (3, " ".join(f"v{i}" for i in range(6))),   # n = c + 1
+        (4, "solo"),
+        (5, ""),
+        (6, "  A   B\tC  "),                        # WS collapse + lower
+    ]
+
+    def model(text):
+        toks = " ".join(text.lower().split()).split(" ")
+        n = len(toks)
+        m = (max(n - c, 0) + s - 1) // s + 1
+        return [
+            (k, k * s, min(c, n - k * s), " ".join(toks[k * s:k * s + c]))
+            for k in range(m)
+        ]
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in chunk_text(df, chunk_tokens=c, stride=s).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.start_tok, r.n_chunk_tokens, r.chunk_text)
+        )
+    for i, text in docs:
+        assert sorted(got[i]) == model(text), f"doc {i}"
+
+    # reconstruction: first `s` tokens of every non-final chunk + the
+    # whole final chunk == the token stream
+    for i, text in docs:
+        chunks = sorted(got[i])
+        toks = []
+        for k, (_, _, _, ct) in enumerate(chunks):
+            piece = ct.split(" ")
+            toks.extend(piece[:s] if k < len(chunks) - 1 else piece)
+        assert toks == " ".join(text.lower().split()).split(" "), f"doc {i}"
