@@ -1231,6 +1231,48 @@ def q_chunk_text(spark, sf_dir):
     )
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts (graph.triangle_count) via degree-
+    ordered edge orientation (Suri & Vassilvitskii 2011) — wedge
+    fan-out bounded by oriented out-degree O(sqrt E), every triangle
+    counted once at its minimum-rank vertex, all-integer output.
+    Graph = pagerank's deterministic 3-outlink relation treated
+    undirected, plus a planted ~6-node clique on doc_id % (n div 6)
+    == 3 (the modulus scales with n, so clique size — and the planted
+    edge count — stays CONSTANT at any sf; its build is a broadcast
+    self-join of those ~6 rows). The oracle counts triangles
+    implementation-independently: the id-ordered triple join over the
+    canonical a<b edge set."""
+    from newspaper_spark.operators.graph import triangle_count
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    nn = d.agg(F.count("*").cast("long").alias("n"))
+    e = (
+        d.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 2 + 1) % F.col("n"),
+                    (F.col("doc_id") * 3 + 2) % F.col("n"),
+                    (F.col("doc_id") * 7 + 5) % F.col("n"),
+                )
+            ).alias("dst"),
+        )
+    )
+    cl = (
+        d.crossJoin(F.broadcast(nn))
+        .filter(F.col("doc_id") % F.expr("n div 6") == 3)
+        .select(F.col("doc_id").alias("v"))
+    )
+    clique = (
+        cl.select(F.col("v").alias("src"))
+        .crossJoin(F.broadcast(cl.select(F.col("v").alias("dst"))))
+        .filter(F.col("src") < F.col("dst"))
+    )
+    return triangle_count(e.unionAll(clique))
+
+
 def q_normalize_text(spark, sf_dir):
     """NFC normalization + control stripping (operators/normalize.py);
     oracle via DuckDB nfc_normalize (verified identical to Python
@@ -2450,6 +2492,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("shard_assign", q_shard_assign),
     ("pmi_collocations", q_pmi_collocations),
     ("chunk_text", q_chunk_text),
+    ("triangle_count", q_triangle_count),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3109,6 +3152,47 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY "offset" // 4096
                         ORDER BY skey, doc_id) - 1)::BIGINT AS pos_in_shard
             FROM o
+        """,
+        "triangle_count": """
+            WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            base AS (
+                SELECT doc_id AS src, t AS dst
+                FROM documents, nn,
+                     unnest([(doc_id * 2 + 1) % n,
+                             (doc_id * 3 + 2) % n,
+                             (doc_id * 7 + 5) % n]) AS u(t)
+            ), cl AS (
+                SELECT doc_id AS v FROM documents, nn
+                WHERE doc_id % (n // 6) = 3
+            ), clique AS (
+                SELECT x.v AS src, y.v AS dst FROM cl x, cl y
+                WHERE x.v < y.v
+            ), alledges AS (
+                SELECT src, dst FROM base
+                UNION ALL SELECT src, dst FROM clique
+            ), und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM alledges WHERE src <> dst
+            ), deg AS (
+                SELECT node, count(*)::BIGINT AS degree
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b AS node FROM und)
+                GROUP BY node
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+            ), pn AS (
+                SELECT node, count(*)::BIGINT AS n_triangles
+                FROM (SELECT x AS node FROM tri
+                      UNION ALL SELECT y AS node FROM tri
+                      UNION ALL SELECT z AS node FROM tri)
+                GROUP BY node
+            )
+            SELECT d.node, d.degree,
+                   coalesce(pn.n_triangles, 0)::BIGINT AS n_triangles
+            FROM deg d LEFT JOIN pn USING (node)
         """,
         "chunk_text": """
             WITH n AS (

@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank_int"]
+__all__ = ["pagerank_int", "triangle_count"]
 
 
 def pagerank_int(
@@ -98,4 +98,86 @@ def pagerank_int(
         "node",
         F.coalesce("od", F.lit(0)).cast("long").alias("out_degree"),
         "rank",
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED graph induced by
+    an edge relation — the cohesion/community primitive (local
+    clustering structure, spam-farm detection in link graphs, graph
+    feature generation) next to pagerank_int's authority ranking.
+
+    Algorithm: degree-ordered edge orientation (the classic
+    MapReduce-scale formulation — Suri & Vassilvitskii 2011, Cohen
+    2009): canonicalize to distinct undirected edges, orient every
+    edge from its lower-(degree, node) endpoint to the higher, and
+    self-join oriented edges on their source to enumerate wedges.
+    Every triangle is then counted EXACTLY ONCE — at its minimum-rank
+    vertex, whose two triangle edges are both outgoing — and the
+    wedge fan-out per vertex is bounded by oriented out-degree =
+    O(sqrt(|E|)), so the hot high-degree hubs that would explode a
+    naive neighbor join become wedge DESTINATIONS, not sources (the
+    100x-scale argument; residual source skew is AQE-split, and every
+    shuffle carries bare (node, node) pairs).
+
+    Self-loops are dropped, duplicate/reverse edges collapse. Returns
+    ``(node, degree, n_triangles)`` for every node of the canonical
+    edge set — all exact BIGINT integers (no floats anywhere; a
+    clustering-coefficient consumer divides 2T by deg(deg-1) itself).
+    """
+    a = F.least(F.col(src_col), F.col(dst_col)).alias("a")
+    b = F.greatest(F.col(src_col), F.col(dst_col)).alias("b")
+    und = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(a, b)
+        .distinct()
+    )
+    from newspaper_spark import cache
+
+    und = cache.track(und.persist())
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    deg = cache.track(deg.persist())
+    # orient by (degree, node) total order: src = lower-rank endpoint
+    keyed = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
+    )
+    lower_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = cache.track(
+        keyed.select(
+            F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("v"),
+        ).persist()
+    )
+    o1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
+    wedges = o1.join(o2, "u").filter(F.col("v1") < F.col("v2"))
+    closing = und.select(
+        F.least("a", "b").alias("ca"), F.greatest("a", "b").alias("cb")
+    )
+    tris = wedges.join(
+        closing,
+        (F.least("v1", "v2") == F.col("ca"))
+        & (F.greatest("v1", "v2") == F.col("cb")),
+    ).select("u", "v1", "v2")
+    per_node = (
+        tris.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
     )

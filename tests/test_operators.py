@@ -4316,3 +4316,45 @@ def test_chunk_text_matches_python_model(spark):
             piece = ct.split(" ")
             toks.extend(piece[:s] if k < len(chunks) - 1 else piece)
         assert toks == " ".join(text.lower().split()).split(" "), f"doc {i}"
+
+
+def test_triangle_count_matches_python_model(spark):
+    """triangle_count vs an independent adjacency-set model on a
+    seeded random digraph WITH reverse duplicates, self-loops, and a
+    planted hub + clique: degrees from the canonical undirected edge
+    set, per-node triangle membership counts, zero rows for
+    triangle-free nodes come back as 0 (left join), and total
+    triangle mass is divisible by 3."""
+    import random
+
+    from newspaper_spark.operators.graph import triangle_count
+
+    rng = random.Random(17)
+    N = 50
+    raw = [(v, v) for v in range(0, N, 9)]  # self-loops: dropped
+    for _ in range(160):
+        raw.append((rng.randrange(N), rng.randrange(N)))
+    raw += [(0, v) for v in range(1, 12)]          # hub
+    raw += [(b, a) for a, b in raw if a != b][:40]  # reverse dups
+    clique = [10, 20, 30, 40]
+    raw += [(x, y) for x in clique for y in clique if x < y]
+
+    und = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {
+        v: sum(1 for x, y in und if x in adj[v] and y in adj[v])
+        for v in adj
+    }
+
+    df = spark.createDataFrame(raw, "src long, dst long")
+    got = {
+        r.node: (r.degree, r.n_triangles) for r in triangle_count(df).collect()
+    }
+    assert set(got) == set(adj)
+    assert got == {v: (len(adj[v]), expect[v]) for v in adj}
+    assert sum(t for _, t in got.values()) % 3 == 0
+    # the planted clique's members hold at least C(3,2)=3 triangles
+    assert all(got[v][1] >= 3 for v in clique)
