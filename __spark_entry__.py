@@ -1273,6 +1273,51 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(e.unionAll(clique))
 
 
+def q_anchor_topk(spark, sf_dir):
+    """Per-target anchor-text aggregation (operators/anchors.py):
+    top-2 normalized anchors per link target + total in-links — the
+    cross-page link-text signal pass composing with page_links'
+    per-page extraction. Link relation = pagerank's 3-outlink graph
+    with 5 deterministic anchor variants keyed by (src+target)%5, two
+    of which normalize to the same string ('Click  Here'/'click
+    here') so the WS_CLASS+lower collapse is exercised, one empty.
+    Rank order (n DESC, anchor) is total per target → the k-cut is
+    engine-deterministic; the window runs over the AGGREGATED
+    relation with WindowGroupLimit pushdown (kmv argument)."""
+    from newspaper_spark.operators.anchors import anchor_topk
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    nn = d.agg(F.count("*").cast("long").alias("n"))
+    variants = F.array(
+        F.lit("Click  Here"),
+        F.lit("click here"),
+        F.lit("Read More"),
+        F.lit("homepage"),
+        F.lit(""),
+    )
+    links = (
+        d.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 2 + 1) % F.col("n"),
+                    (F.col("doc_id") * 3 + 2) % F.col("n"),
+                    (F.col("doc_id") * 7 + 5) % F.col("n"),
+                )
+            ).alias("target"),
+        )
+        .select(
+            "target",
+            F.element_at(
+                variants,
+                ((F.col("src") + F.col("target")) % 5 + 1).cast("int"),
+            ).alias("anchor"),
+        )
+    )
+    return anchor_topk(links, k=2)
+
+
 def q_normalize_text(spark, sf_dir):
     """NFC normalization + control stripping (operators/normalize.py);
     oracle via DuckDB nfc_normalize (verified identical to Python
@@ -2493,6 +2538,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("pmi_collocations", q_pmi_collocations),
     ("chunk_text", q_chunk_text),
     ("triangle_count", q_triangle_count),
+    ("anchor_topk", q_anchor_topk),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3152,6 +3198,39 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY "offset" // 4096
                         ORDER BY skey, doc_id) - 1)::BIGINT AS pos_in_shard
             FROM o
+        """,
+        "anchor_topk": """
+            WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            links AS (
+                SELECT t AS target,
+                       (['Click  Here', 'click here', 'Read More',
+                         'homepage', ''])[
+                           ((doc_id + t) % 5 + 1)::INT] AS anchor
+                FROM documents, nn,
+                     unnest([(doc_id * 2 + 1) % n,
+                             (doc_id * 3 + 2) % n,
+                             (doc_id * 7 + 5) % n]) AS u(t)
+            ), norm AS (
+                SELECT target,
+                       trim(regexp_replace(lower(anchor),
+                           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS anchor
+                FROM links
+            ), agg AS (
+                SELECT target, anchor, count(*)::BIGINT AS n_mentions
+                FROM norm GROUP BY target, anchor
+            ), tot AS (
+                SELECT target, sum(n_mentions)::BIGINT AS in_links
+                FROM agg GROUP BY target
+            ), rk AS (
+                SELECT target, anchor, n_mentions,
+                       row_number() OVER (PARTITION BY target
+                           ORDER BY n_mentions DESC, anchor)::BIGINT AS rank
+                FROM agg
+            )
+            SELECT rk.target, rk.anchor, rk.n_mentions, rk.rank,
+                   tot.in_links
+            FROM rk JOIN tot USING (target)
+            WHERE rank <= 2
         """,
         "triangle_count": """
             WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),

@@ -4358,3 +4358,42 @@ def test_triangle_count_matches_python_model(spark):
     assert sum(t for _, t in got.values()) % 3 == 0
     # the planted clique's members hold at least C(3,2)=3 triangles
     assert all(got[v][1] >= 3 for v in clique)
+
+
+def test_anchor_topk_matches_python_model(spark):
+    """anchor_topk vs a Counter model: WS/case normalization collapses
+    variants, per-target (count DESC, anchor) rank, k-cut, in_links
+    totals count ALL anchors (not just survivors), empty/null anchors
+    normalize to '' and participate."""
+    from collections import Counter
+
+    from newspaper_spark.operators.anchors import anchor_topk
+
+    rows = []
+    for i in range(60):
+        t = i % 7
+        rows.append((t, ["Click  Here", "click here", "Read More",
+                         None, "  "][i % 5]))
+    rows.append((9, "only one"))
+
+    norm = lambda s: " ".join((s or "").lower().split())
+    per = {}
+    for t, a in rows:
+        per.setdefault(t, Counter())[norm(a)] += 1
+    k = 2
+    expect = set()
+    for t, ctr in per.items():
+        ranked = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (a, n) in enumerate(ranked[:k], start=1):
+            expect.add((t, a, n, rank, sum(ctr.values())))
+
+    df = spark.createDataFrame(rows, "target long, anchor string")
+    got = {
+        (r.target, r.anchor, r.n_mentions, r.rank, r.in_links)
+        for r in anchor_topk(df, k=k).collect()
+    }
+    assert got == expect
+    # the two Click-Here variants merged: every target with >=1 of
+    # them reports the merged count under 'click here'
+    merged = [g for g in got if g[1] == "click here"]
+    assert merged and all(n >= 2 for _, _, n, _, _ in merged)
