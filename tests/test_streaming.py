@@ -331,3 +331,47 @@ def test_streaming_robots_gate_batch_equal(spark, tmp_path):
     # the fixture exercises both verdicts and a no-rules host
     assert any(v[0] for v in streamed.values())
     assert any(not v[0] for v in streamed.values())
+
+
+def test_streaming_chunk_text_batch_equal(spark, tmp_path):
+    """chunk_text (map-only: tokenize + arithmetic window explode +
+    slice, no aggregation, no state) on an availableNow stream must
+    produce exactly the batch chunking — the RAG-prep operator a
+    streaming ingest loop runs per micro-batch before embedding."""
+    from newspaper_spark.operators.chunking import chunk_text
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs = [
+        (i, " ".join(f"w{i}x{j}" for j in range(5 + (i * 11) % 40)))
+        for i in range(80)
+    ] + [(99, "")]
+    batch_df = spark.createDataFrame(docs, "doc_id long, text string")
+    batch_df.write.parquet(in_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(in_dir)
+    chunked = chunk_text(stream, chunk_tokens=8, stride=5)
+    assert chunked.isStreaming
+    q = (
+        chunked.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    key = lambda r: (r.doc_id, r.chunk_id, r.start_tok, r.n_chunk_tokens,
+                     r.chunk_text)
+    streamed = sorted(key(r) for r in spark.read.parquet(out_dir).collect())
+    batch = sorted(
+        key(r) for r in chunk_text(batch_df, chunk_tokens=8, stride=5).collect()
+    )
+    assert streamed == batch
+    assert len({d for d, *_ in streamed}) == 81  # every doc chunked
+    assert any(n < 8 for _, _, _, n, _ in streamed)  # short finals occur
