@@ -1318,6 +1318,22 @@ def q_anchor_topk(spark, sf_dir):
     return anchor_topk(links, k=2)
 
 
+def q_build_postings(spark, sf_dir):
+    """Positional inverted-index build (operators/index.py): one row
+    per (term, doc) with tf, '+'-joined delta-gap positions (the
+    Elias/varint compression front-end, kept as an exact string so
+    the driver canonicalizer stays array-free), and term-level df/cf
+    computed from the aggregated postings relation — one corpus pass
+    total. The per-(doc, term) lag window's partition is bounded by
+    within-doc term repeats, never a corpus-wide key; the df/cf
+    join-back is term-keyed, not broadcast (web-scale lexicon). The
+    oracle replays positions, gaps (ordered string_agg), and both
+    frequencies exactly — all integers and strings."""
+    from newspaper_spark.operators.index import build_postings
+
+    return build_postings(_docs(spark, sf_dir))
+
+
 def q_normalize_text(spark, sf_dir):
     """NFC normalization + control stripping (operators/normalize.py);
     oracle via DuckDB nfc_normalize (verified identical to Python
@@ -2539,6 +2555,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("chunk_text", q_chunk_text),
     ("triangle_count", q_triangle_count),
     ("anchor_topk", q_anchor_topk),
+    ("build_postings", q_build_postings),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3198,6 +3215,34 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY "offset" // 4096
                         ORDER BY skey, doc_id) - 1)::BIGINT AS pos_in_shard
             FROM o
+        """,
+        "build_postings": """
+            WITH n AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+                FROM documents
+            ), tokpos AS (
+                SELECT doc_id, (i - 1)::BIGINT AS pos, t[i] AS term
+                FROM n, unnest(range(1, len(t) + 1)) AS r(i)
+            ), d AS (
+                SELECT doc_id, term, pos,
+                       (pos - coalesce(lag(pos) OVER (
+                            PARTITION BY doc_id, term ORDER BY pos),
+                            0))::BIGINT AS delta
+                FROM tokpos
+            ), p AS (
+                SELECT term, doc_id, count(*)::BIGINT AS tf,
+                       string_agg(delta::VARCHAR, '+' ORDER BY pos)
+                           AS deltas
+                FROM d GROUP BY term, doc_id
+            ), s AS (
+                SELECT term, count(*)::BIGINT AS df,
+                       sum(tf)::BIGINT AS cf
+                FROM p GROUP BY term
+            )
+            SELECT p.term, p.doc_id, p.tf, p.deltas, s.df, s.cf
+            FROM p JOIN s USING (term)
         """,
         "anchor_topk": """
             WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),

@@ -1,0 +1,94 @@
+"""Positional inverted-index construction — the IR index-build pass
+(term → document postings with delta-encoded token positions plus
+document/collection frequencies) that sits downstream of extraction
+in a search pipeline, and upstream of BM25 scoring (``bm25.py``
+consumes exactly this shape of statistics).
+
+No reference counterpart (newspaper3k has per-article keyword bags
+only); this completes the retrieval family: chunking (``chunking.py``)
+→ index build (here) → BM25 top-k (``bm25.py``) / ANN
+(``similarity.py``).
+
+Scale shape: one posexplode over the corpus; a per-(doc, term) lag
+window computes position deltas (partition bounded by a term's
+repeats WITHIN one document — never a corpus-wide key); one
+map-side-combined ``groupBy(term, doc)`` assembles each posting; the
+term-level df/cf aggregate runs over the ALREADY-AGGREGATED postings
+relation (persisted, cache-tracked), not a second corpus pass, and
+joins back keyed by term (NOT broadcast — a web-scale lexicon isn't;
+hot stopword terms are AQE skew-split carrying only two longs).
+Delta-gap encoding is the standard postings compression front-end
+(Elias/varint byte coding would consume these gaps; emitting them as
+a '+'-joined string keeps the oracle exact and the driver
+canonicalizer array-free). The only HOF is the per-posting
+struct-sort + field-project, bounded by within-doc term frequency —
+the documented bounded-HOF exception (line_filters precedent).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from newspaper_spark import cache
+from newspaper_spark.operators.textstats import _tokens
+
+__all__ = ["build_postings"]
+
+
+def build_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Build the positional postings relation.
+
+    Returns one row per (term, doc): ``(term, doc_id, tf, deltas, df,
+    cf)`` where ``deltas`` is the '+'-joined delta-gap encoding of the
+    term's 0-based token positions in the doc (first gap measured from
+    position 0, so positions reconstruct by prefix sum), ``df`` the
+    term's document frequency and ``cf`` its collection frequency.
+    Tokenization is the shared WS_CLASS convention (empty doc = one
+    '' token, consistent with token_count_col across operators).
+    """
+    tokpos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            _tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("pos", "term"),
+    )
+    w = W.partitionBy("id", "term").orderBy("pos")
+    with_delta = tokpos.select(
+        "id",
+        "term",
+        "pos",
+        (F.col("pos") - F.coalesce(F.lag("pos").over(w), F.lit(0)))
+        .cast("long")
+        .alias("delta"),
+    )
+    postings = cache.track(
+        with_delta.groupBy("term", "id")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "delta"))
+                    ),
+                    lambda x: x["delta"].cast("string"),
+                ),
+                "+",
+            ).alias("deltas"),
+        )
+        .persist()
+    )
+    stats = postings.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    return postings.join(stats, "term").select(
+        "term",
+        F.col("id").alias(id_col),
+        "tf",
+        "deltas",
+        "df",
+        "cf",
+    )

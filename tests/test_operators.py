@@ -4397,3 +4397,46 @@ def test_anchor_topk_matches_python_model(spark):
     # them reports the merged count under 'click here'
     merged = [g for g in got if g[1] == "click here"]
     assert merged and all(n >= 2 for _, _, n, _, _ in merged)
+
+
+def test_build_postings_matches_python_model(spark):
+    """build_postings vs an independent dict model: delta-gap strings
+    reconstruct positions by prefix sum, tf/df/cf exact, repeated
+    terms within a doc, a term in one doc only, and the empty-doc
+    ''-token convention."""
+    from newspaper_spark.operators.index import build_postings
+
+    docs = [
+        (1, "a b a c a b"),
+        (2, "b b b"),
+        (3, "c"),
+        (4, ""),
+        (5, "  A \t a  "),  # normalization: both tokens are 'a'
+    ]
+
+    model = {}
+    for i, text in docs:
+        toks = " ".join(text.lower().split()).split(" ")
+        pos = {}
+        for p, t in enumerate(toks):
+            pos.setdefault(t, []).append(p)
+        for t, ps in pos.items():
+            deltas = [ps[0]] + [b - a for a, b in zip(ps, ps[1:])]
+            model[(t, i)] = (len(ps), "+".join(map(str, deltas)))
+    df_ = {}
+    cf = {}
+    for (t, _), (tf, _) in model.items():
+        df_[t] = df_.get(t, 0) + 1
+        cf[t] = cf.get(t, 0) + tf
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.term, r.doc_id): (r.tf, r.deltas, r.df, r.cf)
+        for r in build_postings(sdf).collect()
+    }
+    assert got == {
+        k: (tf, d, df_[k[0]], cf[k[0]]) for k, (tf, d) in model.items()
+    }
+    # positions reconstruct: doc 1 'a' at 0,2,4 -> deltas 0+2+2
+    assert got[("a", 1)][1] == "0+2+2"
+    assert got[("", 4)] == (1, "0", 1, 1)
