@@ -9,26 +9,29 @@ only); this completes the retrieval family: chunking (``chunking.py``)
 → index build (here) → BM25 top-k (``bm25.py``) / ANN
 (``similarity.py``).
 
-Scale shape: one posexplode over the corpus; a per-(doc, term) lag
-window computes position deltas (partition bounded by a term's
-repeats WITHIN one document — never a corpus-wide key); one
-map-side-combined ``groupBy(term, doc)`` assembles each posting; the
-term-level df/cf aggregate runs over the ALREADY-AGGREGATED postings
-relation (persisted, cache-tracked), not a second corpus pass, and
-joins back keyed by term (NOT broadcast — a web-scale lexicon isn't;
-hot stopword terms are AQE skew-split carrying only two longs).
+Scale shape: one posexplode over the corpus feeding ONE
+map-side-combined ``groupBy(term, doc)`` — the single corpus-sized
+shuffle; position deltas are computed AFTER aggregation by a
+``zip_with`` over each posting's sorted position list, whose length
+is the within-doc term frequency — the documented bounded-HOF
+exception (line_filters precedent). (The first implementation used a
+per-(doc, term) lag window instead; that added a second corpus-sized
+sort+shuffle over raw token rows and measured 2.4–4x the executor
+CPU of this form at sf0.1 — BENCH.md round-6 audit.) The term-level
+df/cf aggregate runs over the ALREADY-AGGREGATED postings relation
+(persisted, cache-tracked), not a second corpus pass, and joins back
+keyed by term (NOT broadcast — a web-scale lexicon isn't; hot
+stopword terms are AQE skew-split carrying only two longs).
 Delta-gap encoding is the standard postings compression front-end
 (Elias/varint byte coding would consume these gaps; emitting them as
 a '+'-joined string keeps the oracle exact and the driver
-canonicalizer array-free). The only HOF is the per-posting
-struct-sort + field-project, bounded by within-doc term frequency —
-the documented bounded-HOF exception (line_filters precedent).
+canonicalizer array-free).
 """
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
+
 
 from newspaper_spark import cache
 from newspaper_spark.operators.textstats import _tokens
@@ -55,25 +58,27 @@ def build_postings(
             _tokens(F.coalesce(F.col(text_col), F.lit("")))
         ).alias("pos", "term"),
     )
-    w = W.partitionBy("id", "term").orderBy("pos")
-    with_delta = tokpos.select(
-        "id",
-        "term",
-        "pos",
-        (F.col("pos") - F.coalesce(F.lag("pos").over(w), F.lit(0)))
-        .cast("long")
-        .alias("delta"),
-    )
+    # deltas from the sorted per-posting position list: zip each
+    # position with its predecessor (0 for the first, so positions
+    # reconstruct by plain prefix sum)
     postings = cache.track(
-        with_delta.groupBy("term", "id")
+        tokpos.groupBy("term", "id")
         .agg(
             F.count("*").cast("long").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("ps"),
+        )
+        .select(
+            "term",
+            "id",
+            "tf",
             F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("pos", "delta"))
+                F.zip_with(
+                    "ps",
+                    F.concat(
+                        F.array(F.lit(0)),
+                        F.expr("slice(ps, 1, size(ps) - 1)"),
                     ),
-                    lambda x: x["delta"].cast("string"),
+                    lambda cur, prev: (cur - prev).cast("string"),
                 ),
                 "+",
             ).alias("deltas"),
