@@ -1334,6 +1334,57 @@ def q_build_postings(spark, sf_dir):
     return build_postings(_docs(spark, sf_dir))
 
 
+def q_host_rank(spark, sf_dir):
+    """WEIGHTED host-level PageRank (graph.pagerank_int with
+    weight_col) — the Common Crawl-style host authority rank:
+    page-level outlinks project onto hosts extracted from the real
+    URL strings (regexp host parse, not an id shortcut), cross-host
+    edges aggregate with link-multiplicity weights, and each edge
+    carries rank mass proportional to w/out_weight. The weighted
+    recurrence divides rank by out_weight BEFORE the weight multiply
+    (overflow-safe at hub scale, deterministic truncation) and with
+    unit weights reduces exactly to the unweighted formula — one code
+    path, both oracle-replayed. String-typed nodes exercise the
+    any-node-type generalization."""
+    from newspaper_spark.operators.graph import pagerank_int
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    nn = d.agg(F.count("*").cast("long").alias("n"))
+    hosts = _synth_urls(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_extract(F.col("url"), "^https?://([^/]+)", 1).alias("host"),
+    )
+    pl = (
+        d.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("doc_id").alias("s"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 2 + 1) % F.col("n"),
+                    (F.col("doc_id") * 3 + 2) % F.col("n"),
+                    (F.col("doc_id") * 7 + 5) % F.col("n"),
+                )
+            ).alias("t"),
+        )
+    )
+    hedges = (
+        pl.join(
+            hosts.select(F.col("doc_id").alias("s"), F.col("host").alias("src_host")),
+            "s",
+        )
+        .join(
+            hosts.select(F.col("doc_id").alias("t"), F.col("host").alias("dst_host")),
+            "t",
+        )
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    return pagerank_int(
+        hedges, "src_host", "dst_host", iterations=3, weight_col="w"
+    )
+
+
 def q_normalize_text(spark, sf_dir):
     """NFC normalization + control stripping (operators/normalize.py);
     oracle via DuckDB nfc_normalize (verified identical to Python
@@ -2556,6 +2607,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("triangle_count", q_triangle_count),
     ("anchor_topk", q_anchor_topk),
     ("build_postings", q_build_postings),
+    ("host_rank", q_host_rank),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3215,6 +3267,72 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY "offset" // 4096
                         ORDER BY skey, doc_id) - 1)::BIGINT AS pos_in_shard
             FROM o
+        """,
+        "host_rank": f"""
+            WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            u AS ({_SYNTH_URL_SQL}),
+            h AS (
+                SELECT doc_id,
+                       regexp_extract(url, '^https?://([^/]+)', 1) AS host
+                FROM u
+            ), pl AS (
+                SELECT doc_id AS s, t
+                FROM documents, nn,
+                     unnest([(doc_id * 2 + 1) % n,
+                             (doc_id * 3 + 2) % n,
+                             (doc_id * 7 + 5) % n]) AS x(t)
+            ), he AS (
+                SELECT hs.host AS src, hd.host AS dst,
+                       count(*)::BIGINT AS w
+                FROM pl JOIN h hs ON hs.doc_id = pl.s
+                        JOIN h hd ON hd.doc_id = pl.t
+                WHERE hs.host <> hd.host
+                GROUP BY hs.host, hd.host
+            ), nodes AS (
+                SELECT src AS node FROM he UNION SELECT dst FROM he
+            ), od AS (
+                SELECT src, count(*)::BIGINT AS od, sum(w)::BIGINT AS ow
+                FROM he GROUP BY src
+            ), r0 AS (
+                SELECT node, 1000000::BIGINT AS rank FROM nodes
+            ), c1 AS (
+                SELECT he.dst AS node,
+                       sum((((r0.rank // od.ow) * he.w) * 85) // 100)::BIGINT
+                           AS inflow
+                FROM he JOIN r0 ON he.src = r0.node
+                        JOIN od ON he.src = od.src
+                GROUP BY he.dst
+            ), r1 AS (
+                SELECT nodes.node,
+                       (150000 + coalesce(c1.inflow, 0))::BIGINT AS rank
+                FROM nodes LEFT JOIN c1 USING (node)
+            ), c2 AS (
+                SELECT he.dst AS node,
+                       sum((((r1.rank // od.ow) * he.w) * 85) // 100)::BIGINT
+                           AS inflow
+                FROM he JOIN r1 ON he.src = r1.node
+                        JOIN od ON he.src = od.src
+                GROUP BY he.dst
+            ), r2 AS (
+                SELECT nodes.node,
+                       (150000 + coalesce(c2.inflow, 0))::BIGINT AS rank
+                FROM nodes LEFT JOIN c2 USING (node)
+            ), c3 AS (
+                SELECT he.dst AS node,
+                       sum((((r2.rank // od.ow) * he.w) * 85) // 100)::BIGINT
+                           AS inflow
+                FROM he JOIN r2 ON he.src = r2.node
+                        JOIN od ON he.src = od.src
+                GROUP BY he.dst
+            ), r3 AS (
+                SELECT nodes.node,
+                       (150000 + coalesce(c3.inflow, 0))::BIGINT AS rank
+                FROM nodes LEFT JOIN c3 USING (node)
+            )
+            SELECT r3.node,
+                   coalesce(od.od, 0)::BIGINT AS out_degree,
+                   r3.rank
+            FROM r3 LEFT JOIN od ON r3.node = od.src
         """,
         "build_postings": """
             WITH n AS (

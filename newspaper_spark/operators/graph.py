@@ -50,25 +50,59 @@ def pagerank_int(
     dst_col: str = "dst",
     iterations: int = 3,
     scale: int = 1_000_000,
+    weight_col: "str | None" = None,
 ) -> DataFrame:
-    """``(src, dst)`` edge relation → ``(node, out_degree, rank)``
-    after ``iterations`` rounds of integer-exact damped PageRank.
+    """``(src, dst[, weight])`` edge relation → ``(node, out_degree,
+    rank)`` after ``iterations`` rounds of integer-exact damped
+    PageRank.
 
-    Nodes are the union of both endpoint sets; ``out_degree`` is 0
-    for sink nodes (their rank decays to the base term, the standard
-    no-redistribution simplification). Duplicate edges count once —
-    callers wanting weights should pre-expand them deliberately.
+    Nodes are the union of both endpoint sets (any equality-comparable
+    type — longs for page graphs, strings for host graphs);
+    ``out_degree`` is 0 for sink nodes (their rank decays to the base
+    term, the standard no-redistribution simplification). Without
+    ``weight_col`` duplicate edges count once; with it, duplicate
+    (src, dst) rows sum their weights and each edge carries rank mass
+    proportional to ``w / out_weight(src)`` — the weighted host-rank
+    form (Common Crawl's host-level ranks weight by link
+    multiplicity). The weighted recurrence is
+
+        c(u→v) = (((r_k(u) DIV out_w(u)) * w) * 85) DIV 100
+
+    — ``r DIV out_w`` FIRST, then the weight multiply, so every
+    intermediate stays ≤ r·85 and can't overflow BIGINT even when
+    rank mass concentrates (``(r*w) DIV out_w`` would overflow at
+    web-scale hub weights); the extra truncation (< out_w scale-units
+    per edge per round vs the rational form) is deterministic and
+    replayed verbatim by the oracle. With weights all 1 this reduces
+    EXACTLY to the unweighted formula, so one code path serves both.
     """
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).distinct()
+    w = (
+        F.coalesce(F.col(weight_col), F.lit(0)).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"),
+            F.col(dst_col).alias("dst"),
+            w.alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(
+            (
+                F.sum("w") if weight_col else F.lit(1)
+            ).cast("long").alias("w")
+        )
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("od"))
+    outdeg = e.groupBy("src").agg(
+        F.count("*").cast("long").alias("od"),
+        F.sum("w").cast("long").alias("ow"),
+    )
     base = (15 * scale) // 100
     r = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
     for _ in range(iterations):
@@ -77,7 +111,7 @@ def pagerank_int(
             .join(outdeg, "src")
             .select(
                 F.col("dst").alias("node"),
-                F.expr("((rank DIV od) * 85) DIV 100").alias("c"),
+                F.expr("(((rank DIV ow) * w) * 85) DIV 100").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("inflow"))

@@ -4440,3 +4440,59 @@ def test_build_postings_matches_python_model(spark):
     # positions reconstruct: doc 1 'a' at 0,2,4 -> deltas 0+2+2
     assert got[("a", 1)][1] == "0+2+2"
     assert got[("", 4)] == (1, "0", 1, 1)
+
+
+def test_pagerank_int_weighted_matches_python_model(spark):
+    """Weighted pagerank_int vs an independent integer model: STRING
+    node ids (the host-graph case), duplicate (src, dst) rows summing
+    their weights, sinks, and the overflow-safe recurrence order
+    (rank DIV out_weight FIRST, then the weight multiply). Also the
+    reduction property: weight_col with all-1 weights equals the
+    unweighted call exactly."""
+    import random
+
+    from newspaper_spark.operators.graph import pagerank_int
+
+    rng = random.Random(23)
+    hosts = [f"h{i}.com" for i in range(12)]
+    raw = []
+    for _ in range(70):
+        s, d2 = rng.choice(hosts), rng.choice(hosts)
+        if s != d2:
+            raw.append((s, d2, rng.randrange(1, 9)))
+    raw += raw[:15]  # duplicate rows: weights must SUM
+
+    agg = {}
+    for s, d2, w in raw:
+        agg[(s, d2)] = agg.get((s, d2), 0) + w
+    nodes = {x for e in agg for x in e}
+    ow = {}
+    od = {}
+    for (s, _), w in agg.items():
+        ow[s] = ow.get(s, 0) + w
+        od[s] = od.get(s, 0) + 1
+    scale = 1_000_000
+    r = {v: scale for v in nodes}
+    for _ in range(3):
+        inflow = {v: 0 for v in nodes}
+        for (s, d2), w in agg.items():
+            inflow[d2] += (((r[s] // ow[s]) * w) * 85) // 100
+        r = {v: (15 * scale) // 100 + inflow[v] for v in nodes}
+
+    df = spark.createDataFrame(raw, "src string, dst string, w long")
+    got = {
+        x.node: (x.out_degree, x.rank)
+        for x in pagerank_int(df, weight_col="w").collect()
+    }
+    assert got == {v: (od.get(v, 0), r[v]) for v in nodes}
+
+    ones = df.select("src", "dst", F.lit(1).cast("long").alias("w")).distinct()
+    wtd = {
+        (x.node): (x.out_degree, x.rank)
+        for x in pagerank_int(ones, weight_col="w").collect()
+    }
+    unw = {
+        (x.node): (x.out_degree, x.rank)
+        for x in pagerank_int(df.select("src", "dst")).collect()
+    }
+    assert wtd == unw
