@@ -1385,6 +1385,34 @@ def q_host_rank(spark, sf_dir):
     )
 
 
+def q_sparse_dot_pairs(spark, sf_dir):
+    """Index-based all-pairs document similarity (index.
+    sparse_dot_pairs, Bayardo et al. 2007): candidates from sharing
+    an index term after the df <= 50 frequency cutoff, exact integer
+    tf dot products, full deterministic pair set. The ~31-word
+    synthetic vocabulary sits at df≈corpus (pure stopwords — the cut
+    removes ALL of it, exercising the lever for real), so the query
+    plants discriminative tokens: 'rare{d div 2}' (df=2, pairs
+    consecutive docs) and 'extra{d div 4}' (df=4, groups of four) —
+    within each 4-block the two rare-sharing pairs score dot 2 and
+    the four extra-only pairs dot 1. Oracle replays tf, df, the cut,
+    and the pair join exactly."""
+    from newspaper_spark.operators.index import sparse_dot_pairs
+
+    d = _docs(spark, sf_dir)
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" rare"),
+            F.expr("cast(doc_id div 2 as string)"),
+            F.lit(" extra"),
+            F.expr("cast(doc_id div 4 as string)"),
+        ).alias("text"),
+    )
+    return sparse_dot_pairs(enriched, max_df=50, min_dot=1)
+
+
 def q_normalize_text(spark, sf_dir):
     """NFC normalization + control stripping (operators/normalize.py);
     oracle via DuckDB nfc_normalize (verified identical to Python
@@ -2608,6 +2636,7 @@ _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("anchor_topk", q_anchor_topk),
     ("build_postings", q_build_postings),
     ("host_rank", q_host_rank),
+    ("sparse_dot_pairs", q_sparse_dot_pairs),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -3267,6 +3296,35 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY "offset" // 4096
                         ORDER BY skey, doc_id) - 1)::BIGINT AS pos_in_shard
             FROM o
+        """,
+        "sparse_dot_pairs": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' rare' || (doc_id // 2)::VARCHAR ||
+                       ' extra' || (doc_id // 4)::VARCHAR AS text
+                FROM documents
+            ), n AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+                FROM aug
+            ), tok AS (
+                SELECT doc_id, unnest(t) AS term FROM n
+            ), tf AS (
+                SELECT term, doc_id, count(*)::BIGINT AS tf
+                FROM tok GROUP BY term, doc_id
+            ), wdf AS (
+                SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+            ), pr AS (
+                SELECT tf.term, tf.doc_id, tf.tf
+                FROM tf JOIN wdf USING (term) WHERE wdf.df <= 50
+            )
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   sum(a.tf * b.tf)::BIGINT AS dot
+            FROM pr a JOIN pr b
+                 ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING sum(a.tf * b.tf) >= 1
         """,
         "host_rank": f"""
             WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),

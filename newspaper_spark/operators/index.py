@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from newspaper_spark import cache
 from newspaper_spark.operators.textstats import _tokens
 
-__all__ = ["build_postings"]
+__all__ = ["build_postings", "sparse_dot_pairs"]
 
 
 def build_postings(
@@ -96,4 +96,48 @@ def build_postings(
         "deltas",
         "df",
         "cf",
+    )
+
+
+def sparse_dot_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 100,
+    min_dot: int = 1,
+) -> DataFrame:
+    """Index-based all-pairs document similarity (the inverted-index
+    similarity join of Bayardo, Ma & Srikant 2007, "Scaling Up All
+    Pairs Similarity Search") — candidate pairs come from sharing an
+    index term, scores are exact integer term-frequency dot products
+    ``dot(d1, d2) = sum_t tf1(t)*tf2(t)`` over surviving terms.
+
+    ``max_df`` is THE scale lever (exactly the paper's frequency
+    cutoff and bm25_topk's max_df stopword cut): a term appearing in
+    ``df`` documents generates ``df*(df-1)/2`` candidate pairs, so
+    dropping terms with ``df > max_df`` bounds candidate volume by
+    ``max_df * sum_t df_t`` and simultaneously caps the hottest join
+    key — corpus-frequency terms carry no similarity signal anyway.
+    The cut is an explicit, oracle-replayed predicate, not a silent
+    truncation.
+
+    Scale shape: reuses :func:`build_postings` (one corpus pass, the
+    postings relation persisted); the pair enumeration is ONE
+    self-equi-join on ``term`` over the pruned postings followed by a
+    map-side-combined ``groupBy(id1, id2)`` — shuffles carry (term,
+    id, tf) and (id, id, partial) rows only, never text. Returns
+    every ordered pair ``(id1 < id2)`` with ``dot >= min_dot`` —
+    deterministic full set, no sampling.
+    """
+    p = build_postings(df, id_col, text_col).filter(
+        F.col("df") <= int(max_df)
+    )
+    p1 = p.select("term", F.col(id_col).alias("id1"), F.col("tf").alias("tf1"))
+    p2 = p.select("term", F.col(id_col).alias("id2"), F.col("tf").alias("tf2"))
+    return (
+        p1.join(p2, "term")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.sum(F.col("tf1") * F.col("tf2")).cast("long").alias("dot"))
+        .filter(F.col("dot") >= int(min_dot))
     )

@@ -4496,3 +4496,50 @@ def test_pagerank_int_weighted_matches_python_model(spark):
         for x in pagerank_int(df.select("src", "dst")).collect()
     }
     assert wtd == unw
+
+
+def test_sparse_dot_pairs_matches_python_model(spark):
+    """sparse_dot_pairs vs a brute-force Counter model: exact tf dot
+    products over df-surviving terms, the max_df cut removes
+    corpus-frequent terms (and with it every pair they alone
+    connect), min_dot filters, id1 < id2 canonical order, repeated
+    terms multiply tfs."""
+    from collections import Counter
+    from itertools import combinations
+
+    from newspaper_spark.operators.index import sparse_dot_pairs
+
+    stop = "the and of"  # df = all docs -> cut at max_df=4
+    docs = [
+        (1, f"{stop} apple apple banana"),
+        (2, f"{stop} apple cherry"),
+        (3, f"{stop} banana cherry cherry"),
+        (4, f"{stop} durian"),
+        (5, f"{stop} apple banana"),
+        (6, f"{stop} unrelated"),
+    ]
+    max_df, min_dot = 4, 1
+
+    bags = {i: Counter(t.lower().split()) for i, t in docs}
+    docfreq = Counter(t for b in bags.values() for t in b)
+    expect = {}
+    for i, j in combinations(sorted(bags), 2):
+        dot = sum(
+            bags[i][t] * bags[j][t]
+            for t in bags[i]
+            if docfreq[t] <= max_df and t in bags[j]
+        )
+        if dot >= min_dot:
+            expect[(i, j)] = dot
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id1, r.id2): r.dot
+        for r in sparse_dot_pairs(df, max_df=max_df, min_dot=min_dot).collect()
+    }
+    assert got == expect
+    # the stopwords alone never connect: doc 4 and 6 share only them
+    assert (4, 6) not in got
+    # repeated terms multiply: docs 1x3 share banana (1*1) -> 1,
+    # docs 2x3 share cherry (1*2) -> 2
+    assert got[(1, 3)] == 1 and got[(2, 3)] == 2
