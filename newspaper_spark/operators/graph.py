@@ -76,12 +76,19 @@ def pagerank_int(
     replayed verbatim by the oracle. With weights all 1 this reduces
     EXACTLY to the unweighted formula, so one code path serves both.
     """
+    from newspaper_spark import cache
+
     w = (
         F.coalesce(F.col(weight_col), F.lit(0)).cast("long")
         if weight_col
         else F.lit(1).cast("long")
     )
-    e = (
+    # persist is load-bearing when `edges` is itself a join/aggregation
+    # pipeline (the host_rank case): e feeds nodes, outdeg, AND every
+    # iteration's join — without it the whole upstream plan re-runs
+    # per consumer per round (caught by the round-6 job-count audit:
+    # 57 jobs for 3 iterations over a 7-node host graph)
+    e = cache.track(
         edges.select(
             F.col(src_col).alias("src"),
             F.col(dst_col).alias("dst"),
@@ -93,15 +100,20 @@ def pagerank_int(
                 F.sum("w") if weight_col else F.lit(1)
             ).cast("long").alias("w")
         )
+        .persist()
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    outdeg = e.groupBy("src").agg(
-        F.count("*").cast("long").alias("od"),
-        F.sum("w").cast("long").alias("ow"),
+    outdeg = cache.track(
+        e.groupBy("src")
+        .agg(
+            F.count("*").cast("long").alias("od"),
+            F.sum("w").cast("long").alias("ow"),
+        )
+        .persist()
     )
     base = (15 * scale) // 100
     r = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))

@@ -121,16 +121,33 @@ def sparse_dot_pairs(
     The cut is an explicit, oracle-replayed predicate, not a silent
     truncation.
 
-    Scale shape: reuses :func:`build_postings` (one corpus pass, the
-    postings relation persisted); the pair enumeration is ONE
-    self-equi-join on ``term`` over the pruned postings followed by a
-    map-side-combined ``groupBy(id1, id2)`` — shuffles carry (term,
-    id, tf) and (id, id, partial) rows only, never text. Returns
-    every ordered pair ``(id1 < id2)`` with ``dot >= min_dot`` —
-    deterministic full set, no sampling.
+    Scale shape: one explode + map-side-combined ``groupBy(term,
+    doc)`` builds a tf/df-ONLY relation (positions and delta strings
+    are :func:`build_postings`' concern — computing them here would
+    roughly double the corpus-pass CPU for data the join never
+    reads), persisted (cache-tracked) and reused for the df side and
+    both join legs; the pair enumeration is ONE self-equi-join on
+    ``term`` over the pruned relation followed by a map-side-combined
+    ``groupBy(id1, id2)`` — shuffles carry (term, id, tf) and (id,
+    id, partial) rows only, never text. Returns every ordered pair
+    ``(id1 < id2)`` with ``dot >= min_dot`` — deterministic full set,
+    no sampling.
     """
-    p = build_postings(df, id_col, text_col).filter(
-        F.col("df") <= int(max_df)
+    tf_rel = cache.track(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                _tokens(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("term"),
+        )
+        .groupBy("term", "id")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .persist()
+    )
+    wdf = tf_rel.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    p = (
+        tf_rel.join(wdf.filter(F.col("df") <= int(max_df)), "term")
+        .select("term", F.col("id").alias(id_col), "tf")
     )
     p1 = p.select("term", F.col(id_col).alias("id1"), F.col("tf").alias("tf1"))
     p2 = p.select("term", F.col(id_col).alias("id2"), F.col("tf").alias("tf2"))
