@@ -305,6 +305,16 @@ def query_timings(cores: int) -> tuple[dict, dict]:
         "tokenize_pack",
         "pagerank",
         "kmv_distinct",
+        "heavy_hitters",
+        "hll_distinct",
+        "shard_assign",
+        "pmi_collocations",
+        "chunk_text",
+        "triangle_count",
+        "anchor_topk",
+        "build_postings",
+        "host_rank",
+        "sparse_dot_pairs",
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)

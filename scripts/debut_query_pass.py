@@ -20,7 +20,7 @@ from newspaper_spark.plans.session import get_spark  # noqa: E402
 from newspaper_spark.sources.transcripts import synthetic_transcripts  # noqa: E402
 
 DEBUTS = ["quality_classifier", "ccnet_prep", "bm25_topk",
-          "exact_substr", "stupid_backoff", "warc_records", "warc_extract", "dclm_prep", "sitemap_urls", "tokenize_pack", "pagerank", "kmv_distinct", "heavy_hitters", "hll_distinct", "shard_assign"]
+          "exact_substr", "stupid_backoff", "warc_records", "warc_extract", "dclm_prep", "sitemap_urls", "tokenize_pack", "pagerank", "kmv_distinct", "heavy_hitters", "hll_distinct", "shard_assign", "pmi_collocations", "chunk_text", "triangle_count", "anchor_topk", "build_postings", "host_rank", "sparse_dot_pairs"]
 
 if len(sys.argv) > 1:  # restrict to named debuts
     DEBUTS = [d for d in DEBUTS if d in sys.argv[1:]]
