@@ -2,8 +2,9 @@
 
 Same protocol as bench.py::query_timings (1 cold + median of 3 warm
 reruns, each inside cache.tracking_scope(), noop sink) but restricted
-to the five round-6 debuts so BENCH.md can record their warm medians
-without re-running the full 40-query pass.
+to the round's debut list — optionally filtered further by name via
+argv — so BENCH.md can record debut warm medians without re-running
+the full per-query pass.
 """
 import json
 import statistics
