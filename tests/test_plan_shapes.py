@@ -1,0 +1,129 @@
+"""Physical-plan shape regression tests — the 100 TB claims in the
+operator docstrings, pinned mechanically against the plans Catalyst
+actually produces. A refactor that silently reintroduces a shuffle, a
+cartesian product, or an unpruned scan fails HERE, not in a
+benchmark three rounds later.
+
+Each assertion is deliberately coarse (presence/absence of a physical
+operator class), not a full plan snapshot — plan text churns across
+Spark versions, operator classes don't.
+"""
+import pyspark.sql.functions as F
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, df, mode="formatted"):
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_chunk_text_zero_shuffles(spark):
+    """chunk_text's docstring claims map-only / ZERO shuffles — the
+    physical plan must contain no Exchange of any kind."""
+    from newspaper_spark.operators.chunking import chunk_text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = _plan(spark, chunk_text(docs))
+    assert "Exchange" not in p
+    # and it stays inside whole-stage codegen (no interpreted stages
+    # in the hot path)
+    assert "WholeStageCodegen" in p or "* Project" in p
+
+
+def test_anchor_topk_window_group_limit_pushdown(spark):
+    """anchor_topk's per-target top-k claims WindowGroupLimit
+    pushdown (partial top-k map-side before the window shuffle)."""
+    from newspaper_spark.operators.anchors import anchor_topk
+
+    links = spark.createDataFrame(
+        [(i % 7, f"text {i % 3}") for i in range(100)],
+        "target long, anchor string",
+    )
+    assert "WindowGroupLimit" in _plan(spark, anchor_topk(links, k=2))
+
+
+def test_kmv_window_group_limit_pushdown(spark):
+    """kmv_distinct's rank-<=-k claims the same pushdown."""
+    from newspaper_spark.operators.dedup import kmv_distinct
+
+    df = spark.createDataFrame(
+        [(i % 5, f"v{i}") for i in range(100)], "g long, v string"
+    )
+    assert "WindowGroupLimit" in _plan(spark, kmv_distinct(df, "v", group_col="g"))
+
+
+def test_no_cartesian_products_in_join_heavy_debuts(spark):
+    """triangle_count, sparse_dot_pairs, pmi_collocations and
+    heavy_hitters must never plan a CartesianProduct — their only
+    cross-join-shaped steps are broadcast single-row totals."""
+    from newspaper_spark.operators.graph import triangle_count
+    from newspaper_spark.operators.index import sparse_dot_pairs
+    from newspaper_spark.operators.sketches import cms_heavy_hitters
+    from newspaper_spark.operators.textstats import pmi_collocations
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 40) for i in range(40)], "src long, dst long"
+    )
+    for df in (
+        triangle_count(edges),
+        sparse_dot_pairs(docs, max_df=50),
+        pmi_collocations(docs, min_count=2, top_k=10),
+        cms_heavy_hitters(docs.select(F.col("source").alias("tok")), "tok",
+                          total_div=30),
+    ):
+        assert "CartesianProduct" not in _plan(spark, df)
+
+
+def test_heavy_hitters_counter_join_broadcast(spark):
+    """The CMS counter table is bounded (depth x width rows) — its
+    probe join must be a broadcast hash join, never sort-merge."""
+    from newspaper_spark.operators.sketches import cms_counters, cms_estimate
+
+    stream = spark.createDataFrame(
+        [(f"v{i % 13}",) for i in range(200)], "tok string"
+    )
+    counters = cms_counters(stream, "tok", depth=3, width=32)
+    est = cms_estimate(counters, stream.distinct(), "tok", depth=3, width=32)
+    p = _plan(spark, est)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_documents_scan_prunes_columns(spark):
+    """A query reading only (doc_id, text) must not scan the other
+    document columns — ReadSchema pruning reaches the parquet scan."""
+    from newspaper_spark.operators.index import build_postings
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert len(docs.columns) > 2  # the claim is only meaningful then
+    p = _plan(spark, build_postings(docs))
+    schemas = [
+        line for line in p.splitlines() if line.strip().startswith("ReadSchema")
+    ]
+    assert schemas, "no ReadSchema line in formatted plan"
+    for rs in schemas:
+        assert "doc_id" in rs and "text" in rs
+        for other in docs.columns:
+            if other not in ("doc_id", "text"):
+                assert f"{other}:" not in rs
+
+
+def test_pagerank_iteration_uses_persisted_edges(spark):
+    """pagerank_int persists its aggregated edge relation (the
+    round-6 host_rank audit fix): the final plan must read e through
+    InMemoryTableScan, not re-run the caller's upstream pipeline."""
+    from newspaper_spark import cache
+    from newspaper_spark.operators.graph import pagerank_int
+
+    with cache.tracking_scope():
+        edges = spark.createDataFrame(
+            [(i, (i * 7 + 3) % 30) for i in range(60)], "src long, dst long"
+        ).filter(F.col("src") != F.col("dst"))
+        out = pagerank_int(edges, iterations=2)
+        p = _plan(spark, out)
+        assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
+        out.count()  # still executes
