@@ -127,3 +127,24 @@ def test_pagerank_iteration_uses_persisted_edges(spark):
         p = _plan(spark, out)
         assert "InMemoryTableScan" in p or "TableCacheQueryStage" in p
         out.count()  # still executes
+
+
+def test_no_cartesian_product_in_any_query_plan(spark):
+    """Global hygiene sweep: none of the 102 queries() plans may
+    contain a CartesianProduct. The repo's only cross-join-shaped
+    steps are broadcast single-row totals (BroadcastNestedLoopJoin)
+    and the guarded ANN brute baseline — an accidental unguarded
+    cartesian introduced by any future query fails here. (~2 min:
+    builds every plan at sf0.001; queries with driver-side training
+    steps execute their small collects.)"""
+    import __spark_entry__ as E
+    from newspaper_spark import cache
+
+    offenders = []
+    for name, fn in E.queries().items():
+        with cache.tracking_scope():
+            df = fn(spark, SF_DIR)
+            p = _plan(spark, df, mode="simple")
+            if "CartesianProduct" in p:
+                offenders.append(name)
+    assert offenders == []
