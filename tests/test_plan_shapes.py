@@ -148,3 +148,18 @@ def test_no_cartesian_product_in_any_query_plan(spark):
             if "CartesianProduct" in p:
                 offenders.append(name)
     assert offenders == []
+
+
+def test_bm25_and_bloom_zero_sort_merge_joins(spark):
+    """bm25_topk's 'zero sort-merge joins' and bloom_seen's
+    broadcast-only probe are standing claims (BENCH.md audits) —
+    pinned here against the actual query plans."""
+    import __spark_entry__ as E
+    from newspaper_spark import cache
+
+    for name in ("bm25_topk", "bloom_seen"):
+        with cache.tracking_scope():
+            df = E.queries()[name](spark, SF_DIR)
+            p = _plan(spark, df, mode="simple")
+            assert "SortMergeJoin" not in p, name
+            assert "BroadcastHashJoin" in p, name
