@@ -9,7 +9,6 @@ operator class), not a full plan snapshot — plan text churns across
 Spark versions, operator classes don't.
 """
 import pyspark.sql.functions as F
-import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
