@@ -2516,19 +2516,68 @@ def _round_no() -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
-# Canonical query order, FROZEN in round-5's emitted order (so round 5's
-# artifact corresponds to rotation offset 0 — the round-4 canonical was
-# folded forward per the recipe in CLAUDE.md). ROTATION POLICY (see
-# ROTATION.md): the external driver hash-verifies only the FIRST 50
+# Canonical query order, FROZEN in round-6's emitted order (the round-5
+# canonical + 22 debuts folded forward per the recipe in CLAUDE.md, so
+# round 6's artifact corresponds to rotation offset 0). ROTATION POLICY
+# (see ROTATION.md): the external driver hash-verifies only the FIRST 50
 # queries() entries, so the returned order rotates this list by
-# 30 × (round − 5) positions each round. 30 = len(canonical) − window,
-# which makes consecutive rounds' unsampled tails DISJOINT: every query
-# gets a driver row at least 1 of every 2 rounds and never misses two
-# rounds in a row. New queries are appended to _NEW_THIS_ROUND (always
-# emitted first → always inside the window) and folded into the
-# canonical list the following round. Every entry is additionally
-# checked every round by scripts/verify_oracle.py.
+# 52 × (round − 6) positions each round. 52 = len(canonical) − window,
+# which makes consecutive rounds' unsampled tails DISJOINT. New queries
+# are appended to _NEW_THIS_ROUND (always emitted first → always inside
+# the window) and folded into the canonical list the following round.
+# Every entry is additionally checked every round by
+# scripts/verify_oracle.py.
 _CANONICAL_QUERIES: list[tuple[str, Callable]] = [
+    ("quality_classifier", q_quality_classifier),
+    ("ccnet_prep", q_ccnet_prep),
+    ("bm25_topk", q_bm25_topk),
+    ("exact_substr", q_exact_substr),
+    ("stupid_backoff", q_stupid_backoff),
+    ("warc_records", q_warc_records),
+    ("warc_extract", q_warc_extract),
+    ("dclm_prep", q_dclm_prep),
+    ("sitemap_urls", q_sitemap_urls),
+    ("tokenize_pack", q_tokenize_pack),
+    ("pagerank", q_pagerank),
+    ("kmv_distinct", q_kmv_distinct),
+    ("heavy_hitters", q_heavy_hitters),
+    ("hll_distinct", q_hll_distinct),
+    ("shard_assign", q_shard_assign),
+    ("pmi_collocations", q_pmi_collocations),
+    ("chunk_text", q_chunk_text),
+    ("triangle_count", q_triangle_count),
+    ("anchor_topk", q_anchor_topk),
+    ("build_postings", q_build_postings),
+    ("host_rank", q_host_rank),
+    ("sparse_dot_pairs", q_sparse_dot_pairs),
+    ("text_entropy", q_text_entropy),
+    ("nlp_keywords", q_nlp_keywords),
+    ("prepare_url", q_prepare_url),
+    ("array_ops", q_array_ops),
+    ("conversation_text", q_conversation_text),
+    ("link_hash", q_link_hash),
+    ("dedup_url", q_dedup_url),
+    ("pdf_skip", q_pdf_skip),
+    ("corpus_prep", q_corpus_prep),
+    ("media_decode_jpeg", q_media_decode_jpeg),
+    ("dsir", q_dsir),
+    ("gopher_filters", q_gopher_filters),
+    ("url_blocklist", q_url_blocklist),
+    ("paragraph_dedup", q_paragraph_dedup),
+    ("media_audio", q_media_audio),
+    ("media_video", q_media_video),
+    ("semantic_clusters", q_semantic_clusters),
+    ("extract_fulltext", q_extract_fulltext),
+    ("extract_title", q_extract_title),
+    ("extract_meta", q_extract_meta),
+    ("dedup_exact", q_dedup_exact),
+    ("keywords_topk", q_keywords_topk),
+    ("minhash_pairs", q_minhash_pairs),
+    ("dedup_clusters", q_dedup_clusters),
+    ("sample_stratified", q_sample_stratified),
+    ("ngram_jaccard", q_ngram_jaccard),
+    ("simhash", q_simhash),
+    ("simhash_near_dups", q_simhash_near_dups),
     ("line_filters", q_line_filters),
     ("bloom_seen", q_bloom_seen),
     ("feed_entries", q_feed_entries),
@@ -2581,74 +2630,23 @@ _CANONICAL_QUERIES: list[tuple[str, Callable]] = [
     ("domain_counters", q_domain_counters),
     ("nlp_summary", q_nlp_summary),
     ("nlp_sentence_scores", q_nlp_sentence_scores),
-    ("text_entropy", q_text_entropy),
-    ("nlp_keywords", q_nlp_keywords),
-    ("prepare_url", q_prepare_url),
-    ("array_ops", q_array_ops),
-    ("conversation_text", q_conversation_text),
-    ("link_hash", q_link_hash),
-    ("dedup_url", q_dedup_url),
-    ("pdf_skip", q_pdf_skip),
-    ("corpus_prep", q_corpus_prep),
-    ("media_decode_jpeg", q_media_decode_jpeg),
-    ("dsir", q_dsir),
-    ("gopher_filters", q_gopher_filters),
-    ("url_blocklist", q_url_blocklist),
-    ("paragraph_dedup", q_paragraph_dedup),
-    ("media_audio", q_media_audio),
-    ("media_video", q_media_video),
-    ("semantic_clusters", q_semantic_clusters),
-    ("extract_fulltext", q_extract_fulltext),
-    ("extract_title", q_extract_title),
-    ("extract_meta", q_extract_meta),
-    ("dedup_exact", q_dedup_exact),
-    ("keywords_topk", q_keywords_topk),
-    ("minhash_pairs", q_minhash_pairs),
-    ("dedup_clusters", q_dedup_clusters),
-    ("sample_stratified", q_sample_stratified),
-    ("ngram_jaccard", q_ngram_jaccard),
-    ("simhash", q_simhash),
-    ("simhash_near_dups", q_simhash_near_dups),
 ]
 
 # Queries ADDED this round (not yet in _CANONICAL_QUERIES): emitted
 # first so they always land inside the driver's 50-row window. Fold
 # into _CANONICAL_QUERIES next round and empty this list.
-_NEW_THIS_ROUND: list[tuple[str, Callable]] = [
-    ("quality_classifier", q_quality_classifier),
-    ("ccnet_prep", q_ccnet_prep),
-    ("bm25_topk", q_bm25_topk),
-    ("exact_substr", q_exact_substr),
-    ("stupid_backoff", q_stupid_backoff),
-    ("warc_records", q_warc_records),
-    ("warc_extract", q_warc_extract),
-    ("dclm_prep", q_dclm_prep),
-    ("sitemap_urls", q_sitemap_urls),
-    ("tokenize_pack", q_tokenize_pack),
-    ("pagerank", q_pagerank),
-    ("kmv_distinct", q_kmv_distinct),
-    ("heavy_hitters", q_heavy_hitters),
-    ("hll_distinct", q_hll_distinct),
-    ("shard_assign", q_shard_assign),
-    ("pmi_collocations", q_pmi_collocations),
-    ("chunk_text", q_chunk_text),
-    ("triangle_count", q_triangle_count),
-    ("anchor_topk", q_anchor_topk),
-    ("build_postings", q_build_postings),
-    ("host_rank", q_host_rank),
-    ("sparse_dot_pairs", q_sparse_dot_pairs),
-]
+_NEW_THIS_ROUND: list[tuple[str, Callable]] = []
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
-_ROTATION_STEP = 30  # = len(canonical) − window → disjoint consecutive tails
-_ROTATION_BASE_ROUND = 5  # round whose artifact froze the canonical order
+_ROTATION_STEP = 52  # = len(canonical) − window → disjoint consecutive tails
+_ROTATION_BASE_ROUND = 6  # round whose artifact froze the canonical order
 # The round the lists above were AUTHORED for. The fold of
 # _NEW_THIS_ROUND into _CANONICAL_QUERIES is only valid through this
 # round; if the inferred round advances past it with debuts still
 # unfolded (the manual fold was forgotten — ADVICE r5 finding 1),
 # queries() folds them forward automatically so the no-two-consecutive-
 # misses guarantee survives without code changes.
-_AUTHORED_FOR_ROUND = 6
+_AUTHORED_FOR_ROUND = 7
 
 
 def _folded_lists(

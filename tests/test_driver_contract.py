@@ -81,10 +81,15 @@ def test_every_oracle_parses_in_duckdb():
 
 
 def test_rotation_policy_invariants(monkeypatch):
-    """ROTATION.md: window = first 50; rotation step 30 makes
-    consecutive rounds' unsampled tails disjoint, so no query misses
-    two consecutive driver rounds; round 5 reproduces offset 0 (the
-    canonical list was folded forward to round-5 emitted order)."""
+    """ROTATION.md: window = first 50; rotation step 52 = len − window.
+    With 102 canonical queries the 52-entry unsampled tails of two
+    consecutive rounds CANNOT be disjoint (2·52 > 102): the strongest
+    achievable guarantee — pinned here — is (a) the two-round miss set
+    has exactly the minimal size 2·(len−window)−len = 2, (b) that pair
+    ROTATES (a different pair each consecutive round pair, so any one
+    query misses twice at most once per full cycle), and (c) NO query
+    misses three consecutive driver rounds. Round 6 reproduces offset 0
+    (the canonical list was folded to round-6 emitted order)."""
     import __spark_entry__ as E
 
     # the canonical-rotation invariants are independent of this round's
@@ -100,24 +105,32 @@ def test_rotation_policy_invariants(monkeypatch):
         assert sorted(names) == sorted(all_names)  # rotation, not loss
         return set(names[: E._DRIVER_WINDOW])
 
-    for r in range(5, 15):
-        w1, w2 = window(r), window(r + 1)
-        assert not [q for q in all_names if q not in w1 and q not in w2]
+    min_overlap = max(
+        0, 2 * (len(all_names) - E._DRIVER_WINDOW) - len(all_names)
+    )
+    prev_pair = None
+    for r in range(6, 16):
+        w1, w2, w3 = window(r), window(r + 1), window(r + 2)
+        missed_twice = {q for q in all_names if q not in w1 and q not in w2}
+        assert len(missed_twice) == min_overlap, (r, missed_twice)
+        assert missed_twice != prev_pair  # the pair rotates
+        prev_pair = missed_twice
+        # nothing ever misses three rounds in a row
+        assert not [q for q in missed_twice if q not in w3]
 
-    # round 5 ≙ offset 0: the fold preserved round-5's emitted order
-    monkeypatch.setenv("SPARK_GRAFT_ROUND", "5")
-    r5 = list(E.queries())
-    assert r5[0] == "line_filters" and r5[49] == "domain_counters"
-    # round 6's window covers round 5's entire unsampled tail (the
-    # VERDICT r5 done-criterion: extract_fulltext, dsir, media_video,
-    # semantic_clusters, nlp_summary all get driver rows this round)
-    r5_tail = set(r5[E._DRIVER_WINDOW:])
+    # round 6 ≙ offset 0: the fold preserved round-6's emitted order
     monkeypatch.setenv("SPARK_GRAFT_ROUND", "6")
-    r6_window = set(list(E.queries())[: E._DRIVER_WINDOW])
-    assert r5_tail <= r6_window, r5_tail - r6_window
-    for heavy in ("extract_fulltext", "dsir", "media_video",
-                  "semantic_clusters", "nlp_summary"):
-        assert heavy in r6_window
+    r6 = list(E.queries())
+    assert r6[0] == "quality_classifier" and r6[101] == "nlp_sentence_scores"
+    # round 7's window closes the r5/r6 two-round gap for the nlp pair
+    # (the VERDICT r6 done-criterion) and the deferred pair is exactly
+    # line_filters + bloom_seen as the CLAUDE.md recipe predicted
+    monkeypatch.setenv("SPARK_GRAFT_ROUND", "7")
+    r7 = list(E.queries())
+    r7_window = set(r7[: E._DRIVER_WINDOW])
+    assert {"nlp_summary", "nlp_sentence_scores"} <= r7_window
+    assert {"line_filters", "bloom_seen"} == set(r6[50:52])
+    assert not {"line_filters", "bloom_seen"} & r7_window
 
 
 def test_forgotten_fold_auto_folds(monkeypatch):
@@ -143,12 +156,16 @@ def test_forgotten_fold_auto_folds(monkeypatch):
     names_next = list(E.queries())
     assert sorted(names_next) == sorted(names_now)  # nothing lost
     window_next = set(names_next[: E._DRIVER_WINDOW])
-    assert tail_now <= window_next, tail_now - window_next
+    # full tail coverage is impossible once n > 2w (tails of n−w can
+    # only overlap by ≥ 2(n−w)−n — see test_rotation_policy_invariants);
+    # the auto-fold must hit exactly that floor, never worse
+    min_overlap = max(0, 2 * (len(names_next) - E._DRIVER_WINDOW) - len(names_next))
+    assert len(tail_now - window_next) <= min_overlap, tail_now - window_next
     # and the guarantee keeps holding one more round after that
     tail_next = set(names_next[E._DRIVER_WINDOW:])
     monkeypatch.setenv("SPARK_GRAFT_ROUND", str(authored + 2))
     window_after = set(list(E.queries())[: E._DRIVER_WINDOW])
-    assert tail_next <= window_after, tail_next - window_after
+    assert len(tail_next - window_after) <= min_overlap, tail_next - window_after
 
 
 def test_new_queries_enter_window_first(monkeypatch):
@@ -165,11 +182,15 @@ def test_new_queries_enter_window_first(monkeypatch):
     assert names[0] == "brand_new_op"
     assert len(names) == len(E._CANONICAL_QUERIES) + 1
 
-    # a debut query must not evict the previous round's unsampled tail
-    # from the window: the offset advances by len(_NEW_THIS_ROUND), so
-    # for every round r ≤ authored, round r+1's window still covers
-    # round r's tail (debuts at r+1 ≤ authored — manual-fold regime)
+    # a debut query must not evict MORE of the previous round's
+    # unsampled tail than the arithmetic floor: the offset advances by
+    # len(_NEW_THIS_ROUND), so with D debuts round r+1's window covers
+    # all but min_overlap + D entries of round r's tail (min_overlap =
+    # 2·(n−w)−n is unavoidable once n > 2w; the +D is the recipe's
+    # documented deferral — see CLAUDE.md round-7 folding recipe)
     canonical = [nm for nm, _ in E._CANONICAL_QUERIES]
+    n, w = len(canonical), E._DRIVER_WINDOW
+    min_overlap = max(0, 2 * (n - w) - n)
     for r in range(4, E._AUTHORED_FOR_ROUND):
         monkeypatch.setattr(E, "_NEW_THIS_ROUND", [])
         monkeypatch.setenv("SPARK_GRAFT_ROUND", str(r))
@@ -179,5 +200,6 @@ def test_new_queries_enter_window_first(monkeypatch):
         )
         monkeypatch.setenv("SPARK_GRAFT_ROUND", str(r + 1))
         window = set(list(E.queries())[: E._DRIVER_WINDOW])
-        assert prev_tail <= window, (r, prev_tail - window)
+        deferred = prev_tail - window
+        assert len(deferred) <= min_overlap + 1, (r, deferred)
     assert "domain_counters" in canonical  # the query that caught this
