@@ -2499,7 +2499,14 @@ def _round_no() -> int:
     """Current build round, inferred from the driver's committed
     correctness artifacts (after round N finishes, CORRECTNESS_r{N}.json
     exists in the repo root → the running round is max+1). Overridable
-    with SPARK_GRAFT_ROUND for tests/audits of other rounds' windows."""
+    with SPARK_GRAFT_ROUND for tests/audits of other rounds' windows.
+
+    The basename match is a strict FULLMATCH of the exact driver
+    filename pattern (ADVICE r6: a looser search() made the repo root
+    behavior-bearing — a stray file like CORRECTNESS_rerun_r9.json
+    would have silently reordered queries(); property-tested in
+    tests/test_driver_contract.py::test_round_inference_ignores_stray_files).
+    """
     import glob
     import os
     import re
@@ -2511,7 +2518,7 @@ def _round_no() -> int:
     rounds = [
         int(m.group(1))
         for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        if (m := re.search(r"_r0*(\d+)\.json$", p))
+        if (m := re.fullmatch(r"CORRECTNESS_r0*(\d+)\.json", os.path.basename(p)))
     ]
     return (max(rounds) + 1) if rounds else 1
 

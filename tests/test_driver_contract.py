@@ -203,3 +203,32 @@ def test_new_queries_enter_window_first(monkeypatch):
         deferred = prev_tail - window
         assert len(deferred) <= min_overlap + 1, (r, deferred)
     assert "domain_counters" in canonical  # the query that caught this
+
+
+def test_round_inference_ignores_stray_files(monkeypatch, tmp_path):
+    """ADVICE r6: the round-inference glob must FULLMATCH the exact
+    driver filename pattern — a stray root file must not be able to
+    advance the inferred round and silently reorder queries()."""
+    import os
+    import shutil
+
+    import __spark_entry__ as E
+
+    monkeypatch.delenv("SPARK_GRAFT_ROUND", raising=False)
+    src = os.path.dirname(os.path.abspath(E.__file__))
+    shutil.copy(os.path.join(src, "__spark_entry__.py"), tmp_path)
+    # simulate a repo root: only the real driver artifacts count
+    (tmp_path / "CORRECTNESS_r01.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r06.json").write_text("{}")
+    # stray files that the old search()-based match would have counted
+    (tmp_path / "CORRECTNESS_rerun_r9.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r06_backup_r12.json").write_text("{}")
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_stray_test", str(tmp_path / "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod._round_no() == 7  # max real round 6 + 1; strays ignored
