@@ -206,6 +206,13 @@ def parse_sitemaps(
                 def err(tag):
                     rows.append((sid, None, None, None, None, None, None, tag))
 
+                # NULL xml passes the DOCTYPE substring check as the
+                # string 'None' but ET.fromstring(None) raises
+                # TypeError, killing the task instead of landing in the
+                # error channel (ADVICE r6) — coalesce to '' so a null
+                # row yields error='malformed-xml' like any other junk
+                if xml is None or (isinstance(xml, float) and pd.isna(xml)):
+                    xml = ""
                 up = str(xml).upper()
                 if "<!DOCTYPE" in up or "<!ENTITY" in up:
                     err("dtd-rejected")

@@ -121,6 +121,12 @@ def pagerank_int(
         contrib = (
             e.join(r, e.src == r.node)
             .join(outdeg, "src")
+            # a source whose weights sum to 0 carries no rank mass and
+            # must act as a sink — without this guard `rank DIV ow`
+            # raises DIVIDE_BY_ZERO under the session's ANSI mode and
+            # fails the whole job (ADVICE r6); trivially true (ow =
+            # edge count ≥ 1) on the unweighted path
+            .filter(F.col("ow") > 0)
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(((rank DIV ow) * w) * 85) DIV 100").alias("c"),

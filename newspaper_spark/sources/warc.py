@@ -105,7 +105,14 @@ def warcinfo_record_col(record_id: Column, date: Column) -> Column:
 def _parse_headers(data: bytes, pos: int):
     """RFC 7230-style header block starting at ``pos``: returns
     (dict[lower-name → unfolded value], position after the blank
-    line). Raises ValueError on a malformed line or missing blank."""
+    line). Raises ValueError on a malformed line or missing blank.
+
+    Repeated header names are LAST-WINS (the dict keeps only the final
+    value). WARC 1.0 allows repeats for some fields (notably
+    WARC-Concurrent-To, ISO 28500 §5.7) — none of the fields currently
+    surfaced by warc_records can legally repeat, but any future column
+    sourced from a repeatable field must first switch this parser to
+    collecting lists (ADVICE r6)."""
     headers: dict[str, str] = {}
     last = None
     while True:

@@ -3870,6 +3870,21 @@ def test_parse_sitemaps_kinds_errors_and_cap(spark):
     assert len(out) == 8  # 2 urlset + 1 index + 5 single-verdict rows
 
 
+def test_parse_sitemaps_null_xml_lands_in_error_channel(spark):
+    """ADVICE r6: a NULL xml value used to pass the DOCTYPE substring
+    check as the string 'None' and then kill the executor task with a
+    TypeError from ET.fromstring(None) — it must land in the promised
+    error channel like any other malformed input."""
+    from newspaper_spark.operators.feeds import parse_sitemaps
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "<not-xml")], "site_id long, xml string"
+    )
+    out = {r.site_id: r for r in parse_sitemaps(df).collect()}
+    assert out[0].error == "malformed-xml" and out[0].loc is None
+    assert out[1].error == "malformed-xml"
+
+
 def test_streaming_sitemap_parse_batch_equal(spark, tmp_path):
     """parse_sitemaps is stateless map-only, so it must run unchanged
     on an availableNow stream (the crawl-discovery side of a streaming
@@ -4496,6 +4511,34 @@ def test_pagerank_int_weighted_matches_python_model(spark):
         for x in pagerank_int(df.select("src", "dst")).collect()
     }
     assert wtd == unw
+
+
+def test_pagerank_int_zero_weight_source_is_sink(spark):
+    """ADVICE r6: a source whose weights sum to 0 used to hit
+    `rank DIV ow` with ow=0 and raise DIVIDE_BY_ZERO under the
+    session's ANSI mode, failing the whole job. It must instead act as
+    a sink (contributes no rank mass) while keeping its out_degree and
+    its presence in the node set; other nodes' ranks must equal the
+    graph with the zero-weight edges absent from the mass flow."""
+    from newspaper_spark.operators.graph import pagerank_int
+
+    # b's only out-edge has weight 0; a→b carries normal mass
+    df = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 0)], "src string, dst string, w long"
+    )
+    got = {
+        x.node: (x.out_degree, x.rank)
+        for x in pagerank_int(df, weight_col="w", iterations=3).collect()
+    }
+    scale = 1_000_000
+    base = (15 * scale) // 100
+    # independent model: a→b weight 3 (ow=3), b contributes nothing
+    r = {v: scale for v in "abc"}
+    for _ in range(3):
+        inflow = {v: 0 for v in "abc"}
+        inflow["b"] += (((r["a"] // 3) * 3) * 85) // 100
+        r = {v: base + inflow[v] for v in "abc"}
+    assert got == {"a": (1, r["a"]), "b": (1, r["b"]), "c": (0, r["c"])}
 
 
 def test_sparse_dot_pairs_matches_python_model(spark):
