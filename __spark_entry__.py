@@ -2495,6 +2495,79 @@ def q_corpus_prep(spark, sf_dir):
     return enriched.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
 
 
+def q_source_meta(spark, sf_dir):
+    """Source-level brand + description (the last reference-surface
+    gap, VERDICT r6 missing-item 1): the reference's Source()
+    constructor sets brand = tldextract.extract(url).domain
+    (source.py:79-82) and set_description copies the homepage
+    meta-description (source.py:170-175). Synthetic homepage per
+    document exercises the kernel's mini-PSL on four URL shapes (www
+    subdomain, two-label co.uk suffix, explicit port, userinfo +
+    trailing-dot host) and the DOM meta[name=description] first-match
+    kernel incl. attribute charref unescape (&amp;), surrounding-
+    whitespace strip, and the ''-when-absent default (doc_id%5==2
+    pages carry no meta tag). Map-only Arrow UDF — homepages never
+    shuffle."""
+    from newspaper_spark.operators.source_build import extract_source_meta
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    name = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("alpha"), F.col("doc_id")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("beta"), F.col("doc_id")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("gamma"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("delta"), F.col("doc_id")))
+    )
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("http://www."), name, F.lit(".com/")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("http://news."), name, F.lit(".co.uk/")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("http://"), name, F.lit(".org:8080/")))
+        .otherwise(F.concat(F.lit("http://editor@"), name, F.lit(".net./")))
+    )
+    desc_attr = F.concat(
+        F.lit("  News &amp; analysis from "),
+        name,
+        F.lit(", est. "),
+        (F.col("doc_id") % 30 + 1990).cast("string"),
+        F.lit("  "),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Home</title>"),
+        F.when(
+            F.col("doc_id") % 5 == 2, F.lit("")
+        ).otherwise(
+            F.concat(F.lit('<meta name="description" content="'), desc_attr, F.lit('">'))
+        ),
+        F.lit("</head><body><p>hello</p></body></html>"),
+    )
+    src = d.select(
+        "doc_id", url.alias("source_url"), html.alias("html")
+    )
+    return extract_source_meta(src)
+
+
+def q_api_surface(spark, sf_dir):
+    """Module-level API parity (VERDICT r6 missing-item 2):
+    newspaper.popular_urls() (api.py:51-56 — 'http://' + each bundled
+    popular-sources entry, file order preserved) and
+    newspaper.languages() (api.py:45-48 + utils.py:343-402 — the
+    supported-language table derived from the stopword files), both as
+    one tall (kind, item, val) relation. Driver-side bounded by
+    construction (O(hundreds) rows); consumers broadcast-join it."""
+    from newspaper_spark.api import languages, popular_urls
+
+    langs = languages(spark).select(
+        F.lit("language").alias("kind"),
+        F.col("code").alias("item"),
+        F.col("full_name").alias("val"),
+    )
+    pops = popular_urls(spark).select(
+        F.lit("popular_url").alias("kind"),
+        F.col("idx").cast("string").alias("item"),
+        F.col("url").alias("val"),
+    )
+    return langs.unionByName(pops)
+
+
 def _round_no() -> int:
     """Current build round, inferred from the driver's committed
     correctness artifacts (after round N finishes, CORRECTNESS_r{N}.json
@@ -2642,7 +2715,10 @@ _CANONICAL_QUERIES: list[tuple[str, Callable]] = [
 # Queries ADDED this round (not yet in _CANONICAL_QUERIES): emitted
 # first so they always land inside the driver's 50-row window. Fold
 # into _CANONICAL_QUERIES next round and empty this list.
-_NEW_THIS_ROUND: list[tuple[str, Callable]] = []
+_NEW_THIS_ROUND: list[tuple[str, Callable]] = [
+    ("source_meta", q_source_meta),
+    ("api_surface", q_api_surface),
+]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
 _ROTATION_STEP = 52  # = len(canonical) − window → disjoint consecutive tails
@@ -2786,6 +2862,33 @@ def _bpe_oracle_sql(n_rounds: int, doc_level: bool = False) -> str:
         FROM v{n_rounds}"""
         )
     return "".join(parts)
+
+
+def _api_surface_sql() -> str:
+    """VALUES-literal oracle for q_api_surface, frozen from the same
+    bundled resources the api module reads (the relation IS the data —
+    the oracle pins that the Spark plumbing surfaces it faithfully;
+    content itself is unit-pinned in tests/test_operators.py)."""
+    from newspaper_spark.api import (
+        LANGUAGE_NAMES,
+        language_codes,
+        popular_source_domains,
+    )
+
+    lang_rows = ", ".join(
+        f"('{c}', '{LANGUAGE_NAMES[c]}')" for c in language_codes()
+    )
+    pop_rows = ", ".join(
+        f"({i}, '{d}')" for i, d in enumerate(popular_source_domains())
+    )
+    return f"""
+        SELECT 'language' AS kind, code AS item, name AS val
+        FROM (VALUES {lang_rows}) t(code, name)
+        UNION ALL
+        SELECT 'popular_url' AS kind, i::VARCHAR AS item,
+               'http://' || d AS val
+        FROM (VALUES {pop_rows}) t(i, d)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4930,6 +5033,35 @@ def oracle_sql() -> dict[str, str]:
                    {_EXPECTED_TEXT} AS extracted_text
             FROM documents
         """,
+        # brand is the PSL-aware registered-domain label for every URL
+        # shape; description replays the attribute charref unescape
+        # (&amp; → &) and the kernel's .strip() of the content value
+        "source_meta": """
+            WITH s AS (
+                SELECT doc_id,
+                       CASE (doc_id % 4)
+                         WHEN 0 THEN 'alpha' || doc_id::VARCHAR
+                         WHEN 1 THEN 'beta' || doc_id::VARCHAR
+                         WHEN 2 THEN 'gamma' || doc_id::VARCHAR
+                         ELSE 'delta' || doc_id::VARCHAR
+                       END AS name
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE (doc_id % 4)
+                     WHEN 0 THEN 'http://www.' || name || '.com/'
+                     WHEN 1 THEN 'http://news.' || name || '.co.uk/'
+                     WHEN 2 THEN 'http://' || name || '.org:8080/'
+                     ELSE 'http://editor@' || name || '.net./'
+                   END AS source_url,
+                   name AS brand,
+                   CASE WHEN doc_id % 5 = 2 THEN ''
+                        ELSE 'News & analysis from ' || name ||
+                             ', est. ' || (doc_id % 30 + 1990)::VARCHAR
+                   END AS description
+            FROM s
+        """,
+        "api_surface": _api_surface_sql(),
     }
 
 

@@ -215,3 +215,57 @@ def extract_page_links(
         F.col("l.href").alias("href"),
         F.col("l.anchor").alias("anchor"),
     )
+
+
+def _source_meta_batch(source_urls, htmls):
+    from ..dom.htmlparser import fromstring
+    from ..kernel.metadata import get_meta_description
+    from ..kernel.urlutils import extract_domain
+
+    brands, descs = [], []
+    for su, html in zip(source_urls, htmls):
+        try:
+            brands.append(extract_domain(su or "").domain)
+        except Exception:
+            brands.append("")
+        try:
+            doc = fromstring(html or "")
+            descs.append(get_meta_description(doc) if doc is not None else "")
+        except Exception:
+            descs.append("")
+    return pd.DataFrame({"brand": brands, "description": descs})
+
+
+source_meta_udf = F.pandas_udf(
+    _source_meta_batch,
+    T.StructType(
+        [
+            T.StructField("brand", T.StringType()),
+            T.StructField("description", T.StringType()),
+        ]
+    ),
+)
+
+
+def extract_source_meta(
+    sources: DataFrame, url_col: str = "source_url", html_col: str = "html"
+) -> DataFrame:
+    """Source-level ``brand`` + ``description`` — the reference's
+    Source() constructor sets ``brand = tldextract.extract(url).domain``
+    (source.py:79-82) and ``set_description`` copies the homepage's
+    meta-description attribute (source.py:170-175, via
+    ``get_meta_description``). Here: brand from the kernel's mini-PSL
+    ``extract_domain`` (the tldextract analog — handles two-label
+    public suffixes, subdomains, ports, userinfo), description from
+    the REAL DOM parse + meta[name=description] first-match kernel,
+    '' when absent (the reference's default). One Arrow-batched pandas
+    UDF computes both per page; map-only — homepage HTML never
+    shuffles, so the stage scales as a pure scan at any source count.
+    """
+    meta = source_meta_udf(F.col(url_col), F.col(html_col))
+    passthrough = [c for c in sources.columns if c != html_col]
+    return sources.select(
+        *passthrough,
+        meta.getField("brand").alias("brand"),
+        meta.getField("description").alias("description"),
+    )

@@ -4586,3 +4586,61 @@ def test_sparse_dot_pairs_matches_python_model(spark):
     # repeated terms multiply: docs 1x3 share banana (1*1) -> 1,
     # docs 2x3 share cherry (1*2) -> 2
     assert got[(1, 3)] == 1 and got[(2, 3)] == 2
+
+
+def test_extract_source_meta_brand_and_description(spark):
+    """extract_source_meta vs the reference semantics (source.py:79-82,
+    170-175): brand = registered-domain label under the mini-PSL for
+    every URL shape tldextract handles (subdomain, two-label suffix,
+    port, userinfo, trailing dot, bare host), description = homepage
+    meta[name=description] content with attribute charrefs unescaped
+    and surrounding whitespace stripped, '' when the tag is absent —
+    and non-html passthrough columns survive."""
+    from newspaper_spark.operators.source_build import extract_source_meta
+
+    meta = '<meta name="description" content="  News &amp; views, daily  ">'
+    rows = [
+        (0, "http://www.example.com/", f"<html><head>{meta}</head></html>"),
+        (1, "http://news.paper.co.uk/", f"<html><head>{meta}</head></html>"),
+        (2, "http://host.org:8080/", "<html><head></head><body/></html>"),
+        (3, "http://editor@dotty.net./", f"<head>{meta}</head>"),
+        (4, "localhost", "<html></html>"),
+        (5, None, None),
+    ]
+    df = spark.createDataFrame(rows, "sid long, source_url string, html string")
+    got = {r.sid: r for r in extract_source_meta(df).collect()}
+    assert set(got[0].asDict()) == {"sid", "source_url", "brand", "description"}
+    assert got[0].brand == "example"
+    assert got[1].brand == "paper"       # co.uk is a two-label suffix
+    assert got[2].brand == "host"        # port stripped
+    assert got[3].brand == "dotty"       # userinfo + trailing dot
+    assert got[4].brand == "localhost"   # single label: whole host
+    assert got[5].brand == ""
+    expected_desc = "News & views, daily"
+    assert got[0].description == expected_desc
+    assert got[3].description == expected_desc
+    assert got[2].description == ""      # tag absent -> reference default
+    assert got[5].description == ""
+
+
+def test_api_popular_urls_and_languages(spark):
+    """api parity (reference api.py:45-68): popular_urls prefixes each
+    bundled popular-sources entry with http:// in file order;
+    languages is the sorted 2-char-code table with full names from the
+    reference's code->name map, excluding the nlp-en wordlist."""
+    from newspaper_spark.api import languages, popular_urls
+
+    pop = popular_urls(spark).orderBy("idx").collect()
+    assert len(pop) == 242
+    assert pop[0].idx == 0 and pop[0].url == "http://www.huffingtonpost.com"
+    assert pop[1].url == "http://cnn.com"
+    assert all(r.url.startswith("http://") for r in pop)
+
+    langs = languages(spark).collect()
+    codes = [r.code for r in langs]
+    assert codes == sorted(codes) and len(codes) == 38
+    assert all(len(c) == 2 for c in codes)  # nlp-en excluded
+    by = {r.code: r.full_name for r in langs}
+    assert by["en"] == "English"
+    assert by["nb"] == "Norwegian (Bokmål)"
+    assert by["zh"] == "Chinese"

@@ -129,8 +129,8 @@ def test_pagerank_iteration_uses_persisted_edges(spark):
 
 
 def test_no_cartesian_product_in_any_query_plan(spark):
-    """Global hygiene sweep: none of the 102 queries() plans may
-    contain a CartesianProduct. The repo's only cross-join-shaped
+    """Global hygiene sweep: none of the queries() plans (104 as of
+    round 7) may contain a CartesianProduct. The repo's only cross-join-shaped
     steps are broadcast single-row totals (BroadcastNestedLoopJoin)
     and the guarded ANN brute baseline — an accidental unguarded
     cartesian introduced by any future query fails here. (~2 min:
@@ -162,3 +162,18 @@ def test_bm25_and_bloom_zero_sort_merge_joins(spark):
             p = _plan(spark, df, mode="simple")
             assert "SortMergeJoin" not in p, name
             assert "BroadcastHashJoin" in p, name
+
+
+def test_source_meta_map_only(spark):
+    """extract_source_meta's docstring claims map-only (homepage HTML
+    never shuffles): the physical plan must contain no Exchange and
+    the passthrough projection must not widen the Arrow handoff."""
+    from newspaper_spark.operators.source_build import extract_source_meta
+
+    src = spark.createDataFrame(
+        [(1, "http://www.a.com/", "<html></html>")],
+        "sid long, source_url string, html string",
+    )
+    p = _plan(spark, extract_source_meta(src))
+    assert "Exchange" not in p
+    assert "ArrowEvalPython" in p or "Python" in p  # the one UDF stage
