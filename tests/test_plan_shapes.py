@@ -177,3 +177,31 @@ def test_source_meta_map_only(spark):
     p = _plan(spark, extract_source_meta(src))
     assert "Exchange" not in p
     assert "ArrowEvalPython" in p or "Python" in p  # the one UDF stage
+
+
+def test_composition_job_counts_bounded(spark):
+    """Composition-recompute regressions (the defect class the round-6
+    audit kept catching: pagerank's edge pipeline re-ran per round at
+    57 jobs, heavy_hitters ran 4 corpus passes) show up as JOB-COUNT
+    blow-ups long before they show up in a benchmark. Pin the two
+    heaviest compositions' job counts with slack: dclm_prep measured
+    30 jobs / warc_extract 5 jobs via job_count_probe at sf0.01
+    (BENCH.md round-7 audit). AQE makes counts mildly data/plan
+    dependent, so the bound is a ceiling, not an exact count."""
+    import __spark_entry__ as E
+    from newspaper_spark import cache
+
+    sc = spark.sparkContext
+    bounds = {"dclm_prep": 40, "warc_extract": 10}
+    for name, bound in bounds.items():
+        group = f"jobcount_{name}"
+        sc.setJobGroup(group, name)
+        try:
+            with cache.tracking_scope():
+                E.queries()[name](spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+        finally:
+            sc.setJobGroup(None, None)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert len(jobs) <= bound, (name, len(jobs))
