@@ -1,4 +1,6 @@
-"""One-off per-query timing pass for the round-6 debut queries.
+"""Per-query timing pass for the current round's debut queries
+(_NEW_THIS_ROUND, falling back to the round-6 list when a round has
+no debuts).
 
 Same protocol as bench.py::query_timings (1 cold + median of 3 warm
 reruns, each inside cache.tracking_scope(), noop sink) but restricted
@@ -20,8 +22,10 @@ from newspaper_spark.operators.extract import extract_articles  # noqa: E402
 from newspaper_spark.plans.session import get_spark  # noqa: E402
 from newspaper_spark.sources.transcripts import synthetic_transcripts  # noqa: E402
 
-DEBUTS = ["quality_classifier", "ccnet_prep", "bm25_topk",
+_R6_DEBUTS = ["quality_classifier", "ccnet_prep", "bm25_topk",
           "exact_substr", "stupid_backoff", "warc_records", "warc_extract", "dclm_prep", "sitemap_urls", "tokenize_pack", "pagerank", "kmv_distinct", "heavy_hitters", "hll_distinct", "shard_assign", "pmi_collocations", "chunk_text", "triangle_count", "anchor_topk", "build_postings", "host_rank", "sparse_dot_pairs"]
+
+DEBUTS = [nm for nm, _ in E._NEW_THIS_ROUND] or _R6_DEBUTS
 
 if len(sys.argv) > 1:  # restrict to named debuts
     DEBUTS = [d for d in DEBUTS if d in sys.argv[1:]]
