@@ -2577,6 +2577,51 @@ def q_api_surface(spark, sf_dir):
     return langs.unionByName(pops)
 
 
+def q_badwords(spark, sf_dir):
+    """C4 bad-words page gate (filters.badwords_filter, Raffel et al.
+    2020 §2.2): blocklist = two unigrams + one two-token phrase drawn
+    from the synthetic vocabulary, so hit counts genuinely vary per
+    document. Scale shape under test: no full-corpus bigram pass —
+    bigram candidates are bounded by the blocklist first-token's
+    corpus frequency (broadcast probe, the bm25 candidate-volume
+    lesson). The oracle replays the token explode (shared WS_CLASS
+    regime), the unigram membership, and the pos+1 adjacency join."""
+    from newspaper_spark.operators.filters import badwords_filter
+
+    return badwords_filter(
+        _docs(spark, sf_dir), ["slow", "big", "fast table"]
+    )
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Within-document duplicate-line removal (span_dedup.
+    dedup_lines_within_doc) — the per-page half of repetition removal
+    next to the cross-document span/paragraph dedup family. Input
+    enrichment (mirrored in the oracle, the paragraph_dedup pattern —
+    the raw synthetic text has no newlines): each doc becomes a
+    7-line page with a boilerplate line planted THREE times, its
+    first 3-token phrase twice, one blank line, and tokens 4-6 once —
+    so removal counts vary with phrase collisions. The oracle replays
+    the explode → first-occurrence window → ordered reassembly."""
+    from newspaper_spark.operators.span_dedup import dedup_lines_within_doc
+
+    nws = "[^ \\t\\n\\x0B\\f\\r]"
+    line_a = F.regexp_extract(
+        F.col("text"), f"^((?:{nws}+ ){{2}}{nws}+)", 1
+    )
+    line_b = F.regexp_extract(
+        F.col("text"), f"^(?:{nws}+ ){{3}}((?:{nws}+ ){{2}}{nws}+)", 1
+    )
+    boiler = F.lit("subscribe to our newsletter")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "\n", boiler, line_a, boiler, F.lit(""), line_b, boiler, line_a
+        ).alias("text"),
+    )
+    return dedup_lines_within_doc(d)
+
+
 def _round_no() -> int:
     """Current build round, inferred from the driver's committed
     correctness artifacts (after round N finishes, CORRECTNESS_r{N}.json
@@ -2727,6 +2772,8 @@ _CANONICAL_QUERIES: list[tuple[str, Callable]] = [
 _NEW_THIS_ROUND: list[tuple[str, Callable]] = [
     ("source_meta", q_source_meta),
     ("api_surface", q_api_surface),
+    ("badwords", q_badwords),
+    ("dedup_lines", q_dedup_lines),
 ]
 
 _DRIVER_WINDOW = 50  # how many leading queries() entries the driver hashes
@@ -5071,6 +5118,72 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "api_surface": _api_surface_sql(),
+        "badwords": """
+            WITH n AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ') AS t
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, i, t[i] AS w
+                FROM n, unnest(range(1, len(t) + 1)) AS r(i)
+                WHERE t[i] <> ''
+            ), hit AS (
+                SELECT doc_id FROM tok WHERE w IN ('slow', 'big')
+                UNION ALL
+                SELECT a.doc_id
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                WHERE a.w = 'fast' AND b.w = 'table'
+            ), h AS (
+                SELECT doc_id, count(*)::BIGINT AS n_badword_hits
+                FROM hit GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_badword_hits, 0)::BIGINT AS n_badword_hits,
+                   coalesce(h.n_badword_hits, 0) = 0 AS badwords_ok
+            FROM documents d LEFT JOIN h USING (doc_id)
+        """,
+        "dedup_lines": """
+            WITH src AS (
+                SELECT doc_id,
+                       'subscribe to our newsletter' || chr(10) ||
+                       regexp_extract(text,
+                           '^((?:[^ \\t\\n\\x0B\\f\\r]+ ){2}[^ \\t\\n\\x0B\\f\\r]+)', 1)
+                       || chr(10) || 'subscribe to our newsletter' ||
+                       chr(10) || '' || chr(10) ||
+                       regexp_extract(text,
+                           '^(?:[^ \\t\\n\\x0B\\f\\r]+ ){3}((?:[^ \\t\\n\\x0B\\f\\r]+ ){2}[^ \\t\\n\\x0B\\f\\r]+)', 1)
+                       || chr(10) || 'subscribe to our newsletter' ||
+                       chr(10) ||
+                       regexp_extract(text,
+                           '^((?:[^ \\t\\n\\x0B\\f\\r]+ ){2}[^ \\t\\n\\x0B\\f\\r]+)', 1)
+                       AS t2
+                FROM documents
+            ), sp AS (
+                SELECT doc_id, string_split(t2, chr(10)) AS s FROM src
+            ), l AS (
+                SELECT doc_id, i - 1 AS pos, s[i] AS line
+                FROM sp, unnest(range(1, len(s) + 1)) AS r(i)
+            ), k AS (
+                SELECT doc_id, pos, line,
+                       row_number() OVER (
+                           PARTITION BY doc_id, line ORDER BY pos) AS occ
+                FROM l
+            ), kept AS (
+                SELECT doc_id, pos, line FROM k
+                WHERE line = '' OR occ = 1
+            ), tot AS (
+                SELECT doc_id, count(*)::BIGINT AS n_total
+                FROM l GROUP BY doc_id
+            )
+            SELECT kept.doc_id,
+                   string_agg(line, chr(10) ORDER BY pos) AS cleaned_text,
+                   count(*)::BIGINT AS n_lines,
+                   (any_value(tot.n_total) - count(*))::BIGINT AS n_removed
+            FROM kept JOIN tot USING (doc_id)
+            GROUP BY kept.doc_id
+        """,
     }
 
 

@@ -191,3 +191,58 @@ def paragraph_dedup(
     groupBy(hash)+join-back plan, same oracle construction, newline
     segmentation and reassembly instead of sentences."""
     return span_dedup(df, id_col, text_col, span=1, sep=r"\n", joiner="\n")
+
+
+def dedup_lines_within_doc(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """WITHIN-document duplicate-line removal — the per-page half of
+    repetition removal (Gopher's dup-line screens measure it, Dolma's
+    dedupers act on it): every exact repeat of a non-empty line after
+    its first occurrence in the SAME document is dropped; empty lines
+    (paragraph structure) are preserved verbatim. Complements
+    span_dedup/paragraph_dedup, which are CROSS-document.
+
+    Shape: lines are posexploded to narrow ``(id, pos, line)`` rows,
+    first-occurrence filtering is one ``row_number`` window per
+    ``(id, line)`` (both shuffles keyed by doc id — uniform, no hot
+    keys possible since a document's line count bounds its partition),
+    and reassembly sorts the surviving (pos, line) structs per doc.
+    The reassembly ``transform`` lambda is interpreted per element
+    (CLAUDE.md HOF note) but bounded by lines-per-doc, not corpus
+    size.
+
+    Returns ``(id_col, cleaned_text, n_lines, n_removed)``.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+        ).alias("pos", "line"),
+    )
+    w = W.partitionBy("id", "line").orderBy("pos")
+    kept = lines.select(
+        "id",
+        "pos",
+        "line",
+        F.row_number().over(w).alias("occ"),
+    ).filter((F.col("line") == "") | (F.col("occ") == 1))
+    out = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+        F.count("*").cast("long").alias("n_lines"),
+    )
+    totals = lines.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_total")
+    )
+    return out.join(totals, "id").select(
+        F.col("id").alias(id_col),
+        "cleaned_text",
+        "n_lines",
+        (F.col("n_total") - F.col("n_lines")).alias("n_removed"),
+    )

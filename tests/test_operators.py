@@ -4644,3 +4644,78 @@ def test_api_popular_urls_and_languages(spark):
     assert by["en"] == "English"
     assert by["nb"] == "Norwegian (Bokmål)"
     assert by["zh"] == "Chinese"
+
+
+def test_badwords_filter_matches_python_model(spark):
+    """badwords_filter vs a brute-force model: unigram entries count
+    every token occurrence, two-token entries count every adjacent
+    pair, verdicts flag any hit; docs with no hits keep
+    badwords_ok=True; 3-token entries raise."""
+    import re
+
+    import pytest as _pytest
+
+    from newspaper_spark.operators.filters import badwords_filter
+
+    docs = [
+        (0, "the big bad wolf saw a big dog"),
+        (1, "nothing wrong here at all"),
+        (2, "click here to click here now"),
+        (3, "bad bad bad"),
+        (4, ""),
+        (5, None),
+        (6, "CLICK  Here\tto win"),  # case + whitespace normalization
+    ]
+    bl = ["bad", "click here"]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_badword_hits, r.badwords_ok)
+        for r in badwords_filter(df, bl).collect()
+    }
+
+    def model(text):
+        toks = [t for t in re.split("[ \t\n\x0b\f\r]+", (text or "").lower()) if t]
+        hits = sum(1 for t in toks if t == "bad")
+        hits += sum(
+            1
+            for a, b in zip(toks, toks[1:])
+            if (a, b) == ("click", "here")
+        )
+        return hits, hits == 0
+
+    assert got == {i: model(t) for i, t in docs}
+
+    with _pytest.raises(ValueError):
+        badwords_filter(df, ["one two three"]).collect()
+
+
+def test_dedup_lines_within_doc_matches_python_model(spark):
+    """dedup_lines_within_doc vs a brute-force model: first occurrence
+    of every non-empty line survives in order, empty lines are
+    preserved verbatim (all of them), repeats are counted."""
+    from newspaper_spark.operators.span_dedup import dedup_lines_within_doc
+
+    docs = [
+        (0, "boiler\nstory a\nboiler\n\nstory b\nboiler\nstory a"),
+        (1, "one\ntwo\nthree"),
+        (2, "\n\n"),          # only empties: all preserved
+        (3, "same\nsame"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_lines, r.n_removed)
+        for r in dedup_lines_within_doc(df).collect()
+    }
+
+    def model(text):
+        lines = (text or "").split("\n")
+        seen, out = set(), []
+        for ln in lines:
+            if ln == "" or ln not in seen:
+                out.append(ln)
+                seen.add(ln)
+        return "\n".join(out), len(out), len(lines) - len(out)
+
+    assert got == {i: model(t) for i, t in docs}
