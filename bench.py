@@ -315,6 +315,14 @@ def query_timings(cores: int) -> tuple[dict, dict]:
         "build_postings",
         "host_rank",
         "sparse_dot_pairs",
+        # round-7: the two rotation-debt queries (VERDICT r6 item 7)
+        # and the round's four debuts
+        "nlp_summary",
+        "nlp_sentence_scores",
+        "source_meta",
+        "api_surface",
+        "badwords",
+        "dedup_lines",
     ]
     qs = E.queries()
     spark = get_spark(app_name="bench-queries", cores=cores)

@@ -205,3 +205,17 @@ def test_composition_job_counts_bounded(spark):
             sc.setJobGroup(None, None)
         jobs = sc.statusTracker().getJobIdsForGroup(group)
         assert len(jobs) <= bound, (name, len(jobs))
+
+
+def test_badwords_blocklist_probes_are_broadcast(spark):
+    """badwords_filter's docstring claims broadcast blocklist probes
+    and no full-corpus bigram pass: the plan must contain
+    BroadcastHashJoins for the probes and no CartesianProduct; the
+    only SortMergeJoin allowed is the final per-doc verdict join-back
+    (id-keyed, AQE-convertible at runtime)."""
+    from newspaper_spark.operators.filters import badwords_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = _plan(spark, badwords_filter(docs, ["slow", "big", "fast table"]))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
