@@ -317,6 +317,10 @@ def badwords_filter(
         badwords = spark.createDataFrame(
             [(w,) for w in badwords], "entry string"
         )
+    # a blocklist is a SET: a duplicated entry must not double-count
+    # hits (C4's list semantics; also keeps the oracle's IN/equi-join
+    # forms equivalent)
+    badwords = badwords.distinct()
     entry_col = badwords.columns[0]
     bl = badwords.select(
         F.col(entry_col).alias("entry"),

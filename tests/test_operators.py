@@ -4685,6 +4685,13 @@ def test_badwords_filter_matches_python_model(spark):
 
     assert got == {i: model(t) for i, t in docs}
 
+    # a blocklist is a set: duplicated entries must not double-count
+    got_dup = {
+        r.doc_id: r.n_badword_hits
+        for r in badwords_filter(df, bl + bl).collect()
+    }
+    assert got_dup == {i: model(t)[0] for i, t in docs}
+
     with _pytest.raises(ValueError):
         badwords_filter(df, ["one two three"]).collect()
 
