@@ -4726,3 +4726,47 @@ def test_dedup_lines_within_doc_matches_python_model(spark):
         return "\n".join(out), len(out), len(lines) - len(out)
 
     assert got == {i: model(t) for i, t in docs}
+
+
+def test_dedup_lines_randomized_batch_vs_model(spark):
+    """Seeded randomized batch (one Spark call, the fuzz-value shape
+    for a distributed operator): 200 documents mixing repeated lines,
+    whitespace-only lines, \\r remnants, unicode, long runs of empty
+    lines, and single-line docs — exact match against the Python
+    model on every row."""
+    import random
+
+    from newspaper_spark.operators.span_dedup import dedup_lines_within_doc
+
+    rng = random.Random(7)
+    pool = [
+        "boiler plate",
+        "  ",
+        "\t",
+        "line with trailing \r",
+        "ünïcodé ⚡ line",
+        "a",
+        "",
+        "subscribe now",
+        "the same exact line",
+    ]
+    docs = []
+    for i in range(200):
+        n = rng.randrange(0, 12)
+        docs.append((i, "\n".join(rng.choice(pool) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.cleaned_text, r.n_lines, r.n_removed)
+        for r in dedup_lines_within_doc(df).collect()
+    }
+
+    def model(text):
+        lines = (text or "").split("\n")
+        seen, out = set(), []
+        for ln in lines:
+            if ln == "" or ln not in seen:
+                out.append(ln)
+                seen.add(ln)
+        return "\n".join(out), len(out), len(lines) - len(out)
+
+    assert got == {i: model(t) for i, t in docs}
