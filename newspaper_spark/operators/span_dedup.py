@@ -220,13 +220,19 @@ def dedup_lines_within_doc(
             F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
         ).alias("pos", "line"),
     )
+    # empty lines bypass the window entirely so the non-empty branch
+    # is a pure top-1-per-(id, line) filter — Catalyst then plans
+    # WindowGroupLimit (plan-pinned in test_plan_shapes): duplicate
+    # lines collapse MAP-SIDE before the shuffle, so a page with a
+    # boilerplate line repeated 10⁴× ships O(tasks) rows, not 10⁴
     w = W.partitionBy("id", "line").orderBy("pos")
-    kept = lines.select(
-        "id",
-        "pos",
-        "line",
-        F.row_number().over(w).alias("occ"),
-    ).filter((F.col("line") == "") | (F.col("occ") == 1))
+    kept = (
+        lines.filter(F.col("line") != "")
+        .select("id", "pos", "line", F.row_number().over(w).alias("occ"))
+        .filter(F.col("occ") == 1)
+        .drop("occ")
+        .unionByName(lines.filter(F.col("line") == ""))
+    )
     out = kept.groupBy("id").agg(
         F.array_join(
             F.transform(

@@ -219,3 +219,15 @@ def test_badwords_blocklist_probes_are_broadcast(spark):
     p = _plan(spark, badwords_filter(docs, ["slow", "big", "fast table"]))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_dedup_lines_window_group_limit_pushdown(spark):
+    """dedup_lines_within_doc's first-occurrence filter claims
+    WindowGroupLimit pushdown (duplicate lines collapse map-side
+    before the (id, line) shuffle)."""
+    from newspaper_spark.operators.span_dedup import dedup_lines_within_doc
+
+    docs = spark.createDataFrame(
+        [(i, "a\nb\na\n\nc") for i in range(20)], "doc_id long, text string"
+    )
+    assert "WindowGroupLimit" in _plan(spark, dedup_lines_within_doc(docs))
