@@ -328,8 +328,12 @@ def badwords_filter(
     ).select(
         "entry",
         F.size("ws").alias("n_toks"),
-        F.col("ws")[0].alias("bw1"),
-        F.col("ws")[1].alias("bw2"),
+        # F.get, not ws[i]: GetArrayItem raises on out-of-bounds under
+        # the session's ANSI mode, and whether a 1-token row ever
+        # evaluates ws[1] depends on optimizer filter/project ordering
+        # — F.get returns NULL instead, unconditionally safe
+        F.get("ws", 0).alias("bw1"),
+        F.get("ws", 1).alias("bw2"),
     )
     # eager guard: a silent prefix-match of a 3-token phrase would be
     # a wrong verdict, not a slow plan
