@@ -232,3 +232,55 @@ def test_round_inference_ignores_stray_files(monkeypatch, tmp_path):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert mod._round_no() == 7  # max real round 6 + 1; strays ignored
+
+
+def test_rotation_arithmetic_properties(monkeypatch):
+    """Hypothesis-style sweep of the rotation arithmetic itself, over
+    a grid of canonical sizes and debut counts (pure Python — no
+    Spark): for ANY n > window and D ≤ 10, (a) nothing is ever lost or
+    duplicated, (b) debuts always lead the emitted order in the
+    authored round, (c) the two-round miss set never exceeds
+    max(0, 2(n−w)−n) + D, and (d) the THREE-round miss set has exactly
+    the structural size max(0, 3(n−w)−2n) — zero while n ≤ 3w (so "no
+    query misses three consecutive rounds" holds for the current 106),
+    and pinned to the exact floor past that, so the policy docs can't
+    over-claim as the list keeps growing."""
+    import __spark_entry__ as E
+
+    sentinel = object()
+    w = E._DRIVER_WINDOW
+    for n in (51, 60, 80, 102, 106, 150, 199):
+        canonical = [(f"q{i:03d}", sentinel) for i in range(n)]
+        monkeypatch.setattr(E, "_CANONICAL_QUERIES", canonical)
+        monkeypatch.setattr(E, "_ROTATION_STEP", n - w)
+        monkeypatch.setattr(E, "_ROTATION_BASE_ROUND", 6)
+        monkeypatch.setattr(E, "_AUTHORED_FOR_ROUND", 20)
+        names_all = {nm for nm, _ in canonical}
+        min_overlap = max(0, 2 * (n - w) - n)
+        min_overlap3 = max(0, 3 * (n - w) - 2 * n)
+
+        # steady state, D=0: loss-free rotation + minimal miss sets
+        monkeypatch.setattr(E, "_NEW_THIS_ROUND", [])
+        windows = {}
+        for r in range(6, 14):
+            monkeypatch.setenv("SPARK_GRAFT_ROUND", str(r))
+            names = list(E.queries())
+            assert len(names) == n and set(names) == names_all  # (a)
+            windows[r] = set(names[:w])
+        for r in range(6, 12):
+            missed2 = names_all - windows[r] - windows[r + 1]
+            assert len(missed2) == min_overlap, (n, r)  # (c) tight at D=0
+            missed3 = missed2 - windows[r + 2]
+            assert len(missed3) == min_overlap3, (n, r)  # (d)
+
+        # debut round, D in 1..10: debuts lead, bounded eviction
+        for D in (1, 3, 10):
+            debuts = [(f"new{i}", sentinel) for i in range(D)]
+            monkeypatch.setattr(E, "_NEW_THIS_ROUND", debuts)
+            monkeypatch.setenv("SPARK_GRAFT_ROUND", "8")
+            names = list(E.queries())
+            assert names[:D] == [nm for nm, _ in debuts]  # (b)
+            assert len(names) == n + D and len(set(names)) == n + D  # (a)
+            prev_tail = names_all - windows[7]
+            deferred = prev_tail - set(names[:w])
+            assert len(deferred) <= min_overlap + D, (n, D)  # (c)
