@@ -231,3 +231,17 @@ def test_dedup_lines_window_group_limit_pushdown(spark):
         [(i, "a\nb\na\n\nc") for i in range(20)], "doc_id long, text string"
     )
     assert "WindowGroupLimit" in _plan(spark, dedup_lines_within_doc(docs))
+
+
+def test_warc_extract_rebalances_before_arrow_stage(spark):
+    """q_warc_extract's repartition before extract_articles is
+    load-bearing (round-6 audit: without it AQE coalesces the per-file
+    groupBy output to a handful of partitions and SERIALIZES the
+    expensive Arrow extraction — warm 8.0 s vs 4.9 s). Pin the
+    RoundRobin rebalance's presence between the WARC parse and the
+    extraction UDF."""
+    import __spark_entry__ as E
+
+    df = E.queries()["warc_extract"](spark, SF_DIR)
+    p = _plan(spark, df)
+    assert "RoundRobinPartitioning" in p
