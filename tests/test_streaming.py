@@ -375,3 +375,51 @@ def test_streaming_chunk_text_batch_equal(spark, tmp_path):
     assert streamed == batch
     assert len({d for d, *_ in streamed}) == 81  # every doc chunked
     assert any(n < 8 for _, _, _, n, _ in streamed)  # short finals occur
+
+
+def test_streaming_source_meta_batch_equal(spark, tmp_path):
+    """extract_source_meta (map-only: one Arrow UDF computing brand +
+    meta-description, no aggregation, no state) on an availableNow
+    stream must produce exactly the batch output — the shape a
+    homepage-crawl ingest loop runs per micro-batch."""
+    from newspaper_spark.operators.source_build import extract_source_meta
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    meta = '<meta name="description" content="Desc &amp; more %d">'
+    rows = [
+        (
+            i,
+            f"http://www.site{i}.co.uk/" if i % 2 else f"http://s{i}.com/",
+            f"<html><head>{meta % i}</head></html>" if i % 3 else "<html/>",
+        )
+        for i in range(40)
+    ]
+    schema = "sid long, source_url string, html string"
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out = extract_source_meta(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    key = lambda r: (r.sid, r.source_url, r.brand, r.description)
+    streamed = sorted(key(r) for r in spark.read.parquet(out_dir).collect())
+    batch = sorted(key(r) for r in extract_source_meta(batch_df).collect())
+    assert streamed == batch
+    # both verdict shapes exercised
+    assert any(r[3] == "" for r in streamed)
+    assert any(r[3].startswith("Desc & more") for r in streamed)
