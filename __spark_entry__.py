@@ -770,6 +770,13 @@ def q_tokenize_pack(spark, sf_dir):
     from newspaper_spark.operators.packing import pack_offsets
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
+    # Round-8 shared-scan audit: a persisted per-(doc, word) relation
+    # feeding both the trainer and the encoder was probed and measured
+    # NEGATIVE (executor CPU 20.4 s → 32-33 s over 3 stable probes) —
+    # the duplicate explode is cheap scan-fused codegen while the
+    # shared relation adds a cache write + an extra 155k-row shuffle.
+    # Kept as-is on the r7 dclm lesson: the probe, not the pattern,
+    # decides.
     merges = bpe_train(bpe_word_counts(d), 8)
     enc = cache.track(bpe_encode_docs(d, merges).persist())
     packed = pack_offsets(
@@ -2102,6 +2109,8 @@ def q_bpe_encode(spark, sf_dir):
     )
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
+    # duplicate-explode form kept deliberately — see the measured-
+    # negative shared-scan note in q_tokenize_pack
     merges = bpe_train(bpe_word_counts(d), 8)
     return bpe_encode_docs(d, merges)
 
@@ -2130,13 +2139,19 @@ def q_bpe_vocab(spark, sf_dir):
     rounds relationally: pair counts, (max count, lexicographically
     smallest pair) argmax, and the identical single-pass sentinel
     replacement per round."""
+    from newspaper_spark import cache
     from newspaper_spark.operators.bpe import (
         bpe_apply,
         bpe_train,
         bpe_word_counts,
     )
 
-    wc = bpe_word_counts(_docs(spark, sf_dir).select("doc_id", "text"))
+    # persisted: the trainer's collect materializes the counts, and the
+    # apply pass then reads the cache instead of re-tokenizing the
+    # corpus (round-8: second corpus pass removed)
+    wc = cache.track(
+        bpe_word_counts(_docs(spark, sf_dir).select("doc_id", "text")).persist()
+    )
     merges = bpe_train(wc, 8)
     return bpe_apply(wc, merges)
 

@@ -51,6 +51,7 @@ def pagerank_int(
     iterations: int = 3,
     scale: int = 1_000_000,
     weight_col: "str | None" = None,
+    checkpoint_interval: int = 4,
 ) -> DataFrame:
     """``(src, dst[, weight])`` edge relation → ``(node, out_degree,
     rank)`` after ``iterations`` rounds of integer-exact damped
@@ -102,10 +103,11 @@ def pagerank_int(
         )
         .persist()
     )
-    nodes = (
+    nodes = cache.track(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     outdeg = cache.track(
         e.groupBy("src")
@@ -115,18 +117,25 @@ def pagerank_int(
         )
         .persist()
     )
+    # One prepared edge relation carrying the source's out-weight: each
+    # iteration then needs a SINGLE equi-join with the rank relation
+    # instead of (edges ⋈ ranks) ⋈ outdeg — one shuffle/broadcast fewer
+    # per round, and the ow > 0 sink guard (a source whose weights sum
+    # to 0 carries no rank mass and must act as a sink — without this
+    # guard `rank DIV ow` raises DIVIDE_BY_ZERO under the session's
+    # ANSI mode, ADVICE r6; trivially true on the unweighted path) is
+    # applied ONCE here instead of once per iteration.
+    ew = cache.track(
+        e.join(outdeg.select("src", "ow"), "src")
+        .filter(F.col("ow") > 0)
+        .select("src", "dst", "w", "ow")
+        .persist()
+    )
     base = (15 * scale) // 100
     r = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
-            e.join(r, e.src == r.node)
-            .join(outdeg, "src")
-            # a source whose weights sum to 0 carries no rank mass and
-            # must act as a sink — without this guard `rank DIV ow`
-            # raises DIVIDE_BY_ZERO under the session's ANSI mode and
-            # fails the whole job (ADVICE r6); trivially true (ow =
-            # edge count ≥ 1) on the unweighted path
-            .filter(F.col("ow") > 0)
+            ew.join(r, ew.src == r.node)
             .select(
                 F.col("dst").alias("node"),
                 F.expr("(((rank DIV ow) * w) * 85) DIV 100").alias("c"),
@@ -134,16 +143,20 @@ def pagerank_int(
             .groupBy("node")
             .agg(F.sum("c").cast("long").alias("inflow"))
         )
-        r = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.coalesce("inflow", F.lit(0)))
-                .cast("long")
-                .alias("rank"),
-            )
-            .localCheckpoint(eager=False)
+        r = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce("inflow", F.lit(0)))
+            .cast("long")
+            .alias("rank"),
         )
+        # PERIODIC lineage cut (GraphX-Pregel-style checkpointInterval),
+        # not per-round: a shallow run keeps one end-to-end plan (the
+        # leaves are the persisted nodes/ew relations, so nesting depth
+        # = rounds-since-cut, bounded by the interval), while long runs
+        # still cut lineage before the optimizer blows up (the r3
+        # connected-components lesson at ~8 nested rounds).
+        if (i + 1) % checkpoint_interval == 0 and (i + 1) < iterations:
+            r = r.localCheckpoint(eager=False)
     return r.join(
         outdeg.select(F.col("src").alias("node"), "od"), "node", "left"
     ).select(

@@ -74,15 +74,24 @@ def span_dedup(
     parts = [F.col("sent")] + [
         F.lead("sent", k).over(wseq) for k in range(1, span)
     ]
-    spans = (
+    # h: the md5 digest is UNHEXed to 16 raw bytes before it becomes a
+    # shuffle/join key — half the key bytes of the 32-char hex string
+    # for the two Exchanges keyed on it (internal only: the output
+    # never carries h, so the oracle is unaffected). The span relation
+    # is persisted: it feeds the duplicate aggregate AND the join-back,
+    # and the two Exchanges have different payloads (partial-agg rows
+    # vs raw span rows) so ReuseExchange cannot fire — unpersisted, the
+    # k-lead window + md5 execute twice.
+    spans = cache.track(
         sent.select(
             "id",
             "seq",
-            F.md5(F.concat_ws(_US, *parts)).alias("h"),
+            F.unhex(F.md5(F.concat_ws(_US, *parts))).alias("h"),
             parts[-1].isNotNull().alias("full"),
         )
         .filter("full")
         .drop("full")
+        .persist()
     )
     # Duplicate detection + canonical pick via groupBy, NOT a window over
     # the span hash: `W.partitionBy("h")` funnels every occurrence of one
