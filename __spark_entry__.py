@@ -1927,8 +1927,10 @@ def q_dsir(spark, sf_dir):
     from newspaper_spark.operators.dsir import dsir_scores
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    target = d.filter(F.col("doc_id") % 10 == 0)
-    return dsir_scores(d, target, n_buckets=1024)
+    # Column-predicate target (slice-of-raw): the exemplar bucket
+    # distribution derives from the persisted feature counts instead
+    # of a second explode+window+hash pass over the slice (round 8)
+    return dsir_scores(d, F.col("doc_id") % 10 == 0, n_buckets=1024)
 
 
 def q_gopher_filters(spark, sf_dir):

@@ -40,48 +40,38 @@ def _bucket_rows(df: DataFrame, id_col: str, text_col: str, n_buckets: int):
     """(id, b) — one row per unigram AND bigram occurrence, hashed to
     a bucket via the repo's portable md5-derived 60-bit integer.
 
-    Relational formulation, not higher-order functions: Catalyst HOF
-    lambdas are INTERPRETED per element (the repo's measured 5-13×
-    trap — see CLAUDE.md), so tokens explode to rows, the bigram
-    partner comes from one ``lead`` window per doc (uniform id keys),
-    and the md5 → bucket hash runs in whole-stage codegen. Measured on
-    the sf0.1 driver bench: 6.6 s → ~2 s for the dsir query."""
-    from pyspark.sql import Window as W
-
-    toks = F.split(
-        F.trim(
-            F.regexp_replace(
-                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                WS_CLASS + "+",
-                " ",
-            )
-        ),
-        " ",
+    MAP-ONLY codegen formulation, no higher-order functions (Catalyst
+    HOF lambdas are INTERPRETED per element — the repo's measured
+    5-13× trap) and, since round 8, no window either: the original
+    ``lead``-window bigram partner forced a corpus-sized
+    (id, pos, tok) shuffle + per-doc sort. Overlapping bigrams instead
+    come from a zero-width-LOOKAHEAD ``regexp_extract_all`` over the
+    already-normalized text — ``(?:^| )(?=(\\S+ \\S+))`` anchors at
+    each token start (the consumed ``^``/space prevents mid-token
+    matches) and the lookahead group captures the pair without
+    consuming it, so consecutive pairs overlap exactly like the lead
+    window produced. Verified row-for-row identical to the window form
+    (incl. empty/null/single-token/multi-space docs); everything fuses
+    into the scan stage."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            WS_CLASS + "+",
+            " ",
+        )
     )
-    base = df.select(
-        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    # normalize in its OWN projection: split and regexp_extract_all
+    # both consume it, and inlining the expression evaluates the
+    # lower+regexp_replace twice per row (measured ~20% of the stage)
+    dn = df.select(F.col(id_col).alias("id"), norm.alias("nt"))
+    toks = F.split(F.col("nt"), " ")
+    bigrams = F.regexp_extract_all(
+        F.col("nt"), F.lit(r"(?:^| )(?=(\S+ \S+))"), 1
     )
-    # the window materializes in its own projection (a generator
-    # expression may not contain a window function), then each token
-    # contributes itself plus (when a successor exists) the "tok nxt"
-    # bigram — a 1-2 element codegen array, exploded
-    stepped = base.select(
+    return dn.select(
         "id",
-        "tok",
-        F.lead("tok").over(W.partitionBy("id").orderBy("pos")).alias("nxt"),
-    )
-    with_next = stepped.select(
-        "id",
-        F.explode(
-            F.when(
-                F.col("nxt").isNotNull(),
-                F.array(
-                    F.col("tok"), F.concat_ws(" ", F.col("tok"), F.col("nxt"))
-                ),
-            ).otherwise(F.array(F.col("tok")))
-        ).alias("g"),
-    )
-    return with_next.select(
+        F.explode(F.concat(toks, bigrams)).alias("g"),
+    ).select(
         "id",
         (
             F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
@@ -92,7 +82,7 @@ def _bucket_rows(df: DataFrame, id_col: str, text_col: str, n_buckets: int):
 
 def dsir_scores(
     raw: DataFrame,
-    target: DataFrame,
+    target,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 10_000,
@@ -106,6 +96,14 @@ def dsir_scores(
     w(x)), and a sampler wanting the paper's exact importance weight
     uses 10**dsir_logratio (NOT exp). 6dp-floor-rounded for oracle
     parity. ``n_feats`` = unigram+bigram occurrences (the c_b mass).
+
+    ``target`` is either a DataFrame (an independent exemplar corpus —
+    the general DSIR shape) or a boolean Column over ``id_col`` (the
+    exemplars are a deterministic SLICE of ``raw``, the common
+    in-corpus split): with a Column, the target bucket distribution is
+    derived by filtering the already-persisted per-(doc, bucket)
+    counts — identical counts by construction, and the second
+    explode + window + hash pass over the exemplar text disappears.
     """
     feats_raw = cache.track(
         _bucket_rows(raw, id_col, text_col, n_buckets)
@@ -117,11 +115,22 @@ def dsir_scores(
     # distribution AND the scoring join; an AQE runtime broadcast would
     # otherwise defeat ReuseExchange and re-run the explode+hash scan.
     c_raw = feats_raw.groupBy("b").agg(F.sum("k").alias("c_r"))
-    c_tgt = (
-        _bucket_rows(target, id_col, text_col, n_buckets)
-        .groupBy("b")
-        .agg(F.count("*").cast("long").alias("c_t"))
-    )
+    if isinstance(target, DataFrame):
+        c_tgt = (
+            _bucket_rows(target, id_col, text_col, n_buckets)
+            .groupBy("b")
+            .agg(F.count("*").cast("long").alias("c_t"))
+        )
+    else:
+        # slice-of-raw form: sum the persisted per-(doc, bucket)
+        # counts over the exemplar ids — exactly the bucket counts a
+        # separate pass over the slice's text would produce
+        c_tgt = (
+            feats_raw.withColumnRenamed("id", id_col)
+            .filter(target)
+            .groupBy("b")
+            .agg(F.sum("k").cast("long").alias("c_t"))
+        )
     n_raw = c_raw.agg(F.sum("c_r").alias("n_r"))
     n_tgt = c_tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("n_t"))
     # bucket table over RAW buckets (only buckets a raw doc can hit);

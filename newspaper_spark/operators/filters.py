@@ -285,7 +285,7 @@ def badwords_filter(
     badwords,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_candidates: bool = True,
+    broadcast_candidates: "bool | None" = None,
 ) -> DataFrame:
     """C4's bad-words page gate (Raffel et al. 2020 §2.2 — pages
     containing any entry of a word blocklist are dropped; RefinedWeb
@@ -302,9 +302,14 @@ def badwords_filter(
     the broadcast blocklist; bigram entries first semi-join on their
     FIRST token (candidate volume = corpus frequency of blocklist
     first-tokens, not corpus bigram count) and the adjacency check
-    joins those candidates back map-side (broadcast by default —
-    disable ``broadcast_candidates`` when the blocklist contains
-    corpus-frequent first tokens, the df lever documented on bm25).
+    joins those candidates back. ``broadcast_candidates=None`` (the
+    default) leaves the candidate join un-hinted so the planner / AQE
+    pick broadcast from the candidates' ACTUAL runtime size — safe
+    even when the blocklist contains corpus-frequent first tokens
+    (``big``), where a forced broadcast is a driver/executor OOM at
+    scale (ADVICE r7). ``True`` forces the broadcast (only when the
+    caller has profiled first-token df), ``False`` forces the plain
+    shuffle join.
 
     Returns every input row's ``id_col`` with ``n_badword_hits``
     (occurrence count over all entries) and ``badwords_ok``
@@ -312,7 +317,19 @@ def badwords_filter(
     """
     from .textstats import _tokens
 
-    if not isinstance(badwords, DataFrame):
+    list_input = not isinstance(badwords, DataFrame)
+    if list_input:
+        # validate in Python BEFORE createDataFrame: free, and the
+        # operator stays pure-lazy for list blocklists (ADVICE r7 —
+        # the eager collect probe was a blocking Spark job per call
+        # and broke plan composition against streaming sources).
+        # split(" ") mirrors the Column-side F.split semantics exactly
+        # (consecutive spaces yield empty parts that count as tokens).
+        for w in badwords:
+            if len(w.split(" ")) > 2:
+                raise ValueError(
+                    f"badwords entries must be 1-2 tokens (got {w!r})"
+                )
         spark = df.sparkSession
         badwords = spark.createDataFrame(
             [(w,) for w in badwords], "entry string"
@@ -335,13 +352,15 @@ def badwords_filter(
         F.get("ws", 0).alias("bw1"),
         F.get("ws", 1).alias("bw2"),
     )
-    # eager guard: a silent prefix-match of a 3-token phrase would be
-    # a wrong verdict, not a slow plan
-    over = bl.filter(F.col("n_toks") > 2).limit(1).collect()
-    if over:
-        raise ValueError(
-            f"badwords entries must be 1-2 tokens (got {over[0].entry!r})"
-        )
+    if not list_input:
+        # DataFrame blocklists can't be validated driver-side for
+        # free; keep the eager guard — a silent prefix-match of a
+        # 3-token phrase would be a wrong verdict, not a slow plan
+        over = bl.filter(F.col("n_toks") > 2).limit(1).collect()
+        if over:
+            raise ValueError(
+                f"badwords entries must be 1-2 tokens (got {over[0].entry!r})"
+            )
 
     # toks feeds three consumers (unigram probe, bigram first-token
     # candidates, adjacency verify). Persisting it was probed and
@@ -375,7 +394,7 @@ def badwords_filter(
             F.col("bw2").alias("cw"),
         )
     )
-    if broadcast_candidates:
+    if broadcast_candidates is True:
         cand = F.broadcast(cand)
     bi = toks.join(
         cand,

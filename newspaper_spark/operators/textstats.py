@@ -397,20 +397,37 @@ def bigram_backoff_logprob(
     unigram_logprob: the sum runs over DISTINCT doc bigrams, and
     near-tie engine log10 ulp differences are absorbed by the round.
     """
-    from pyspark.sql import Window as W
-
     did = F.col(id_col).alias("id")
 
     def _bigrams(frame):
-        t = frame.select(
-            did, F.posexplode(
-                _tokens(F.coalesce(F.col(text_col), F.lit("")))
-            ).alias("pos", "w1"),
+        # MAP-ONLY bigram generation (round 8, the dsir reformulation):
+        # the zero-width-lookahead regexp over the normalized text
+        # yields every overlapping adjacent pair with NO per-doc
+        # lead-window — the original form shuffled + sorted the whole
+        # tokenized corpus (twice: train and score side). Verified
+        # row-for-row identical to the window form (incl. empty/null/
+        # single-token/multi-space docs). substring_index recovers
+        # (w1, w2) — tokens cannot contain spaces post-normalization.
+        norm = F.trim(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                WS_CLASS + "+",
+                " ",
+            )
         )
-        w = W.partitionBy("id").orderBy("pos")
-        return (
-            t.select("id", "w1", F.lead("w1").over(w).alias("w2"))
-            .filter(F.col("w2").isNotNull())
+        dn = frame.select(did, norm.alias("nt"))
+        g = dn.select(
+            "id",
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("nt"), F.lit(r"(?:^| )(?=(\S+ \S+))"), 1
+                )
+            ).alias("g"),
+        )
+        return g.select(
+            "id",
+            F.substring_index("g", " ", 1).alias("w1"),
+            F.substring_index("g", " ", -1).alias("w2"),
         )
 
     # model (train split): unigram + bigram count tables. The unigram

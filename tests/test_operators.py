@@ -4692,8 +4692,24 @@ def test_badwords_filter_matches_python_model(spark):
     }
     assert got_dup == {i: model(t)[0] for i, t in docs}
 
+    # every broadcast_candidates mode gives identical verdicts: None
+    # (default — planner/AQE decides from runtime size, the scale-safe
+    # setting), True (forced broadcast), False (forced shuffle join)
+    for mode in (True, False):
+        got_mode = {
+            r.doc_id: (r.n_badword_hits, r.badwords_ok)
+            for r in badwords_filter(
+                df, bl, broadcast_candidates=mode
+            ).collect()
+        }
+        assert got_mode == got, mode
+
     with _pytest.raises(ValueError):
         badwords_filter(df, ["one two three"]).collect()
+    # list inputs validate driver-side with the same split semantics
+    # as the Column path — BEFORE any Spark job runs
+    with _pytest.raises(ValueError):
+        badwords_filter(df, ["a  b"])  # double space = 3 split parts
 
 
 def test_dedup_lines_within_doc_matches_python_model(spark):
