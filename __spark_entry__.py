@@ -55,9 +55,8 @@ def _docs(spark, sf_dir):
     return _spread(load_table(spark, sf_dir, "documents"), spark)
 
 
-def _synth_urls(spark, sf_dir):
-    """Deterministic article-URL universe derived from documents."""
-    d = _docs(spark, sf_dir)
+def _synth_url_expr():
+    """The deterministic article-URL Column over a documents relation."""
     path = (
         F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("/news/story/item-"), F.col("doc_id"), F.lit(".html")))
         .when(F.col("doc_id") % 5 == 1, F.concat(F.lit("/2014/12/30/breaking-topic-every-word-here-"), F.col("doc_id")))
@@ -65,12 +64,24 @@ def _synth_urls(spark, sf_dir):
         .when(F.col("doc_id") % 5 == 3, F.concat(F.lit("/gallery/video/clip-"), F.col("doc_id"), F.lit(".mp4")))
         .otherwise(F.concat(F.lit("/tag-one-two-three-four-five-"), F.col("doc_id")))
     )
-    return d.select(
-        F.col("doc_id"),
-        F.concat(
-            F.lit("http://site"), (F.col("doc_id") % 7).cast("string"), F.lit(".com"), path
-        ).alias("url"),
+    return F.concat(
+        F.lit("http://site"), (F.col("doc_id") % 7).cast("string"), F.lit(".com"), path
     )
+
+
+def _synth_urls(spark, sf_dir):
+    """Deterministic article-URL universe derived from documents."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id"), _synth_url_expr().alias("url")
+    )
+
+
+def _synth_urls_with(spark, sf_dir, *extra_cols):
+    """_synth_urls plus additional documents columns, as ONE projection
+    — the former spelling joined _synth_urls back to documents on
+    doc_id, an identity equi-join (doc_id is the table's unique key)
+    that cost a full shuffle/broadcast for nothing."""
+    return _docs(spark, sf_dir).select(*extra_cols, _synth_url_expr().alias("url"))
 
 
 _SYNTH_URL_SQL = """
@@ -646,10 +657,10 @@ def q_kmv_distinct(spark, sf_dir):
     replays hashes, the rank-≤-k window, and the estimate exactly."""
     from newspaper_spark.operators.dedup import kmv_distinct
 
-    u = _synth_urls(spark, sf_dir)
-    v = u.join(
-        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
-    ).select("source", "url")
+    # url and source both derive from the documents table and doc_id is
+    # its unique key, so the former u ⋈ docs equi-join is an identity —
+    # one projection replaces a full join (round 8; result unchanged)
+    v = _synth_urls_with(spark, sf_dir, "source")
     per_source = kmv_distinct(v, "url", group_col="source", k=64)
     overall = kmv_distinct(v, "url", group_col=None, k=64).select(
         F.lit("__ALL__").alias("source"),
@@ -703,10 +714,8 @@ def q_hll_distinct(spark, sf_dir):
     max, and the estimate exactly."""
     from newspaper_spark.operators.sketches import hll_distinct
 
-    u = _synth_urls(spark, sf_dir)
-    v = u.join(
-        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
-    ).select("source", "url")
+    # projection instead of the identity self-join — see q_kmv_distinct
+    v = _synth_urls_with(spark, sf_dir, "source")
     per_source = hll_distinct(v, "url", group_col="source", p=6)
     overall = hll_distinct(v, "url", group_col=None, p=6).select(
         F.lit("__ALL__").alias("source"),
@@ -1370,10 +1379,15 @@ def q_host_rank(spark, sf_dir):
         "doc_id",
         F.regexp_extract(F.col("url"), "^https?://([^/]+)", 1).alias("host"),
     )
+    # src_host rides along from the page row itself (the host regex
+    # parse runs inline over the page's own URL) — the former second
+    # hosts join keyed by s was an identity self-join on the unique
+    # doc_id (round 8). The t-side join is genuine: t is a DIFFERENT
+    # document's id, so its host needs the lookup.
     pl = (
-        d.crossJoin(F.broadcast(nn))
+        hosts.crossJoin(F.broadcast(nn))
         .select(
-            F.col("doc_id").alias("s"),
+            F.col("host").alias("src_host"),
             F.explode(
                 F.array(
                     (F.col("doc_id") * 2 + 1) % F.col("n"),
@@ -1385,10 +1399,6 @@ def q_host_rank(spark, sf_dir):
     )
     hedges = (
         pl.join(
-            hosts.select(F.col("doc_id").alias("s"), F.col("host").alias("src_host")),
-            "s",
-        )
-        .join(
             hosts.select(F.col("doc_id").alias("t"), F.col("host").alias("dst_host")),
             "t",
         )

@@ -36,8 +36,10 @@ def test_tracking_scope_releases_only_inner(spark):
     with cache.tracking_scope():
         out = span_dedup(_docs(spark)).collect()
         assert len(out) == 60
-        assert cache.tracked_count() == 2
-    # inner (span_dedup's sentence table) released, outer kept
+        # span_dedup tracks TWO persists since round 8 (sentence table
+        # + span-hash table) — plus the outer minhash signature table
+        assert cache.tracked_count() == 3
+    # inner (span_dedup's sentence + span tables) released, outer kept
     assert cache.tracked_count() == 1
     cache.release()
 
