@@ -4645,6 +4645,27 @@ def test_api_popular_urls_and_languages(spark):
     assert by["nb"] == "Norwegian (Bokmål)"
     assert by["zh"] == "Chinese"
 
+    # ADVICE r7: the api_surface oracle reads the SAME bundled JSON
+    # resources as the implementation, so it cannot detect resource
+    # corruption — both sides would drift together. Pin content
+    # digests here so any edit of the bundled data fails loudly.
+    import hashlib
+    import os
+
+    import newspaper_spark
+
+    res = os.path.join(os.path.dirname(newspaper_spark.__file__), "resources")
+    digests = {
+        "popular_sources.json":
+            "0c6f51cf9a22e871313c2f36015f6e30890cde9de28cc02d496e0672c6b37ac0",
+        "stopwords.json":
+            "36454300430f0f0c1ef39f17047cb75f79481d0bbb0e69f107f566103f5b5fca",
+    }
+    for fname, want in digests.items():
+        with open(os.path.join(res, fname), "rb") as f:
+            got_d = hashlib.sha256(f.read()).hexdigest()
+        assert got_d == want, f"bundled resource drifted: {fname}"
+
 
 def test_badwords_filter_matches_python_model(spark):
     """badwords_filter vs a brute-force model: unigram entries count

@@ -129,8 +129,9 @@ def test_pagerank_iteration_uses_persisted_edges(spark):
 
 
 def test_no_cartesian_product_in_any_query_plan(spark):
-    """Global hygiene sweep: none of the queries() plans (104 as of
-    round 7) may contain a CartesianProduct. The repo's only cross-join-shaped
+    """Global hygiene sweep: none of the queries() plans (whatever
+    count queries() currently returns — the loop iterates it) may
+    contain a CartesianProduct. The repo's only cross-join-shaped
     steps are broadcast single-row totals (BroadcastNestedLoopJoin)
     and the guarded ANN brute baseline — an accidental unguarded
     cartesian introduced by any future query fails here. (~2 min:
