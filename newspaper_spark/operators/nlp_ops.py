@@ -38,6 +38,64 @@ def _summary_batch(titles, texts, langs):
 keywords_udf = F.pandas_udf(_keywords_batch, T.ArrayType(T.StringType()))
 summary_udf = F.pandas_udf(_summary_batch, T.StringType())
 
+_NLP_TYPE = T.StructType(
+    [
+        T.StructField("keywords", T.ArrayType(T.StringType())),
+        T.StructField("summary", T.StringType()),
+    ]
+)
+
+
+def _nlp_batch(titles, texts, langs):
+    """Fused keywords+summary: one Python pass that shares the
+    ``keywords()`` computation ``summarize()`` would otherwise redo per
+    row. Result-identical to the two single-column UDFs — both columns'
+    kernel calls agree on ``(text, lang)`` and ``keywords()`` is
+    deterministic, including the failure paths: if ``keywords()``
+    raises, ``summarize()`` would raise at its own internal
+    ``keywords()`` call, so both columns take their original fallbacks
+    (``[]`` / ``""``)."""
+    from ..kernel.nlp import (
+        keywords,
+        score_sentences,
+        split_sentences,
+        split_words,
+    )
+
+    kw_out, sum_out = [], []
+    for title, text, lang in zip(titles, texts, langs):
+        title = title or ""
+        text = text or ""
+        lang = lang or "en"
+        try:
+            kws = keywords(text, lang)
+            kw_out.append(sorted(kws.keys()))
+        except Exception:
+            kws = None
+            kw_out.append([])
+        try:
+            if not text or not title:
+                sum_out.append("")
+            else:
+                if kws is None:
+                    raise ValueError("keywords failed")
+                # summarize(title, text, 5, lang) with kws shared
+                sentences = split_sentences(text)
+                ranks = score_sentences(
+                    sentences, split_words(title), kws, lang
+                ).most_common(5)
+                summaries = [rank[0] for rank in ranks]
+                summaries.sort(key=lambda summary: summary[0])
+                sum_out.append(
+                    "\n".join(summary[1] for summary in summaries)[:5000]
+                )
+        except Exception:
+            sum_out.append("")
+    return pd.DataFrame({"keywords": kw_out, "summary": sum_out})
+
+
+nlp_udf = F.pandas_udf(_nlp_batch, _NLP_TYPE)
+
 _SENT_FEATURES_TYPE = T.ArrayType(
     T.StructType(
         [
@@ -108,10 +166,11 @@ sentence_features_udf = F.pandas_udf(_sentence_features_batch, _SENT_FEATURES_TY
 
 
 def add_nlp(df: DataFrame, title_col="title", text_col="text", lang="en") -> DataFrame:
-    lang_col = F.lit(lang)
+    # one fused Arrow crossing; the struct's two fields are projected
+    # out of a SINGLE UDF evaluation (equal deterministic python-UDF
+    # expressions are deduplicated into one ArrowEvalPython slot —
+    # plan-pinned in tests/test_plan_shapes.py)
+    nlp = nlp_udf(F.col(title_col), F.col(text_col), F.lit(lang))
     return df.withColumns(
-        {
-            "keywords": keywords_udf(F.col(text_col), lang_col),
-            "summary": summary_udf(F.col(title_col), F.col(text_col), lang_col),
-        }
+        {"keywords": nlp["keywords"], "summary": nlp["summary"]}
     )

@@ -31,15 +31,27 @@ from newspaper_spark import cache
 
 
 def _global_offsets(
-    rows: DataFrame, order_cols: list[str], num_partitions: int
+    rows: DataFrame, order_cols: list[str], num_partitions: int | None
 ) -> DataFrame:
     """The two-level distributed exclusive prefix sum of column ``n``
     in ``order_cols`` order (see module docstring): returns ``rows``'s
     columns plus ``offset``. ``order_cols`` must be a total order
-    (ties would make the scan partitioning-dependent)."""
-    ordered = rows.repartitionByRange(
-        num_partitions, *order_cols
-    ).sortWithinPartitions(*order_cols)
+    (ties would make the scan partitioning-dependent).
+
+    ``num_partitions=None`` (the default) leaves the range-exchange
+    width to ``spark.sql.shuffle.partitions`` + AQE coalescing — the
+    scale-adaptive setting (cluster conf decides; AQE merges small
+    adjacent ranges). The prefix sum is partitioning-INVARIANT by
+    construction (total order + per-partition base), so any width —
+    including an AQE-coalesced one — yields bit-identical offsets;
+    merging adjacent range partitions preserves both the range
+    property and partition order, and ``pid`` is pinned by the
+    persist below."""
+    if num_partitions is None:
+        ordered = rows.repartitionByRange(*order_cols)
+    else:
+        ordered = rows.repartitionByRange(num_partitions, *order_cols)
+    ordered = ordered.sortWithinPartitions(*order_cols)
     # persist is CORRECTNESS-load-bearing, not a perf hint: with_pid
     # fans into the partition-totals branch and the placement branch,
     # and spark_partition_id depends on the range shuffle's SAMPLED
@@ -84,7 +96,7 @@ def pack_offsets(
     id_col: str = "doc_id",
     count_col: str = "n_tokens",
     seq_len: int = 256,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(id, n_tokens, offset, start_seq, start_pos, n_seqs).
 
@@ -122,7 +134,7 @@ def shard_assign(
     count_col: str = "n_tokens",
     shard_tokens: int = 4096,
     seed: str = "shard",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic global training-order shuffle + token-capacity
     shard assignment — the "randomize then shard" step every

@@ -2231,6 +2231,64 @@ def test_pack_offsets_prefix_sum_and_spans(spark):
         off += n
 
 
+def test_add_nlp_fused_udf_matches_unfused(spark):
+    """The fused _nlp_batch must be row-identical to the two original
+    single-column UDFs (keywords_udf / summary_udf) — including the
+    fallback paths: null/empty title, null/empty text, no-terminator
+    single-sentence text, and multi-sentence prose."""
+    from newspaper_spark.operators.nlp_ops import (
+        add_nlp,
+        keywords_udf,
+        summary_udf,
+    )
+
+    rows = [
+        (0, "A Title", "First sentence is long enough here. Second one "
+            "follows with more words. Third sentence closes it out."),
+        (1, None, "Text with a title missing entirely from this row."),
+        (2, "Title only", None),
+        (3, "", ""),
+        (4, "T", "no terminators at all just one run of words " * 8),
+        (5, "Dr. Smith", "Dr. Smith spoke at 3 p.m. about results. "
+            "The audience, i.e. students, listened closely."),
+    ]
+    df = spark.createDataFrame(rows, "id long, title string, text string")
+
+    fused = {
+        r.id: (r.keywords, r.summary) for r in add_nlp(df).collect()
+    }
+    unfused = {
+        r.id: (r.keywords, r.summary)
+        for r in df.withColumns(
+            {
+                "keywords": keywords_udf(F.col("text"), F.lit("en")),
+                "summary": summary_udf(
+                    F.col("title"), F.col("text"), F.lit("en")
+                ),
+            }
+        ).collect()
+    }
+    assert fused == unfused
+
+
+def test_packing_adaptive_width_is_output_identical(spark):
+    """num_partitions=None (scale-adaptive: conf-derived range width +
+    AQE coalescing) must be bit-identical to any explicit width — the
+    prefix sum's partitioning-invariance through the adaptive path."""
+    from newspaper_spark.operators.packing import pack_offsets, shard_assign
+
+    rows = [(i, (i * 37) % 150) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(7)
+
+    fixed = sorted(pack_offsets(df, seq_len=64, num_partitions=5).collect())
+    auto = sorted(pack_offsets(df, seq_len=64).collect())
+    assert auto == fixed
+
+    fixed_s = sorted(shard_assign(df, shard_tokens=512, num_partitions=8).collect())
+    auto_s = sorted(shard_assign(df, shard_tokens=512).collect())
+    assert auto_s == fixed_s
+
+
 def test_span_dedup_matches_python_model(spark):
     """Operator vs an independent sequential model on random small-
     alphabet corpora (heavy span collisions, including overlapping and

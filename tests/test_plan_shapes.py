@@ -32,6 +32,22 @@ def test_chunk_text_zero_shuffles(spark):
     assert "WholeStageCodegen" in p or "* Project" in p
 
 
+def test_add_nlp_single_fused_udf_slot(spark):
+    """add_nlp's keywords+summary come from ONE fused pandas UDF whose
+    struct result is projected twice — the plan must contain exactly
+    one _nlp_batch evaluation slot (equal deterministic python-UDF
+    expressions dedupe into a single ArrowEvalPython argument), not one
+    per output column, and none of the unfused per-column UDFs."""
+    from newspaper_spark.operators.nlp_ops import add_nlp
+
+    df = spark.createDataFrame(
+        [("t", "Some text here.")], "title string, text string"
+    )
+    p = _plan(spark, add_nlp(df))
+    assert p.count("_nlp_batch") == 1
+    assert "_keywords_batch" not in p and "_summary_batch" not in p
+
+
 def test_anchor_topk_window_group_limit_pushdown(spark):
     """anchor_topk's per-target top-k claims WindowGroupLimit
     pushdown (partial top-k map-side before the window shuffle)."""
