@@ -14,7 +14,9 @@ introduced super-linear work.
 Operators probed: exact_substring_dedup + span_dedup (persisted span
 table / 16-byte hash keys), dsir_scores (map-only lookahead bigrams +
 slice target), bigram_backoff_logprob (map-only bigrams both passes),
-pagerank_int (one-join iterations, periodic checkpoint).
+pagerank_int (one-join iterations, periodic checkpoint), shard_assign
+(scale-adaptive range width through the conf+AQE-decided
+_global_offsets path — also covers pack_offsets, which shares it).
 
 Usage: python scripts/r08_scale_probe.py [reps=3]
 Writes artifacts/r08_scale_probe.json.
@@ -93,12 +95,21 @@ def main() -> None:
         )
         return pagerank_int(e, iterations=3)
 
+    def run_shard_assign(k):
+        from newspaper_spark.operators.packing import shard_assign
+
+        counted = docs(k).select(
+            "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+        )
+        return shard_assign(counted, shard_tokens=4096, seed="shard")
+
     ops = {
         "exact_substr": run_exact_substr,
         "span_dedup": run_span_dedup,
         "dsir": run_dsir,
         "stupid_backoff": run_backoff,
         "pagerank": run_pagerank,
+        "shard_assign": run_shard_assign,
     }
 
     # warm-up (cold-session outlier, CLAUDE.md): one full x1 pass
